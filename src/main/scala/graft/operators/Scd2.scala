@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.JdeFunctions.rowHash
+
+/** Composite C3 — SCD Type 2 dimension merge, as a pure function over
+  * immutable lake storage.
+  *
+  * The reference maintains the dimension with an in-place SQL update
+  * sink + ordered insert sink (`adf/dataflow/DF_SCD2_Customer.json:
+  * 109-217`: hash both sides → broadcast lookup → 3-way conditional
+  * split → expire + insert, sinkOrder 1→2). On an immutable lake
+  * there is no row update, so the operator is reformulated
+  * functionally: it returns the COMPLETE next dimension state
+  * (untouched rows ∪ expired rows ∪ freshly keyed new versions) and
+  * the caller atomically overwrites the dimension. The reference's
+  * sink-ordering hazard (`docs/technical_report.md:251`) disappears.
+  *
+  * Change detection is the reference's SHA-256 design
+  * (`DF_SCD2_Customer.json:135`, `docs/technical_report.md:209-215`):
+  * one hash comparison instead of N column comparisons.
+  *
+  * Scale notes (100 TB contract):
+  *  - the active-side lookup is broadcast by default (dimensions are
+  *    small relative to facts); pass `broadcastDim=false` to let AQE
+  *    pick a shuffle join for a genuinely huge dimension;
+  *  - surrogate keys are assigned with [[Ids.addContiguousIds]]
+  *    (range-partitioned zipWithIndex), not a single-partition
+  *    `row_number` window;
+  *  - the whole merge is one shuffle-light DAG: hash (narrow) →
+  *    broadcast join (narrow) → two filters over the cached join →
+  *    union (narrow).
+  */
+object Scd2 {
+
+  /** Dimension spec: surrogate key column, natural key column, and the
+    * change-tracked attribute columns (hashed). */
+  final case class Spec(
+      surrogateKey: String,
+      businessKey: String,
+      trackedCols: Seq[String])
+
+  /** SCD2 metadata columns appended to every dimension. */
+  val MetaCols: Seq[String] =
+    Seq("IsActive", "ValidFrom", "ValidTo", "RowHash",
+        "CreatedDate", "ModifiedDate")
+
+  /** An empty dimension with the SCD2 contract derived from an
+    * incoming-batch schema. */
+  def emptyDim(spark: SparkSession, incoming: DataFrame, spec: Spec): DataFrame = {
+    val base = incoming.schema.fields.map(f => StructField(f.name, f.dataType, f.nullable))
+    val schema = StructType(
+      StructField(spec.surrogateKey, LongType, nullable = false) +: base :+
+        StructField("IsActive", BooleanType, nullable = false) :+
+        StructField("ValidFrom", TimestampType, nullable = false) :+
+        StructField("ValidTo", TimestampType, nullable = true) :+
+        StructField("RowHash", StringType, nullable = false) :+
+        StructField("CreatedDate", TimestampType, nullable = false) :+
+        StructField("ModifiedDate", TimestampType, nullable = false))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Merge one incoming batch into the dimension; returns the complete
+    * next dimension state.
+    *
+    * @param dim      current dimension (SCD2 contract columns)
+    * @param incoming batch with businessKey + attribute columns; must
+    *                 have at most one row per business key
+    * @param spec     key/tracked-column spec
+    * @param now      batch timestamp (injected for determinism —
+    *                 reference uses `currentUTC()`,
+    *                 `DF_SCD2_Customer.json:156-157`)
+    */
+  def merge(dim: DataFrame, incoming: DataFrame, spec: Spec, now: Column,
+            broadcastDim: Boolean = true): DataFrame = {
+    val attrCols = incoming.columns.toSeq
+    require(attrCols.contains(spec.businessKey),
+      s"incoming must carry business key ${spec.businessKey}")
+
+    val hashed = incoming.withColumn(
+      "RowHash", rowHash(spec.trackedCols.map(col): _*))
+
+    val activeLookup0 = dim.filter(col("IsActive")).select(
+      col(spec.businessKey).as("_bk"),
+      col(spec.surrogateKey).as("_existingKey"),
+      col("RowHash").as("_existingHash"))
+    val activeLookup = if (broadcastDim) broadcast(activeLookup0) else activeLookup0
+
+    val joined = hashed.join(
+      activeLookup, hashed(spec.businessKey) === activeLookup("_bk"), "left")
+
+    // 3-way split (reference `DF_SCD2_Customer.json:148-152`), made
+    // mutually exclusive: new key | changed hash | unchanged (dropped).
+    val toInsert = joined
+      .filter(col("_existingKey").isNull || col("RowHash") =!= col("_existingHash"))
+      .drop("_bk", "_existingKey", "_existingHash")
+    val changedKeys = joined
+      .filter(col("_existingKey").isNotNull && col("RowHash") =!= col("_existingHash"))
+      .select(col("_existingKey").as(spec.surrogateKey))
+
+    val maxKey: Long = {
+      val r = dim.agg(coalesce(max(col(spec.surrogateKey)), lit(0L))).head()
+      r.getLong(0)
+    }
+
+    val inserted = Ids.addContiguousIds(
+        toInsert, Seq(col(spec.businessKey)), spec.surrogateKey, maxKey)
+      .withColumn("IsActive", lit(true))
+      .withColumn("ValidFrom", now)
+      .withColumn("ValidTo", lit(null).cast(TimestampType))
+      .withColumn("CreatedDate", now)
+      .withColumn("ModifiedDate", now)
+      .select(spec.surrogateKey, attrCols ++ MetaCols: _*)
+
+    val dimCols = col(spec.surrogateKey) +: attrCols.map(col) ++: MetaCols.map(col)
+    // Expire the superseded versions; everything else passes through.
+    val expireSet = broadcast(changedKeys)
+    val expired = dim.join(expireSet, Seq(spec.surrogateKey), "left_semi")
+      .withColumn("IsActive", lit(false))
+      .withColumn("ValidTo", now)
+      .withColumn("ModifiedDate", now)
+      .select(dimCols: _*)
+    val untouched = dim.join(expireSet, Seq(spec.surrogateKey), "left_anti")
+      .select(dimCols: _*)
+
+    untouched.unionByName(expired).unionByName(inserted.select(dimCols: _*))
+  }
+}

@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.JdeFunctions._
+import graft.operators.{CalendarDim, FactLoad, Scd2}
+import QueryDef.table
+
+/** Parity query set — the reference's workload shape (JDE decode,
+  * calendar dim, SCD2 merge, point-in-time fact load, star top-k,
+  * counts) recast onto the driver's TPC-H-ish fixtures, each with a
+  * DuckDB oracle twin. SURVEY.md §2 operators covered per query are
+  * noted inline.
+  */
+object ParityQueries {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** q01 — A1/groupBy aggregate pricing summary (decimal-exact). */
+  private val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(Dec)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec)).cast(DoubleType).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(Dec) *
+            (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** q02 — C6/J-f/A4 flagship star top-k: top-10 orders by value with
+    * customer → nation → region dims (all broadcast). */
+  private val q02 = QueryDef(
+    "q02_star_topk",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = broadcast(table(s, dir, "customer"))
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(o("o_orderkey").as("order_key"), c("c_name").as("customer_name"),
+          n("n_name").as("nation_name"), r("r_name").as("region_name"),
+          o("o_totalprice").as("total_price"))
+        .orderBy(col("total_price").desc, col("order_key"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey AS order_key, c_name AS customer_name,
+             n_name AS nation_name, r_name AS region_name,
+             o_totalprice AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      ORDER BY total_price DESC, order_key LIMIT 10"""))
+
+  /** q03 — J1/J2/J8 JDE decode round-trip: encode o_orderdate as a
+    * Julian CYYDDD int and an implicit-decimal cents amount, decode
+    * with the engine's codec, verify against the source column. */
+  private val q03 = QueryDef(
+    "q03_jde_decode",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val julian = dateToJulian(col("o_orderdate"))
+      val cents = round(col("o_totalprice") * 100).cast(LongType)
+      o.select(
+          col("o_orderkey").as("order_key"),
+          julian.cast(LongType).as("julian"),
+          julianToDate(julian).as("decoded_date"),
+          col("o_orderdate").cast(DateType).as("source_date"),
+          fromImplicitDecimal(cents).cast(DoubleType).as("amount"))
+        .orderBy(col("order_key"))
+    },
+    Some("""
+      SELECT o_orderkey AS order_key,
+        CAST((year(o_orderdate)-1900)*1000 + dayofyear(o_orderdate) AS BIGINT) AS julian,
+        make_date(CAST(year(o_orderdate) AS INT), 1, 1)
+          + CAST(dayofyear(o_orderdate)-1 AS INT) AS decoded_date,
+        CAST(o_orderdate AS DATE) AS source_date,
+        CAST(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DECIMAL(18,2))/100 AS DOUBLE) AS amount
+      FROM orders ORDER BY order_key"""))
+
+  /** q04 — C5/J3/J12-J15 calendar dimension, full reference range
+    * (2020-01-01..2040-12-31, 7,671 rows). */
+  private val q04 = QueryDef(
+    "q04_calendar_dim",
+    (s, _) =>
+      CalendarDim(s).select(
+        col("DateKey").cast(LongType).as("date_key"),
+        col("FullDate").as("full_date"),
+        col("DayOfMonth").cast(LongType).as("day_of_month"),
+        col("DayOfWeekName").as("day_of_week_name"),
+        col("DayOfWeekNumber").cast(LongType).as("day_of_week_number"),
+        col("WeekOfYear").cast(LongType).as("week_of_year"),
+        col("MonthNumber").cast(LongType).as("month_number"),
+        col("MonthName").as("month_name"),
+        col("Quarter").cast(LongType).as("quarter"),
+        col("Year").cast(LongType).as("year"),
+        col("IsWeekend").as("is_weekend"),
+        col("IsLeapYear").as("is_leap_year"),
+        col("FiscalQuarter").cast(LongType).as("fiscal_quarter"),
+        col("FiscalYear").cast(LongType).as("fiscal_year"))
+      .orderBy(col("date_key")),
+    Some("""
+      WITH days AS (
+        SELECT CAST(unnest(generate_series(DATE '2020-01-01', DATE '2040-12-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS d)
+      SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key, d AS full_date,
+        CAST(day(d) AS BIGINT) AS day_of_month,
+        dayname(d) AS day_of_week_name,
+        CAST(dayofweek(d) + 1 AS BIGINT) AS day_of_week_number,
+        CAST(weekofyear(d) AS BIGINT) AS week_of_year,
+        CAST(month(d) AS BIGINT) AS month_number,
+        monthname(d) AS month_name,
+        CAST(quarter(d) AS BIGINT) AS quarter,
+        CAST(year(d) AS BIGINT) AS year,
+        dayofweek(d) IN (0, 6) AS is_weekend,
+        (year(d)%4=0 AND year(d)%100<>0) OR year(d)%400=0 AS is_leap_year,
+        CAST(quarter(d) AS BIGINT) AS fiscal_quarter,
+        CAST(year(d) AS BIGINT) AS fiscal_year
+      FROM days ORDER BY date_key"""))
+
+  /** q05 — C3 SCD2 two-batch merge (J5 hash, J-a lookup, P4 split,
+    * A3 union, surrogate keys): batch 1 seeds the dimension from
+    * `customer`; batch 2 changes every custkey%3==0 category and adds
+    * custkey%10==0 clones as new keys. Output = full dimension state.
+    */
+  private val q05 = QueryDef(
+    "q05_scd2_merge",
+    (s, dir) => {
+      val customer = table(s, dir, "customer")
+      val b1 = customer.select(
+        col("c_custkey").as("CustomerID"),
+        col("c_name").as("CustomerName"),
+        lit("C").as("SearchType"),
+        col("c_mktsegment").as("CategoryCode"))
+      val b2 = b1.withColumn("CategoryCode",
+          when(col("CustomerID") % 3 === 0, lit("PROMO"))
+            .otherwise(col("CategoryCode")))
+        .unionByName(customer.filter(col("c_custkey") % 10 === 0).select(
+          (col("c_custkey") + 1000000L).as("CustomerID"),
+          concat(lit("NEW-"), col("c_custkey").cast(StringType)).as("CustomerName"),
+          lit("C").as("SearchType"),
+          lit("NEWSEG").as("CategoryCode")))
+      val spec = Scd2.Spec("CustomerKey", "CustomerID",
+        Seq("CustomerName", "SearchType", "CategoryCode"))
+      val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
+      val t1 = to_timestamp(lit("2024-06-01 00:00:00"))
+      val dim1 = Scd2.merge(Scd2.emptyDim(s, b1, spec), b1, spec, t0).cache()
+      val dim2 = Scd2.merge(dim1, b2, spec, t1)
+      dim2.select(
+          col("CustomerKey").as("customer_key"),
+          col("CustomerID").as("customer_id"),
+          col("CustomerName").as("customer_name"),
+          col("SearchType").as("search_type"),
+          col("CategoryCode").as("category_code"),
+          col("IsActive").as("is_active"),
+          unix_millis(col("ValidFrom")).as("valid_from_ms"),
+          unix_millis(col("ValidTo")).as("valid_to_ms"),
+          col("RowHash").as("row_hash"))
+        .orderBy(col("customer_key"))
+    },
+    Some("""
+      WITH b1 AS (
+        SELECT c_custkey AS cid, c_name AS cname, 'C' AS stype,
+               c_mktsegment AS ccode FROM customer),
+      b2 AS (
+        SELECT cid, cname, stype,
+               CASE WHEN cid%3=0 THEN 'PROMO' ELSE ccode END AS ccode FROM b1
+        UNION ALL
+        SELECT c_custkey+1000000, 'NEW-' || CAST(c_custkey AS VARCHAR), 'C', 'NEWSEG'
+        FROM customer WHERE c_custkey%10=0),
+      dim1 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY cid) AS ckey, cid, cname, stype, ccode,
+               TRUE AS active, TIMESTAMP '2024-01-01' AS vfrom,
+               CAST(NULL AS TIMESTAMP) AS vto,
+               sha256(concat_ws('|', cname, stype, ccode)) AS rhash
+        FROM b1),
+      j AS (
+        SELECT b2.*, sha256(concat_ws('|', b2.cname, b2.stype, b2.ccode)) AS nhash,
+               d.ckey AS ekey, d.rhash AS ehash
+        FROM b2 LEFT JOIN dim1 d ON b2.cid = d.cid AND d.active),
+      ins AS (
+        SELECT (SELECT MAX(ckey) FROM dim1) + ROW_NUMBER() OVER (ORDER BY cid) AS ckey,
+               cid, cname, stype, ccode, TRUE AS active,
+               TIMESTAMP '2024-06-01' AS vfrom, CAST(NULL AS TIMESTAMP) AS vto,
+               nhash AS rhash
+        FROM j WHERE ekey IS NULL OR nhash <> ehash),
+      expired_keys AS (SELECT ekey FROM j WHERE ekey IS NOT NULL AND nhash <> ehash),
+      final AS (
+        SELECT ckey, cid, cname, stype, ccode,
+               CASE WHEN ckey IN (SELECT ekey FROM expired_keys) THEN FALSE ELSE active END AS active,
+               vfrom,
+               CASE WHEN ckey IN (SELECT ekey FROM expired_keys)
+                    THEN TIMESTAMP '2024-06-01' ELSE vto END AS vto,
+               rhash
+        FROM dim1
+        UNION ALL SELECT * FROM ins)
+      SELECT ckey AS customer_key, cid AS customer_id, cname AS customer_name,
+             stype AS search_type, ccode AS category_code, active AS is_active,
+             epoch_ms(vfrom) AS valid_from_ms, epoch_ms(vto) AS valid_to_ms,
+             rhash AS row_hash
+      FROM final ORDER BY customer_key"""))
+
+  /** q06 — C4/J-c/J9 point-in-time fact load over a two-version
+    * dimension (even custkeys versioned at 1998-06-15), with the
+    * calendar-dim validation join (J-d) supplying the weekday name. */
+  private val q06 = QueryDef(
+    "q06_pit_fact",
+    (s, dir) => {
+      val customer = table(s, dir, "customer")
+      val v1 = customer.select(
+        (col("c_custkey") * 2 + 1).as("CustomerKey"),
+        col("c_custkey").as("CustomerID"),
+        to_timestamp(lit("1990-01-01 00:00:00")).as("ValidFrom"),
+        when(col("c_custkey") % 2 === 0,
+          to_timestamp(lit("1998-06-15 00:00:00"))).as("ValidTo"))
+      val v2 = customer.filter(col("c_custkey") % 2 === 0).select(
+        (col("c_custkey") * 2 + 2).as("CustomerKey"),
+        col("c_custkey").as("CustomerID"),
+        to_timestamp(lit("1998-06-15 00:00:00")).as("ValidFrom"),
+        lit(null).cast(TimestampType).as("ValidTo"))
+      val dim = v1.unionByName(v2)
+      val silver = table(s, dir, "orders").select(
+        col("o_orderkey").as("OrderNumber"),
+        col("o_custkey").as("CustomerID"),
+        col("o_orderdate").cast(DateType).as("OrderDate"))
+      val joined = FactLoad.pointInTimeJoin(silver, dim)
+        .withColumn("DateKey", dateKey(col("OrderDate")))
+      val cal = broadcast(CalendarDim(s, "1992-01-01", "2005-12-31")
+        .select(col("DateKey").as("_ck"), col("DayOfWeekName")))
+      joined.join(cal, joined("DateKey") === cal("_ck"), "left")
+        .select(
+          col("OrderNumber").as("order_number"),
+          col("CustomerID").as("customer_id"),
+          col("CustomerKey").as("customer_key"),
+          col("DateKey").cast(LongType).as("date_key"),
+          col("DayOfWeekName").as("day_of_week_name"))
+        .orderBy(col("order_number"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT c_custkey*2+1 AS ckey, c_custkey AS cid,
+               TIMESTAMP '1990-01-01' AS vfrom,
+               CASE WHEN c_custkey%2=0 THEN TIMESTAMP '1998-06-15' END AS vto
+        FROM customer
+        UNION ALL
+        SELECT c_custkey*2+2, c_custkey, TIMESTAMP '1998-06-15', NULL
+        FROM customer WHERE c_custkey%2=0),
+      silver AS (
+        SELECT o_orderkey AS onum, o_custkey AS cid,
+               CAST(o_orderdate AS DATE) AS odate FROM orders)
+      SELECT s.onum AS order_number, s.cid AS customer_id, d.ckey AS customer_key,
+             CAST(strftime(s.odate, '%Y%m%d') AS BIGINT) AS date_key,
+             dayname(s.odate) AS day_of_week_name
+      FROM silver s LEFT JOIN dim d ON s.cid = d.cid
+        AND CAST(s.odate AS TIMESTAMP) >= d.vfrom
+        AND CAST(s.odate AS TIMESTAMP) < COALESCE(d.vto, TIMESTAMP '9999-12-31')
+      ORDER BY order_number"""))
+
+  /** q07 — A4 true top-k (TakeOrderedAndProject, no global sort). */
+  private val q07 = QueryDef(
+    "q07_topk_lineitems",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("order_key"),
+          col("l_linenumber").cast(LongType).as("line_number"),
+          col("l_extendedprice").as("extended_price"))
+        .orderBy(col("extended_price").desc, col("order_key"), col("line_number"))
+        .limit(10),
+    Some("""
+      SELECT l_orderkey AS order_key, CAST(l_linenumber AS BIGINT) AS line_number,
+             l_extendedprice AS extended_price
+      FROM lineitem
+      ORDER BY extended_price DESC, order_key, line_number LIMIT 10"""))
+
+  /** q08 — A1/A2 verification counts with UNION ALL. */
+  private val q08 = QueryDef(
+    "q08_zone_counts",
+    (s, dir) => {
+      def one(name: String) =
+        table(s, dir, name).agg(count(lit(1)).as("n"))
+          .select(lit(name).as("tbl"), col("n"))
+      one("customer").union(one("lineitem")).union(one("orders"))
+        .orderBy(col("tbl"))
+    },
+    Some("""
+      SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+      UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+      UNION ALL SELECT 'orders', COUNT(*) FROM orders
+      ORDER BY tbl"""))
+
+  /** q09 — rollup aggregation (beyond-parity GROUP BY surface). */
+  private val q09 = QueryDef(
+    "q09_rollup_orders",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Dec)).cast(DoubleType).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy(col("priority"), col("status")),
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""))
+
+  /** q10 — window function: top-3 orders per customer by value. */
+  private val q10 = QueryDef(
+    "q10_window_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey").as("cust_key"),
+          col("o_orderkey").as("order_key"),
+          col("o_totalprice").as("total_price"),
+          col("rn").cast(LongType).as("rank_in_cust"))
+        .orderBy(col("cust_key"), col("rank_in_cust"))
+    },
+    Some("""
+      SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+             o_totalprice AS total_price, CAST(rn AS BIGINT) AS rank_in_cust
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+      WHERE rn <= 3 ORDER BY cust_key, rank_in_cust"""))
+
+  /** q11 — anti/semi join surface: orders with no line items. */
+  private val q11 = QueryDef(
+    "q11_anti_join",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey").as("order_key"),
+          col("o_totalprice").as("total_price"))
+        .orderBy(col("order_key"))
+    },
+    Some("""
+      SELECT o_orderkey AS order_key, o_totalprice AS total_price FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      ORDER BY order_key"""))
+
+  /** q12 — distinct aggregation per group. */
+  private val q12 = QueryDef(
+    "q12_distinct_customers",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderstatus").as("status"), col("n_customers"), col("n_orders"))
+        .orderBy(col("status")),
+    Some("""
+      SELECT o_orderstatus AS status, COUNT(DISTINCT o_custkey) AS n_customers,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY status"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+}

@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation over the testdata
+  * parquet tables plus (where SQL-expressible) an equivalent ANSI SQL
+  * oracle the driver runs in DuckDB on the same tables.
+  *
+  * Oracle-parity conventions (so value hashes match across engines):
+  *  - integer outputs cast to BIGINT on both sides (DuckDB date
+  *    parts/counts are BIGINT, Spark's are INT);
+  *  - money aggregates computed in DECIMAL(18,2) exactly (sum order
+  *    must not matter), final column cast to DOUBLE on both sides;
+  *  - timestamps surfaced as epoch-millis BIGINT;
+  *  - every result deterministically ordered by a unique key.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Read one testdata table (`TESTDATA.md` layout). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Runs graft.Verify (via sbt runMain) on a testdata sf dir, then replays
+each oracle_sql.json query in DuckDB over the same parquet tables and
+compares schema + values column-by-column (sorted by column name,
+row-order-insensitive via sorted tuples).
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+FLAGS = set(a for a in sys.argv[3:] if a.startswith("--"))
+ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--skip-verify" not in FLAGS:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:]); sys.exit(1)
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if Path(p).exists():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+fail = 0
+for name in sorted(oracle):
+    if ONLY and name not in ONLY: continue
+    spark_dir = f"{OUT}/{name}"
+    try:
+        sdf = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: no spark output ({e})"); fail += 1; continue
+    try:
+        odf = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    if list(sdf.columns) != list(odf.columns):
+        print(f"FAIL {name}: columns {list(sdf.columns)} vs {list(odf.columns)}")
+        fail += 1; continue
+    if len(sdf) != len(odf):
+        print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}"); fail += 1; continue
+    srows = sorted(tuple(norm(v) for v in row) for row in sdf.itertuples(index=False))
+    orows = sorted(tuple(norm(v) for v in row) for row in odf.itertuples(index=False))
+    if srows != orows:
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+        print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+        fail += 1; continue
+    # dtype advisory (driver may compare schemas more strictly)
+    sdt, odt = [str(t) for t in sdf.dtypes], [str(t) for t in odf.dtypes]
+    note = "" if sdt == odt else f"  [dtype diff: {list(zip(sdf.columns, sdt, odt))}]"
+    print(f"PASS {name} ({len(sdf)} rows){note}")
+
+print("ALL PASS" if fail == 0 else f"{fail} FAILURES")
+sys.exit(1 if fail else 0)
