@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ParityQueries, QueryDef}
+import graft.queries.{ExtensionQueries, ParityQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{ParityQueries, QueryDef}
 object SparkEntry {
 
   /** All registered query definitions. */
-  def defs: Seq[QueryDef] = ParityQueries.all
+  def defs: Seq[QueryDef] = ParityQueries.all ++ ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operator family for a 100 TB document corpus
+  * (SURVEY.md §7.5): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design notes:
+  *  - every per-document signature (minhash, simhash, fingerprint) is
+  *    computed with higher-order array expressions INSIDE the row —
+  *    zero shuffle until the banding groupBy, whose cardinality is
+  *    #docs × #bands, shuffled by band hash (uniformly distributed);
+  *  - candidate generation never materializes the O(n²) pair space:
+  *    LSH bands (minhash) or blocking keys (jaccard) bound each
+  *    bucket, and pair expansion happens per-bucket;
+  *  - verification (exact jaccard / cosine) runs only on candidates.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical winner (min id) per identical normalized
+    * text. One hash-partitioned aggregate — the map-side partial
+    * `min` makes the shuffle tiny. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5Fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup survivors (the kept rows). */
+  def exactSurvivors(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val winners = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature from a STAGED shingle column: for each of
+    * `numHashes` seeded hash families, the minimum md5 over the
+    * document's shingles. Computed entirely within the row
+    * (array_min over transform). The shingle array must be its own
+    * projection — referencing an inline shingle expression here would
+    * re-derive it once per hash family. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat_ws("|", lit(i), s))))
+    }: _*)
+
+  /** LSH band keys: signature split into `numBands` rows of
+    * `numHashes/numBands`, each band hashed to one bucket key. */
+  def bandKeys(sig: Column, numHashes: Int, numBands: Int): Column = {
+    val rowsPerBand = numHashes / numBands
+    array((0 until numBands).map { b =>
+      md5(concat_ws(",",
+        lit(b) +: (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+  }
+
+  /** MinHash+LSH candidate pairs (id_a < id_b), deduplicated across
+    * bands, with exact shingle-Jaccard verification ≥ `threshold`.
+    *
+    * Pipeline: per-row signature → explode bands (×numBands) →
+    * self-join within band buckets (shuffle on band hash) → distinct
+    * pairs → jaccard verify on the two shingle sets.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", numHashes: Int = 16,
+                 numBands: Int = 4, shingleSize: Int = 3,
+                 threshold: Double = 0.5): DataFrame = {
+    // tokens → shingles → signature as separate projections: each
+    // stage's array is materialized once per row, not once per
+    // downstream reference (16 hash families would otherwise
+    // re-tokenize per family — quadratic in doc length).
+    val shingled = docs
+      .select(col(idCol).cast(LongType).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), wordShinglesOf(col("toks"), shingleSize).as("sh0"))
+    val withSig = shingled
+      .select(col("id"), minhashSignature(col("sh0"), numHashes).as("sig"))
+    val banded = withSig.select(col("id"),
+      explode(bandKeys(col("sig"), numHashes, numBands)).as("band"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shingledSets = shingled.select(col("id"), array_distinct(col("sh0")).as("sh"))
+    val withSets = candidates
+      .join(shingledSets.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
+      .drop("id")
+      .join(shingledSets.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
+      .drop("id")
+    withSets
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over a STAGED token column: bit b is the sign of
+    * the token-count vote where token t votes +1 if hex digit b of
+    * md5(t) has its top bit set, else −1. Single-row computation, no
+    * shuffle. Tokens must be staged — 32 bit-expressions reference
+    * the array. */
+  def simhash32Of(toks: Column): Column = {
+    val highHex = typedLit(Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+    val bits = (0 until 32).map { b =>
+      val ones = size(filter(toks,
+        t => array_contains(highHex, substring(md5(t), b + 1, 1))))
+      // sign(2*ones - n) >= 0 → bit set
+      when(ones * 2 >= size(toks), lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def simhash32(text: Column): Column = simhash32Of(tokens(text))
+
+  /** Per-doc staged SimHash signatures. */
+  def simhashSigs(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), simhash32Of(col("toks")).as("sig"))
+
+  /** SimHash near-dup pairs: candidates share at least one of four
+    * 8-bit sub-bands (pigeonhole: hamming ≤ 3 ⇒ some band equal),
+    * verified by exact hamming distance ≤ `maxHamming`. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSigs(docs, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(k =>
+        concat_ws(":", lit(k), shiftright(col("sig"), k * 8) % 256)): _*)).as("band"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Blocked n-gram Jaccard: candidate pairs share a cheap blocking
+    * key (source + length bucket), then exact word-shingle Jaccard.
+    * Jaccard is a ratio of ints — engine-exact. */
+  def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", blockCol: String = "source",
+                   shingleSize: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val prepped = docs.select(
+        col(idCol).cast(LongType).as("id"),
+        concat_ws("#", col(blockCol), (length(col(textCol)) / 64).cast(LongType)).as("blk"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("blk"),
+        array_distinct(wordShinglesOf(col("toks"), shingleSize)).as("sh"))
+    val a = prepped.as("a"); val b = prepped.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("n_inter", size(array_intersect(col("a.sh"), col("b.sh"))).cast(LongType))
+      .withColumn("n_union", size(array_union(col("a.sh"), col("b.sh"))).cast(LongType))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup within a blocking column (e.g. a
+    * cluster/label id — at scale, an SRP-LSH bucket from
+    * [[graft.functions.VectorFunctions.srpBucket]]): pairs with
+    * cosine ≥ `threshold`. */
+  def embeddingNearDup(embs: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", blockCol: String = "label",
+                       threshold: Double = 0.95,
+                       maxIdGap: Option[Long] = None): DataFrame = {
+    val prepped = embs.select(col(idCol).cast(LongType).as("id"),
+      col(blockCol).as("blk"), col(vecCol).as("v"))
+    val a = prepped.as("a"); val b = prepped.as("b")
+    val gapCond = maxIdGap
+      .map(g => col("b.id") - col("a.id") <= g)
+      .getOrElse(lit(true))
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id") && gapCond)
+      .withColumn("cos", VectorFunctions.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>`
+  * embedding column (SURVEY.md §7.5).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — exact cosine top-k; the correctness
+  *    baseline. Cross join pruned to (queries × corpus), ranked with
+  *    a per-query window. Cost O(|Q|·N·d): fine when |Q| is small —
+  *    broadcast the queries and it's one pass over the corpus, no
+  *    shuffle of the corpus itself.
+  *  - [[srpTopK]] — the scale path: signed-random-projection LSH
+  *    buckets (deterministic md5-derived hyperplanes, so the
+  *    "projection matrix" is an expression, not state). Probes only
+  *    the query's bucket (+optionally neighbors via fewer bits).
+  *    Cost O(|Q|·N/2^bits·d) expected.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row (excluding self).
+    * Deterministic ordering: (cosine desc, neighbor id) — ties break
+    * by id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("n_id"), col(vecCol).as("n_v"))
+    val q = broadcast(
+      queries.select(col(idCol).cast(LongType).as("q_id"), col(vecCol).as("q_v")))
+    val scored = c.join(q, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("n_id"), col("cos"))
+  }
+
+  /** Multi-table LSH approximate top-k: `tables` independent SRP hash
+    * tables of `nBits` each; a corpus vector is a candidate for a
+    * query if they collide in ANY table (union-of-probes, the
+    * standard recall amplifier: P[candidate] = 1-(1-p^nBits)^tables).
+    * Only candidates are cosine-scored — expected cost
+    * O(|Q| · N · tables / 2^nBits · d) instead of O(|Q|·N·d). */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 4,
+              tables: Int = 4, dim: Int = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def buckets(v: Column): Column = array((0 until tables).map { t =>
+      // table t uses hyperplanes [t*nBits, (t+1)*nBits)
+      (0 until nBits).map(b =>
+        srpBit(v, graft.functions.VectorFunctions
+          .hyperplane(t * nBits + b, dim)) * (1L << b))
+        .reduce(_ + _) + (t.toLong << 32)  // disambiguate tables
+    }: _*)
+    val c = corpus.select(col(idCol).cast(LongType).as("n_id"),
+        col(vecCol).as("n_v"), explode(buckets(col(vecCol))).as("bkt"))
+    val q = broadcast(queries.select(col(idCol).cast(LongType).as("q_id"),
+        col(vecCol).as("q_v"), explode(buckets(col(vecCol))).as("q_bkt")))
+    val candidates = c.join(q, col("bkt") === col("q_bkt") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_v"), col("n_id"), col("n_v"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = candidates.withColumn("cos", cosine(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("n_id"), col("cos"))
+  }
+
+  /** Recall@k of an approximate result against the exact baseline —
+    * the evaluation harness for the ANN tier. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val hits = exact.select("q_id", "n_id")
+      .join(approx.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .count()
+    val total = exact.count()
+    if (total == 0) 1.0 else hits.toDouble / total.toDouble
+  }
+}

@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{RollingHashExpr, TextFunctions, VectorFunctions}
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, EventWindows, Similarity, TextAnalysis}
+import QueryDef.{eventsTable, table}
+
+/** Extension query set — the LLM-training-data-pipeline operators
+  * (SURVEY.md §7.5): event windowing, dedup family, similarity
+  * search, text analysis, multimodal plumbing. Each DuckDB oracle is
+  * generated from the same constants as the Spark implementation so
+  * the two can't drift.
+  *
+  * The corpus has no natural duplicates, so dedup queries union in
+  * deterministic mutated copies (id+1,000,000) — identical synthesis
+  * on both engines — to guarantee real match work at every scale
+  * factor.
+  */
+object ExtensionQueries {
+
+  // ------------------------------------------------------------- events
+
+  private val q20 = QueryDef(
+    "q20_tumbling_window",
+    (s, dir) => EventWindows.tumbling(eventsTable(s, dir))
+      .orderBy(col("window_start_ms"), col("event_type")),
+    Some("""
+      SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val q21 = QueryDef(
+    "q21_sliding_window",
+    (s, dir) => EventWindows.sliding(eventsTable(s, dir))
+      .orderBy(col("window_start_ms"), col("event_type")),
+    Some("""
+      WITH w AS (
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                 - k * INTERVAL '15 minutes' AS ws,
+               event_type, value
+        FROM events, generate_series(0, 3) g(k))
+      SELECT epoch_ms(ws) AS window_start_ms, event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val q22 = QueryDef(
+    "q22_sessionize",
+    (s, dir) => EventWindows.sessionize(eventsTable(s, dir))
+      .select(col("user_id"), col("session_seq").cast(LongType).as("session_seq"),
+        col("n_events"), col("session_start_ms"), col("session_end_ms"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_seq")),
+    Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+      s AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM f)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             COUNT(*) AS n_events, epoch_ms(MIN(ts)) AS session_start_ms,
+             epoch_ms(MAX(ts)) AS session_end_ms,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // -------------------------------------------------------------- dedup
+
+  /** documents ∪ near-dup mutants: every 7th doc re-appears with one
+    * appended token and id+1,000,000. */
+  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" spark")).as("text"),
+      col("source")))
+  }
+
+  private val augmentedDocsSql =
+    """aug AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' spark', source
+        FROM documents WHERE doc_id % 7 = 0)"""
+
+  private val toksSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** Word-3-gram shingles (SQL twin of TextFunctions.wordShingles). */
+  private val shinglesSql =
+    s"""CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [array_to_string(t, ' ')] END"""
+
+  private val q30 = QueryDef(
+    "q30_dedup_exact",
+    (s, dir) => Dedup.exact(augmentedDocs(s, dir)).orderBy(col("fp")),
+    Some(s"""
+      WITH $augmentedDocsSql
+      SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM aug GROUP BY 1 ORDER BY fp"""))
+
+  private val minhashSigSql: String =
+    (0 until 16).map(i =>
+      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min') AS h$i")
+      .mkString(",\n               ")
+
+  private val minhashBandsSql: String =
+    (0 until 4).map { b =>
+      val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, md5('$b,' || $hs) AS band FROM sig"
+    }.mkString("\n        UNION ALL ")
+
+  private val q31 = QueryDef(
+    "q31_dedup_minhash_lsh",
+    (s, dir) => Dedup.minhashLsh(augmentedDocs(s, dir))
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH $augmentedDocsSql,
+      toks AS (SELECT doc_id, $toksSql AS t FROM aug),
+      shing AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+      sig AS (SELECT doc_id, sh,
+               $minhashSigSql
+              FROM shing),
+      bands AS (
+        $minhashBandsSql),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing)
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  private val simhashBitsSql: String =
+    (0 until 32).map { b =>
+      s"""(CASE WHEN 2 * len(list_filter(t, tok -> substr(md5(tok), ${b + 1}, 1)
+            IN ('8','9','a','b','c','d','e','f'))) >= len(t)
+          THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"""
+    }.mkString(" +\n        ")
+
+  private val q32 = QueryDef(
+    "q32_dedup_simhash",
+    (s, dir) => Dedup.simhashSigs(table(s, dir, "documents"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)
+      SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sig
+      FROM toks ORDER BY doc_id"""))
+
+  private val q33 = QueryDef(
+    "q33_dedup_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccard(augmentedDocs(s, dir), threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH $augmentedDocsSql,
+      toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
+      prepped AS (
+        SELECT doc_id AS id,
+               source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
+               list_distinct($shinglesSql) AS sh
+        FROM toks)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+      ORDER BY id_a, id_b"""))
+
+  // -------------------------------------------- embeddings / similarity
+
+  /** embeddings ∪ scaled near-dup mutants (×1.01, cosine 1.0). */
+  private def augmentedEmbs(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    e.unionByName(e.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * 1.01).as("embedding"),
+      col("label")))
+  }
+
+  private val augmentedEmbsSql =
+    """aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+        FROM embeddings WHERE vec_id % 5 = 0)"""
+
+  private def planeSql(h: Int): String =
+    "[" + VectorFunctions.hyperplane(h, 64)
+      .map(d => f"$d%.1f").mkString(",") + "]::DOUBLE[]"
+
+  private val srpBucketSql: String =
+    (0 until 8).map { h =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(h)}) >= 0 THEN CAST(${1L << h} AS BIGINT) ELSE 0 END)"
+    }.mkString(" +\n          ")
+
+  private val cosSql =
+    """list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
+
+  private val q34 = QueryDef(
+    "q34_dedup_embedding",
+    (s, dir) => {
+      val aug = augmentedEmbs(s, dir)
+        .withColumn("bucket", VectorFunctions.srpBucket(col("embedding"), 8, 64))
+      Dedup.embeddingNearDup(aug, blockCol = "bucket", threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $augmentedEmbsSql,
+      bk AS (
+        SELECT vec_id AS id, v,
+          $srpBucketSql AS bkt
+        FROM aug)
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.id < b.id
+      WHERE $cosSql >= 0.95
+      ORDER BY id_a, id_b"""))
+
+  private val q35 = QueryDef(
+    "q35_knn_bruteforce",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 200 = 0),
+      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q_id, n_id, $cosSql AS cos
+        FROM q a JOIN c b ON q_id <> n_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+        FROM scored)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, cos
+      FROM ranked WHERE rn <= 5 ORDER BY q_id, rank"""))
+
+  /** ANN scale path — no SQL-oracle (LSH recall is evaluated against
+    * the exact baseline in ScalaTest); driver records rows>0. */
+  private val q36 = QueryDef(
+    "q36_knn_srp_lsh",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.srpTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5, nBits = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- text
+
+  private def langCaseSql: String = {
+    val hits = TextFunctions.StopwordsByLang.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(",")
+      lang -> s"len(list_filter(t, x -> x IN ($lst)))"
+    }
+    val mx = "greatest(" + hits.map(_._2).mkString(", ") + ")"
+    val whens = hits.map { case (lang, h) =>
+      s"WHEN $h > 0 AND $h = $mx THEN '$lang'"
+    }.mkString("\n             ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val enListSql =
+    TextFunctions.StopwordsByLang.head._2.map(w => s"'$w'").mkString(",")
+
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  private val rollSql =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, length($normSql)),
+            i -> CAST(ascii(substr($normSql, CAST(i AS INT), 1)) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007)"""
+
+  private val punctSql =
+    """CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+              / length(text) END"""
+
+  private val mtlSql =
+    """CASE WHEN len(t) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END"""
+
+  private val qualitySql =
+    s"""least(length(text) / 500.0, 1.0) * 0.3
+       + least((CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(t, x -> x IN ($enListSql))) AS DOUBLE) / len(t) END) * 5.0, 1.0) * 0.3
+       + (1.0 - least(($punctSql) * 4.0, 1.0)) * 0.2
+       + (CASE WHEN ($mtlSql) >= 3.0 AND ($mtlSql) <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2"""
+
+  private val q40 = QueryDef(
+    "q40_text_profile",
+    (s, dir) => TextAnalysis.profile(table(s, dir, "documents"))
+      .select(col("doc_id"),
+        col("n_chars_measured"),
+        col("n_tokens"),
+        col("mean_token_len"),
+        col("punct_ratio"),
+        col("lang_pred"),
+        col("quality"),
+        col("fingerprint_md5"),
+        col("fingerprint_roll"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents)
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_measured,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             $mtlSql AS mean_token_len,
+             $punctSql AS punct_ratio,
+             $langCaseSql AS lang_pred,
+             $qualitySql AS quality,
+             md5($normSql) AS fingerprint_md5,
+             $rollSql AS fingerprint_roll
+      FROM toks ORDER BY doc_id"""))
+
+  private val q41 = QueryDef(
+    "q41_lang_histogram",
+    (s, dir) => TextAnalysis.langHistogram(table(s, dir, "documents"))
+      .orderBy(col("lang_pred")),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents)
+      SELECT $langCaseSql AS lang_pred, COUNT(*) AS n_docs,
+             CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY 1 ORDER BY lang_pred"""))
+
+  private val q42 = QueryDef(
+    "q42_source_token_stats",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("source"), tokenCount(col("text")).cast(LongType).as("n_tok"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("n_tok")).as("min_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("mean_tokens",
+          col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT source, length(text) AS n_chars, len($toksSql) AS n_tok
+                    FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+             CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens
+      FROM toks GROUP BY source ORDER BY source"""))
+
+  // ----------------------------------------------------------- multimodal
+
+  /** Binary-column plumbing: text → utf-8 blob + typed metadata.
+    * (Feature extraction over the bytes lives in
+    * graft.operators.Multimodal, ScalaTest-verified.) */
+  private val q50 = QueryDef(
+    "q50_multimodal_binary",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"))
+      .select(col("doc_id"),
+        length(col("media")).cast(LongType).as("media_bytes"),
+        md5(col("media")).as("media_md5"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+             md5(text) AS media_md5
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q20, q21, q22, q30, q31, q32, q33, q34, q35, q36, q40, q41, q42, q50)
+}

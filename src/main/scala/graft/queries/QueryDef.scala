@@ -23,4 +23,16 @@ object QueryDef {
   /** Read one testdata table (`TESTDATA.md` layout). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read nanos as long and
+    * convert with integer division (ns values ~1.7e18 overflow double
+    * precision, so no `/`), landing on the same microsecond instants
+    * the DuckDB oracle sees after `CAST(ts AS TIMESTAMP)`. */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family: exact, MinHash+LSH recall on known near-dups,
+  * SimHash hamming pairs, embedding near-dup. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home", "s0"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home", "s0"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away house", "s0"), // near dup of 1
+    (4L, "completely different content about spark query engines and columnar formats", "s0"),
+    (5L, "another unrelated document mentioning joins aggregates and shuffles only", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical normalized text, keeps min id") {
+    val winners = Dedup.exact(base).orderBy("keep_id").collect()
+    assert(winners.length == 4)
+    val dupGroup = winners.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    val survivors = Dedup.exactSurvivors(base).select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
+    // whitespace/case variants collapse
+    val fuzz = Seq((10L, "A  B\tC", "s"), (11L, "a b c", "s")).toDF("doc_id", "text", "source")
+    assert(Dedup.exact(fuzz).count() == 1)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashLsh(base, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // one-word diff
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).contains(5L) })
+  }
+
+  test("minhash signature is stable and has numHashes entries") {
+    val sig = base
+      .select(graft.functions.TextFunctions.wordShingles($"text", 3).as("sh"))
+      .select(Dedup.minhashSignature($"sh", 16).as("sig"))
+      .select(size($"sig")).as[Int].collect()
+    assert(sig.forall(_ == 16))
+  }
+
+  test("simhash: identical docs share sig; near-dups within small hamming") {
+    val pairs = Dedup.simhashPairs(base, maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0L)       // identical text → identical sig
+    assert(m.get((1L, 3L)).exists(_ <= 8L))
+  }
+
+  test("embedding near-dup finds scaled copies via cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f), 0),
+      (2L, Array(1.01f, 0.0f, 0.505f), 0),  // scaled copy of 1 → cos 1.0
+      (3L, Array(-1.0f, 2.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.5f), 1)      // same direction, other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDup(vecs, threshold = 0.999)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))  // 4 blocked away, 3 dissimilar
+  }
+
+  test("ngram jaccard blocks by source and scores exactly") {
+    val pairs = Dedup.ngramJaccard(base, threshold = 0.3)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+    // 1,2,3 share source+length bucket; (1,2) jaccard 1.0
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(j12.exists(_.getDouble(2) == 1.0))
+  }
+}

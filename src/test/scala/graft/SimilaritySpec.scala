@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+
+/** ANN tier: brute-force correctness on constructed vectors, SRP-LSH
+  * recall against the exact baseline on the real embeddings fixture. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine, excludes self, breaks ties by id") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),   // closest to 1
+      (3L, Array(0.0f, 1.0f)),   // orthogonal to 1
+      (4L, Array(1.0f, 0.0f))    // identical direction to 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), k = 3)
+      .orderBy("rank").select("rank", "n_id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(4L, 2L, 3L))
+    assert(!got.map(_._2).contains(1L))
+  }
+
+  test("multi-table srp LSH recall beats the random-bucket floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5).cache()
+    val approx = Similarity.srpTopK(e, q, k = 5, nBits = 4, tables = 4).cache()
+    val recall = Similarity.recallAtK(exact, approx)
+    // Random gaussian vectors: true top-5 sit at ~70° (cos≈0.35), so
+    // per-table collision ≈ 0.14; 4 tables ≈ 1-(1-.14)^4 ≈ 0.45.
+    // The random-candidate floor is 4/16 = 0.25 of the corpus probed —
+    // assert we clear it and land in the amplified range.
+    assert(recall >= 0.3, s"recall $recall")
+    assert(approx.count() > 0)
+  }
+
+  test("hyperplanes are deterministic and engine-independent") {
+    val p1 = VectorFunctions.hyperplane(3, 8)
+    val p2 = VectorFunctions.hyperplane(3, 8)
+    assert(p1 == p2)
+    assert(p1.forall(v => v >= -32768 && v <= 32767))
+    assert(VectorFunctions.hyperplane(4, 8) != p1)
+  }
+
+  test("cosine/dot agree with manual computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val dot = df.select(VectorFunctions.dot($"a", $"b")).as[Double].collect().head
+    assert(dot == 32.0)
+    val cos = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect().head
+    assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+}

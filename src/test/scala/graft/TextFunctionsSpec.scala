@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{RollingHashExpr, TextFunctions}
+import graft.functions.TextFunctions._
+
+/** Text analysis: tokenization/shingling edges, language ID true
+  * positives, quality bounds, fingerprints (incl. the native
+  * rolling-hash expression vs the built-ins-composed variant). */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drop empties and lowercase") {
+    val t = Seq("The  Quick  Fox").toDF("text")
+      .select(tokens($"text")).as[Seq[String]].collect().head
+    assert(t == Seq("the", "quick", "fox"))
+  }
+
+  test("word shingles: 3-grams, short-doc collapse") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(wordShingles($"text", 3)).as[Seq[String]].collect().head
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(wordShingles($"text", 3)).as[Seq[String]].collect().head
+    assert(short == Seq("a b"))
+  }
+
+  test("char shingles with short-text collapse") {
+    val sh = Seq("abcdef").toDF("text")
+      .select(charShingles($"text", 5)).as[Seq[String]].collect().head
+    assert(sh == Seq("abcde", "bcdef"))
+    val short = Seq("ab").toDF("text")
+      .select(charShingles($"text", 5)).as[Seq[String]].collect().head
+    assert(short == Seq("ab"))
+  }
+
+  test("langId detects each language's stopwords; und for none") {
+    val cases = Seq(
+      "the cat sat on the mat and it is fine" -> "en",
+      "el perro y la casa de los niños" -> "es",
+      "der hund und die katze ist nicht hier" -> "de",
+      "le chien et les chats pour une maison" -> "fr",
+      "我 的 朋友 是 好 人" -> "zh",
+      "zzz qqq xxx" -> "und")
+    cases.foreach { case (txt, want) =>
+      val got = Seq(txt).toDF("text").select(langId($"text")).as[String].collect().head
+      assert(got == want, s"'$txt' → $got, want $want")
+    }
+  }
+
+  test("quality score stays in [0,1] and rewards clean prose") {
+    val q = Seq(
+      "the quick brown fox jumps over the lazy dog and that is that for now",
+      "!!!???...;;;",
+      "").toDF("text")
+      .select(qualityScore($"text")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("fingerprints: md5 of canonical form; rolling variants agree on ASCII") {
+    val df = Seq("  The   Quick\tFox  ", "the quick fox").toDF("text")
+    val fps = df.select(md5Fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1)) // canonicalization collapses
+    val both = df.select(
+      TextFunctions.rollingFingerprint($"text"),
+      RollingHashExpr.rolling_hash(normalized($"text"))).as[(Long, Long)].collect()
+    both.foreach { case (builtin, native) => assert(builtin == native) }
+  }
+
+  test("rolling_hash native expression: eval, codegen, and SQL registration") {
+    // direct static check
+    val expect = "abc".getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    assert(RollingHashExpr.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == expect)
+    // through a DataFrame (codegen path)
+    val viaDf = Seq("abc").toDF("t")
+      .select(RollingHashExpr.rolling_hash($"t")).as[Long].collect().head
+    assert(viaDf == expect)
+    // null propagation
+    val viaNull = Seq[Option[String]](None).toDF("t")
+      .select(RollingHashExpr.rolling_hash($"t")).as[Option[Long]].collect().head
+    assert(viaNull.isEmpty)
+    // SQL surface
+    RollingHashExpr.register(spark)
+    val viaSql = spark.sql("SELECT rolling_hash('abc') AS h").as[Long].collect().head
+    assert(viaSql == expect)
+  }
+
+  test("simhash32 is within 32 bits and deterministic") {
+    val sigs = Seq("a b c", "a b c").toDF("text")
+      .select(graft.operators.Dedup.simhash32($"text")).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) >= 0L && sigs(0) < (1L << 32))
+  }
+}
