@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §7.5): media as opaque
+  * `binary` columns with typed metadata, partition-wise feature
+  * extraction, and a clearly-stubbed decode seam.
+  *
+  * The Spark-side mechanics — schema, batch iteration shape,
+  * deterministic partitioning — are real and tested; the actual
+  * image/audio decode is NOT (no codec libs in this environment) and
+  * is stubbed behind [[decodeMedia]]. At scale the extraction runs
+  * one partition per task with zero shuffle; budget
+  * `spark.sql.files.maxPartitionBytes` so a partition of blobs fits
+  * executor memory.
+  */
+object Multimodal {
+
+  /** Metadata struct carried beside every media blob. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("mime_type", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("checksum_md5", StringType, nullable = false)))
+
+  /** Wrap a string column as a binary media column + metadata struct
+    * (in production the blob arrives from object storage; here the
+    * bytes come from the fixture's text so tests are deterministic). */
+  def packMedia(df: DataFrame, idCol: String, payloadCol: String,
+                mimeType: String = "application/octet-stream"): DataFrame =
+    df.select(
+      col(idCol),
+      encode(col(payloadCol), "UTF-8").as("media"),
+      struct(
+        lit(mimeType).as("mime_type"),
+        length(encode(col(payloadCol), "UTF-8")).cast(LongType).as("size_bytes"),
+        md5(encode(col(payloadCol), "UTF-8")).as("checksum_md5")).as("media_meta"))
+
+  /** REAL DECODE SEAM — intentionally unimplemented: decoding
+    * image/audio/video requires codec libraries absent from this
+    * environment. Callers use [[fakeDecodeFeatures]] (deterministic
+    * byte statistics with the same signature/shape) until a codec is
+    * wired here. */
+  def decodeMedia(mimeType: String, bytes: Array[Byte]): Array[Float] = ???
+
+  /** Deterministic stand-in for decode+featurize: an `nBuckets`-dim
+    * byte-histogram (L1-normalized) — same output shape a real
+    * embedding model would produce, fully reproducible. */
+  def fakeDecodeFeatures(bytes: Array[Byte], nBuckets: Int = 16): Array[Float] = {
+    val counts = new Array[Float](nBuckets)
+    var i = 0
+    while (i < bytes.length) {
+      counts((bytes(i) & 0xff) * nBuckets / 256) += 1f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    counts.map(_ / n)
+  }
+
+  /** Partition-wise feature extraction over the media column: one
+    * pass per partition, rows streamed through an iterator (the batch
+    * shape a Python `mapInPandas`/Arrow pipeline would use — here a
+    * JVM mapPartitions, no serialization hop at all). Output:
+    * (id, features array<float>, size_bytes). */
+  def extractFeatures(df: DataFrame, idCol: String = "doc_id",
+                      mediaCol: String = "media",
+                      nBuckets: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("size_bytes", LongType, nullable = false)))
+    val input = df.select(col(idCol).cast(LongType), col(mediaCol))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(id, fakeDecodeFeatures(bytes, nBuckets).toSeq, bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -72,9 +72,17 @@ object Scd2 {
     * @param now      batch timestamp (injected for determinism —
     *                 reference uses `currentUTC()`,
     *                 `DF_SCD2_Customer.json:156-157`)
+    * @param newKeyValidFrom ValidFrom stamped on first-ever versions
+    *                 of a business key. The reference stamps `now`
+    *                 (the faithful default), which makes facts dated
+    *                 BEFORE the initial dimension load unresolvable in
+    *                 the point-in-time join — pass an epoch timestamp
+    *                 to give initial versions a beginning-of-time
+    *                 validity instead (standard warehouse practice).
     */
   def merge(dim: DataFrame, incoming: DataFrame, spec: Spec, now: Column,
-            broadcastDim: Boolean = true): DataFrame = {
+            broadcastDim: Boolean = true,
+            newKeyValidFrom: Option[Column] = None): DataFrame = {
     val attrCols = incoming.columns.toSeq
     require(attrCols.contains(spec.businessKey),
       s"incoming must carry business key ${spec.businessKey}")
@@ -94,7 +102,8 @@ object Scd2 {
     // 3-way split (reference `DF_SCD2_Customer.json:148-152`), made
     // mutually exclusive: new key | changed hash | unchanged (dropped).
     val toInsert = joined
-      .filter(col("_existingKey").isNull || col("RowHash") =!= col("_existingHash"))
+      .withColumn("_isNewKey", col("_existingKey").isNull)
+      .filter(col("_isNewKey") || col("RowHash") =!= col("_existingHash"))
       .drop("_bk", "_existingKey", "_existingHash")
     val changedKeys = joined
       .filter(col("_existingKey").isNotNull && col("RowHash") =!= col("_existingHash"))
@@ -105,10 +114,13 @@ object Scd2 {
       r.getLong(0)
     }
 
+    val validFrom = newKeyValidFrom
+      .map(nk => when(col("_isNewKey"), nk).otherwise(now))
+      .getOrElse(now)
     val inserted = Ids.addContiguousIds(
         toInsert, Seq(col(spec.businessKey)), spec.surrogateKey, maxKey)
       .withColumn("IsActive", lit(true))
-      .withColumn("ValidFrom", now)
+      .withColumn("ValidFrom", validFrom)
       .withColumn("ValidTo", lit(null).cast(TimestampType))
       .withColumn("CreatedDate", now)
       .withColumn("ModifiedDate", now)

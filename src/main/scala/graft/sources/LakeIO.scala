@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Lake-zone IO — the reference's source/sink surface (SURVEY.md
+  * §2.1) on a medallion directory convention:
+  *
+  *   <root>/bronze/<table>/ingest_year=Y/ingest_month=M/ingest_day=D/
+  *   <root>/silver/<domain>/
+  *   <root>/gold/<table>/
+  *
+  * Bronze is time-partitioned (reference path convention
+  * `01-bronze/jde/<Table>/<yyyy>/<MM>/<dd>`,
+  * `adf/dataset/ds_bronze_parquet.json:16-19`) as REAL partition
+  * columns, so Catalyst prunes ingest-date filters at file-listing
+  * time — at 100 TB the difference between scanning a day and
+  * scanning the lake.
+  */
+final case class LakeZones(root: String) {
+  def bronze(table: String): String = s"$root/bronze/$table"
+  def silver(domain: String): String = s"$root/silver/$domain"
+  def gold(table: String): String = s"$root/gold/$table"
+}
+
+object LakeIO {
+
+  /** S1 — CSV source with the reference's dialect (header, `"` quote,
+    * `\` escape — `adf/dataset/ds_bronze_csv.json:13-34`) and an
+    * imposed schema; extra file columns drift through harmlessly
+    * because we select the declared projection. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\\")
+      .schema(schema)
+      .csv(path)
+
+  /** S4 — JSON config document (whole array → rows,
+    * `ds_config_json.json:10-17`). */
+  def readJsonConfig(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** S2-layout + S6 — land a frame in Bronze, time-partitioned by
+    * ingest date. */
+  def writeBronze(df: DataFrame, zones: LakeZones, table: String,
+                  ingestDate: LocalDate): Unit =
+    df.withColumn("ingest_year", lit(ingestDate.getYear))
+      .withColumn("ingest_month", lit(ingestDate.getMonthValue))
+      .withColumn("ingest_day", lit(ingestDate.getDayOfMonth))
+      .write
+      .partitionBy("ingest_year", "ingest_month", "ingest_day")
+      .mode("append")
+      .option("compression", "snappy")
+      .parquet(zones.bronze(table))
+
+  /** S2 — read Bronze; pass an ingest date to prune to one partition
+    * (pruning happens at planning: only that directory is listed). */
+  def readBronze(spark: SparkSession, zones: LakeZones, table: String,
+                 ingestDate: Option[LocalDate] = None): DataFrame = {
+    val df = spark.read.parquet(zones.bronze(table))
+    ingestDate.fold(df) { d =>
+      df.filter(col("ingest_year") === d.getYear &&
+        col("ingest_month") === d.getMonthValue &&
+        col("ingest_day") === d.getDayOfMonth)
+    }
+  }
+
+  /** S3/S10 — truncate-load a Silver domain (`DF_Clean_JDE.json:95`). */
+  def overwriteSilver(df: DataFrame, zones: LakeZones, domain: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy")
+      .parquet(zones.silver(domain))
+
+  def readSilver(spark: SparkSession, zones: LakeZones, domain: String): DataFrame =
+    spark.read.parquet(zones.silver(domain))
+
+  /** S7 — append-only fact sink (`DF_Load_FactSales.json:145-153`). */
+  def appendGold(df: DataFrame, zones: LakeZones, table: String): Unit =
+    df.write.mode("append").option("compression", "snappy")
+      .parquet(zones.gold(table))
+
+  /** S8/S9 rewrite — atomic-ish dimension replace: the SCD2 merge
+    * returns complete next state, written to a fresh versioned dir
+    * then pointer-swapped by overwrite (no partial update window —
+    * the reference's ordered update-then-insert hazard never exists).
+    */
+  def overwriteGold(df: DataFrame, zones: LakeZones, table: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy")
+      .parquet(zones.gold(table))
+
+  def readGold(spark: SparkSession, zones: LakeZones, table: String): DataFrame =
+    spark.read.parquet(zones.gold(table))
+}

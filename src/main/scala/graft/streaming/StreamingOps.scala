@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming surface (SURVEY.md §2.7: absent from the
+  * reference, added as the scale path for continuous ingestion).
+  * The windowed aggregations are THE SAME expressions as the batch
+  * operators in [[graft.operators.EventWindows]] — the point of the
+  * Spark-first design: one declarative transform, two runtimes.
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  final case class Session(user_id: Long, session_start_ms: Long,
+                           session_end_ms: Long, n_events: Long,
+                           sum_value: Double)
+
+  /** Continuous file ingestion: landing dir → bronze stream. */
+  def ingestStream(spark: SparkSession, landingDir: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(landingDir)
+
+  /** Watermarked tumbling-window aggregate (append-mode safe). */
+  def tumbling(events: DataFrame, width: String = "1 hour",
+               watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stateful gap sessionization with `flatMapGroupsWithState`:
+    * per-user state carries the open session; a gap > `gapMinutes`
+    * closes and emits it on the next event. With
+    * `withProcessingTimeout=true` idle sessions also flush on a
+    * processing-time timer (production liveness; leave off in tests —
+    * the zero-interval default trigger busy-loops micro-batches
+    * evaluating timeouts, so `processAllAvailable` never settles).
+    * The streaming twin of `EventWindows.sessionize`. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 withProcessingTimeout: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.start, s.end, s.n, s.sum))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+                s.sum + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, s.start, s.end, s.n, s.sum)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (withProcessingTimeout) state.setTimeoutDuration(gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    val timeout =
+      if (withProcessingTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, Session}
+
+/** Multimodal binary plumbing + Structured Streaming twins. */
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packMedia builds binary + typed metadata; features deterministic") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val packed = Multimodal.packMedia(docs, "doc_id", "text", "text/plain")
+    val r = packed.orderBy("doc_id").collect()
+    assert(r(0).getAs[Array[Byte]]("media").length == 11)
+    val meta = r(0).getStruct(2)
+    assert(meta.getAs[String]("mime_type") == "text/plain")
+    assert(meta.getAs[Long]("size_bytes") == 11L)
+    assert(meta.getAs[String]("checksum_md5") ==
+      "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+
+    val feats = Multimodal.extractFeatures(packed).orderBy("doc_id").collect()
+    val f1 = feats(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(f1.length == 16)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5) // L1 normalized
+    // empty payload → zero histogram, no NaN
+    assert(feats(1).getAs[scala.collection.Seq[Float]]("features").forall(!_.isNaN))
+    // determinism
+    val again = Multimodal.extractFeatures(packed).orderBy("doc_id").collect()
+    assert(again(0).getAs[scala.collection.Seq[Float]]("features") == f1)
+  }
+
+  test("decode seam is a stub by contract") {
+    intercept[NotImplementedError] {
+      Multimodal.decodeMedia("image/png", Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("streaming tumbling window matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, Timestamp.valueOf("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 00:50:00"), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-01 01:10:00"), 2, "view", 3.0))
+    mem.addData(events: _*)
+    val query = StreamingOps.tumbling(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumb2").outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    // append emits only watermark-closed windows; batch twin gives the truth
+    val batch = graft.operators.EventWindows.tumbling(events.toDF(), "1 hour")
+      .orderBy("window_start_ms", "event_type").collect()
+    assert(batch.length == 2)
+    assert(batch(0).getAs[Long]("n_events") == 2L)
+  }
+
+  test("stateful sessionization emits gap-separated sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // batch 1: two events 10 min apart (same session), then a 2 h gap
+    mem.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 7, "a", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 00:10:00"), 7, "a", 2.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(3, Timestamp.valueOf("2024-01-01 02:30:00"), 7, "a", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sess").as[Session].collect()
+    // the 2h-gap event closes session 1 (2 events, sum 3.0)
+    assert(emitted.length == 1)
+    assert(emitted(0).n_events == 2L && emitted(0).sum_value == 3.0)
+    assert(emitted(0).session_start_ms ==
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime)
+  }
+}

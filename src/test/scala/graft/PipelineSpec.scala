@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.sources.{LakeIO, LakeZones}
+import graft.types.Schemas
+
+/** C1+C7 golden end-to-end: reference-shaped CSV landing files
+  * (50 customers / 200 orders, mirroring `generate_jde_data.py`
+  * defaults per `README.md:142`) → metadata-driven Bronze ingest →
+  * CleanJde Silver → SCD2 dim → PIT fact load → star top-k. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTmp(): String =
+    Files.createTempDirectory("graft_pipe").toString
+
+  /** Deterministic JDE-shaped fixture (seed-free: arithmetic series). */
+  private def writeLanding(dir: String): Unit = {
+    val customers = (0 until 50).map { i =>
+      val id = 10000 + i
+      val cat = Seq("100", "200", "300")(i % 3)
+      val julian = 124001 + (i % 300)
+      s"$id,Company $i,C,$cat,$julian"
+    }
+    Files.writeString(Paths.get(s"$dir/F0101.csv"),
+      "ABAN8,ABALPH,ABAT1,ABAC01,ABUPMJ\n" + customers.mkString("\n"))
+    val orders = (0 until 200).map { i =>
+      val doco = 1 + i
+      val an8 = 10000 + (i % 50)
+      val julian = 124001 + (i % 300)
+      val units = (1 + i % 100) * 100
+      val priceCents = 1000 + (i * 245) % 49000
+      val aexp = (units / 100) * priceCents
+      s"$doco,SO,$an8,400638133393$i,$julian,$units,$aexp"
+    }
+    Files.writeString(Paths.get(s"$dir/F4211.csv"),
+      "SDDOCO,SDDCTO,SDAN8,SDLITM,SDTRDJ,SDUORG,SDAEXP\n" + orders.mkString("\n"))
+    Files.writeString(Paths.get(s"$dir/source_config.json"),
+      """[
+        {"sourceFile": "F0101.csv", "sinkPath": "jde/F0101", "description": "Address Book"},
+        {"sourceFile": "F4211.csv", "sinkPath": "jde/F4211", "description": "Sales Detail"}
+      ]""")
+  }
+
+  test("full medallion run: ingest → clean → scd2 → fact → star query") {
+    val landing = mkTmp(); val lake = mkTmp()
+    writeLanding(landing)
+    val zones = LakeZones(lake)
+    val now = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+
+    val fact = Pipeline.run(spark, zones, landing,
+      s"$landing/source_config.json", LocalDate.of(2024, 6, 1), now)
+
+    assert(fact.count() == 200)
+    // every order resolved to an active customer version
+    assert(fact.filter($"CustomerKey".isNull).count() == 0)
+    val dim = LakeIO.readGold(spark, zones, "dim_customer")
+    assert(dim.count() == 50)
+    assert(dim.filter($"IsActive").count() == 50)
+    // bronze is time-partitioned
+    assert(Files.exists(Paths.get(
+      s"$lake/bronze/jde/F4211/ingest_year=2024/ingest_month=6/ingest_day=1")))
+    // star query returns k rows with joined dim attributes
+    val top = Pipeline.starTopK(spark, zones, 10).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getAs[String]("CustomerName").startsWith("Company")))
+    // decimal money discipline survived end-to-end
+    val fsch = fact.schema
+    assert(fsch("ExtendedAmount").dataType.typeName == "decimal(18,2)")
+  }
+
+  test("second daily run is SCD2-correct: changed customers version") {
+    val landing = mkTmp(); val lake = mkTmp()
+    writeLanding(landing)
+    val zones = LakeZones(lake)
+    Pipeline.run(spark, zones, landing, s"$landing/source_config.json",
+      LocalDate.of(2024, 6, 1), java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+
+    // day 2: customer 10000 changes category
+    val f0101v2 = (0 until 50).map { i =>
+      val id = 10000 + i
+      val cat = if (i == 0) "999" else Seq("100", "200", "300")(i % 3)
+      s"$id,Company $i,C,$cat,124300"
+    }
+    Files.writeString(Paths.get(s"$landing/F0101.csv"),
+      "ABAN8,ABALPH,ABAT1,ABAC01,ABUPMJ\n" + f0101v2.mkString("\n"))
+    Pipeline.run(spark, zones, landing, s"$landing/source_config.json",
+      LocalDate.of(2024, 6, 2), java.sql.Timestamp.valueOf("2024-06-02 00:00:00"))
+
+    val dim = LakeIO.readGold(spark, zones, "dim_customer")
+    assert(dim.count() == 51) // one expired + one new version
+    val c0 = dim.filter($"CustomerID" === 10000).orderBy("CustomerKey").collect()
+    assert(c0.length == 2)
+    assert(!c0(0).getAs[Boolean]("IsActive") && c0(1).getAs[Boolean]("IsActive"))
+    assert(c0(1).getAs[String]("CategoryCode") == "999")
+    // fact appended twice
+    assert(LakeIO.readGold(spark, zones, "fact_sales").count() == 400)
+  }
+
+  test("retry wrapper retries then alerts with stage context") {
+    var calls = 0; var alerted: Option[String] = None
+    intercept[RuntimeException] {
+      Pipeline.withRetry("silver", attempts = 3,
+        onFailure = (st, _) => alerted = Some(st)) {
+        calls += 1; throw new RuntimeException("boom")
+      }
+    }
+    assert(calls == 3)
+    assert(alerted.contains("silver"))
+  }
+
+  test("csv dialect: quoted fields with commas and escapes") {
+    val dir = mkTmp()
+    Files.writeString(Paths.get(s"$dir/F0101.csv"),
+      "ABAN8,ABALPH,ABAT1,ABAC01,ABUPMJ\n" +
+        "10001,\"Acme, Inc.\",C,100,124001\n" +
+        "10002,\"Say \\\"hi\\\"\",C,200,124002")
+    val df = LakeIO.readCsv(spark, s"$dir/F0101.csv", Schemas.F0101)
+    val names = df.orderBy("ABAN8").select("ABALPH").as[String].collect()
+    assert(names.toSeq == Seq("Acme, Inc.", "Say \"hi\""))
+  }
+}
