@@ -42,15 +42,32 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature from a STAGED shingle column: for each of
-    * `numHashes` seeded hash families, the minimum md5 over the
-    * document's shingles. Computed entirely within the row
-    * (array_min over transform). The shingle array must be its own
-    * projection — referencing an inline shingle expression here would
-    * re-derive it once per hash family. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+  /** Universal-hash family constants for minhash: family i maps a
+    * base hash h to (A(i)·h + B(i)) mod P. P = 1e9+7 keeps every
+    * intermediate below 2^60 (h%P < 2^30, A < 2^30 → product < 2^60),
+    * so plain 64-bit arithmetic is exact on any engine. The DuckDB
+    * oracle inlines the same constants. */
+  val MinhashP: Long = 1000000007L
+  def minhashA(i: Int): Long = {
+    val a = (2654435761L * (i + 1)) % MinhashP
+    if (a == 0) 1L else a
+  }
+  def minhashB(i: Int): Long = (1779033703L * (i + 13)) % MinhashP
+
+  /** Portable 60-bit numeric string hash: md5 hex prefix → BIGINT
+    * (DuckDB twin: `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`). */
+  def hexHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** MinHash signature from a STAGED array of base hashes (one
+    * `hexHash % P` per distinct shingle): family i's value is the min
+    * of (A·h+B) mod P — one md5 per shingle TOTAL instead of one per
+    * shingle per family (16× less hashing; the md5s dominate since
+    * higher-order functions run interpreted). */
+  def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat_ws("|", lit(i), s))))
+      array_min(transform(baseHashes,
+        h => (h * minhashA(i) + minhashB(i)) % MinhashP))
     }: _*)
 
   /** LSH band keys: signature split into `numBands` rows of
@@ -75,15 +92,19 @@ object Dedup {
                  textCol: String = "text", numHashes: Int = 16,
                  numBands: Int = 4, shingleSize: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
-    // tokens → shingles → signature as separate projections: each
-    // stage's array is materialized once per row, not once per
-    // downstream reference (16 hash families would otherwise
-    // re-tokenize per family — quadratic in doc length).
+    // tokens → shingles → base hashes → signature as separate
+    // projections: each stage's array materializes once per row, not
+    // once per downstream reference (16 hash families would otherwise
+    // re-derive the stage per family — quadratic in doc length).
     val shingled = docs
       .select(col(idCol).cast(LongType).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), wordShinglesOf(col("toks"), shingleSize).as("sh0"))
-    val withSig = shingled
-      .select(col("id"), minhashSignature(col("sh0"), numHashes).as("sig"))
+      .select(col("id"), array_distinct(
+        wordShinglesOf(col("toks"), shingleSize)).as("sh"))
+    val hashed = shingled
+      .select(col("id"), col("sh"),
+        transform(col("sh"), s => hexHash(s) % MinhashP).as("hs"))
+    val withSig = hashed
+      .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
     val banded = withSig.select(col("id"),
       explode(bandKeys(col("sig"), numHashes, numBands)).as("band"))
     val a = banded.as("a"); val b = banded.as("b")
@@ -91,7 +112,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val shingledSets = shingled.select(col("id"), array_distinct(col("sh0")).as("sh"))
+    val shingledSets = shingled
     val withSets = candidates
       .join(shingledSets.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
       .drop("id")

@@ -110,13 +110,15 @@ object ExtensionQueries {
       FROM aug GROUP BY 1 ORDER BY fp"""))
 
   private val minhashSigSql: String =
-    (0 until 16).map(i =>
-      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min') AS h$i")
-      .mkString(",\n               ")
+    (0 until 16).map { i =>
+      val a = Dedup.minhashA(i); val b = Dedup.minhashB(i)
+      s"list_aggregate(list_transform(hs, h -> (h*$a + $b) % ${Dedup.MinhashP}), 'min') AS h$i"
+    }.mkString(",\n               ")
 
   private val minhashBandsSql: String =
     (0 until 4).map { b =>
-      val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      val hs = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
       s"SELECT doc_id, md5('$b,' || $hs) AS band FROM sig"
     }.mkString("\n        UNION ALL ")
 
@@ -127,16 +129,20 @@ object ExtensionQueries {
     Some(s"""
       WITH $augmentedDocsSql,
       toks AS (SELECT doc_id, $toksSql AS t FROM aug),
-      shing AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
-      sig AS (SELECT doc_id, sh,
+      shing AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM toks),
+      hashed AS (SELECT doc_id,
+        list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                                  % ${Dedup.MinhashP}) AS hs
+        FROM shing),
+      sig AS (SELECT doc_id,
                $minhashSigSql
-              FROM shing),
+              FROM hashed),
       bands AS (
         $minhashBandsSql),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-      sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing)
+      sets AS (SELECT doc_id, sh FROM shing)
       SELECT id_a, id_b,
              CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
              CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union,

@@ -380,6 +380,26 @@ object ParityQueries {
              COUNT(*) AS n_orders
       FROM orders GROUP BY o_orderstatus ORDER BY status"""))
 
+  /** q13 — entry point 3 (SURVEY.md §3.3): the SQL surface.
+    * Temp views + `spark.sql` — same Catalyst lifecycle as the
+    * DataFrame chain, exercised explicitly. */
+  private val q13 = QueryDef(
+    "q13_sql_entry",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("v_orders")
+      table(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY segment""")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY segment"""))
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
 }

@@ -37,11 +37,17 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash signature is stable and has numHashes entries") {
-    val sig = base
+    val sigs = base
       .select(graft.functions.TextFunctions.wordShingles($"text", 3).as("sh"))
-      .select(Dedup.minhashSignature($"sh", 16).as("sig"))
-      .select(size($"sig")).as[Int].collect()
-    assert(sig.forall(_ == 16))
+      .select(transform($"sh", s => Dedup.hexHash(s) % Dedup.MinhashP).as("hs"))
+      .select(Dedup.minhashSignature($"hs", 16).as("sig"))
+      .cache()
+    assert(sigs.select(size($"sig")).as[Int].collect().forall(_ == 16))
+    // identical docs (1,2) share the full signature
+    val arr = sigs.select($"sig").as[Seq[Long]].collect()
+    assert(arr(0) == arr(1))
+    // values stay inside the field
+    assert(arr.flatten.forall(v => v >= 0 && v < Dedup.MinhashP))
   }
 
   test("simhash: identical docs share sig; near-dups within small hamming") {
