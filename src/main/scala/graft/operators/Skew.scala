@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation joins for 100 TB fact tables (SURVEY.md §4.1 /
+  * build-prompt scale contract).
+  *
+  * AQE's skew-join split handles sort-merge skew automatically, but a
+  * hot key that dwarfs a single reducer still benefits from explicit
+  * salting: the fact side gets a random-but-deterministic salt in
+  * [0, `saltBuckets`), the dimension side is replicated `saltBuckets`
+  * times, and the join key becomes (key, salt) — the hot key's rows
+  * spread across `saltBuckets` reducers.
+  */
+object Skew {
+
+  /** Deterministic per-row salt derived from stable columns (no
+    * rand() — reruns and retries must shuffle identically). */
+  def salt(saltBuckets: Int, stableCols: Column*): Column =
+    pmod(xxhash64(stableCols: _*), lit(saltBuckets)).cast("int")
+
+  /** Salted inner/left equi-join: `facts ⋈ dim` on `key`, with the
+    * dimension replicated over the salt domain. Use when one fact key
+    * is orders of magnitude hotter than the rest and the dim side is
+    * too big to broadcast outright. */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 saltBuckets: Int, joinType: String = "inner",
+                 factSaltCols: Seq[String] = Nil): DataFrame = {
+    val stable = if (factSaltCols.nonEmpty) factSaltCols.map(col)
+                 else facts.columns.map(col).toSeq
+    val saltedFacts = facts.withColumn("_salt", salt(saltBuckets, stable: _*))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<int>")))
+    saltedFacts.join(saltedDim, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

@@ -400,6 +400,73 @@ object ParityQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY segment"""))
 
+  /** q14 — cube aggregation (full grouping-set surface beyond q09's
+    * rollup). */
+  private val q14 = QueryDef(
+    "q14_cube_orders",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy(col("priority"), col("status")),
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             COUNT(*) AS n
+      FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""))
+
+  /** q15 — intersect/except set operations: customer nations present
+    * in orders vs supplier nations. */
+  private val q15 = QueryDef(
+    "q15_set_ops",
+    (s, dir) => {
+      val custNations = table(s, dir, "orders")
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation_key")).distinct()
+      val suppNations = table(s, dir, "supplier")
+        .select(col("s_nationkey").as("nation_key")).distinct()
+      val both = custNations.intersect(suppNations)
+        .withColumn("which", lit("both"))
+      val custOnly = custNations.except(suppNations)
+        .withColumn("which", lit("cust_only"))
+      both.unionByName(custOnly).orderBy(col("which"), col("nation_key"))
+    },
+    Some("""
+      WITH cn AS (SELECT DISTINCT c_nationkey AS nation_key
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+           sn AS (SELECT DISTINCT s_nationkey AS nation_key FROM supplier)
+      SELECT nation_key, 'both' AS which FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+      UNION ALL
+      SELECT nation_key, 'cust_only' FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+      ORDER BY which, nation_key"""))
+
+  /** q16 — salted skew join equals the plain join (correctness of the
+    * skew-mitigation path; the salt spreads hot keys over reducers). */
+  private val q16 = QueryDef(
+    "q16_salted_join",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(o, c, "o_custkey", saltBuckets = 8,
+          factSaltCols = Seq("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("c_mktsegment").as("segment"), col("n_orders"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY segment"""))
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+      q14, q15, q16)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.{LakeIO, LakeZones}
+
+/** Scale-contract mechanics that sf-level correctness doesn't expose:
+  * bucketed co-located joins (no shuffle), Bronze partition pruning
+  * (filter reaches the file index), salted-join skew spreading. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    o.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    c.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        $"o_custkey" === $"c_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n${plan.take(800)}")
+      assert(j.count() == 1500)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("bronze ingest-date filter becomes a partition filter (pruning)") {
+    val lake = Files.createTempDirectory("graft_prune").toString
+    val zones = LakeZones(lake)
+    val day1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val day2 = Seq((3, "c")).toDF("id", "v")
+    LakeIO.writeBronze(day1, zones, "t", LocalDate.of(2024, 6, 1))
+    LakeIO.writeBronze(day2, zones, "t", LocalDate.of(2024, 6, 2))
+
+    val pruned = LakeIO.readBronze(spark, zones, "t", Some(LocalDate.of(2024, 6, 1)))
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("ingest_year"),
+      s"ingest-date predicate must prune partitions:\n${scan.take(800)}")
+    // and no data filter is wasted on partition columns
+    assert(LakeIO.readBronze(spark, zones, "t", None).count() == 3)
+  }
+
+  test("salted join: correct result and hot key spread across salts") {
+    // hot key: 10k facts on one key, 10 on another
+    val facts = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 10).map(i => (2L, i.toLong))).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "none")).toDF("k", "name")
+    val joined = Skew.saltedJoin(facts, dim, "k", saltBuckets = 8,
+      factSaltCols = Seq("payload"))
+    assert(joined.count() == 10010)
+    val perName = joined.groupBy("name").count().as[(String, Long)].collect().toMap
+    assert(perName("hot") == 10000L && perName("cold") == 10L)
+    // the hot key's rows actually use multiple salt values
+    val salts = facts.filter($"k" === 1L)
+      .select(Skew.salt(8, $"payload")).distinct().count()
+    assert(salts == 8L)
+    // left join keeps unmatched fact keys
+    val lf = Seq((9L, 1L)).toDF("k", "payload")
+    val lj = Skew.saltedJoin(lf, dim, "k", 4, "left", Seq("payload"))
+    assert(lj.count() == 1 && lj.filter($"name".isNull).count() == 1)
+  }
+}
