@@ -38,6 +38,32 @@ object EventWindows {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** As-of enrichment: for each right-side event, the latest
+    * left-side event of the same user at-or-before it (nearest-prior
+    * semantics, the "as-of join" of time-series engines). Expressed
+    * as union-tag + running `last_value(ignoreNulls)` over one
+    * user-partitioned ordering — a single shuffle, no range join, no
+    * per-row probe; scales as a plain window. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               userCol: String = "user_id", tsCol: String = "ts",
+               payloadCol: String = "event_id"): DataFrame = {
+    val tagged = left.select(col(userCol), col(tsCol),
+        col(payloadCol).as("_asof_payload"), lit(0).as("_side"),
+        lit(null).cast("long").as("_rid"))
+      .unionByName(right.select(col(userCol), col(tsCol),
+        lit(null).cast(left.schema(payloadCol).dataType.catalogString).as("_asof_payload"),
+        lit(1).as("_side"), col(payloadCol).cast("long").as("_rid")))
+    // left rows sort before right rows at equal ts → "at or before"
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("_prior", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col(userCol), col("_rid").as("right_id"), col(tsCol),
+        col("_prior").as("asof_left_id"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gapMinutes`. Classic lag + running-sum
     * formulation — one shuffle on user_id, sessions assembled by two

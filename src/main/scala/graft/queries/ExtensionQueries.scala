@@ -72,6 +72,49 @@ object ExtensionQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM s GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q23 — as-of join: each purchase event enriched with the user's
+    * nearest prior click (at-or-before semantics). */
+  private val q23 = QueryDef(
+    "q23_asof_join",
+    (s, dir) => {
+      val e = eventsTable(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+      val purchases = e.filter(col("event_type") === "purchase")
+      EventWindows.asOfJoin(clicks, purchases)
+        .select(col("user_id"), col("right_id").as("purchase_id"),
+          unix_millis(col("ts")).as("purchase_ts_ms"),
+          col("asof_left_id").as("prior_click_id"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      tagged AS (
+        SELECT user_id, ts, event_id AS pay, 0 AS side, NULL AS rid
+        FROM e WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, NULL, 1, event_id FROM e WHERE event_type = 'purchase'),
+      scanned AS (
+        SELECT *, LAST_VALUE(pay IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, side
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click
+        FROM tagged)
+      SELECT user_id, rid AS purchase_id, epoch_ms(ts) AS purchase_ts_ms,
+             prior_click AS prior_click_id
+      FROM scanned WHERE side = 1 ORDER BY purchase_id"""))
+
+  /** q24 — approximate distinct (HLL sketch) per event type: no exact
+    * SQL twin (sketch estimates are engine-specific), so rows-only;
+    * the accuracy bound vs exact countDistinct is asserted in
+    * EventWindowsSpec. */
+  private val q24 = QueryDef(
+    "q24_approx_distinct",
+    (s, dir) => eventsTable(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type")),
+    None)
+
   // -------------------------------------------------------------- dedup
 
   /** documents ∪ near-dup mutants: every 7th doc re-appears with one
@@ -402,5 +445,6 @@ object ExtensionQueries {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] =
-    Seq(q20, q21, q22, q30, q31, q32, q33, q34, q35, q36, q40, q41, q42, q50)
+    Seq(q20, q21, q22, q23, q24, q30, q31, q32, q33, q34, q35, q36,
+      q40, q41, q42, q50)
 }
