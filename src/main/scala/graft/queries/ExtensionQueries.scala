@@ -115,6 +115,25 @@ object ExtensionQueries {
       .orderBy(col("event_type")),
     None)
 
+  /** q25 — JSON property extraction from the events `props` column
+    * (semi-structured surface: get_json_object path queries). */
+  private val q25 = QueryDef(
+    "q25_json_props",
+    (s, dir) => eventsTable(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_null_k"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS n_null_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // -------------------------------------------------------------- dedup
 
   /** documents ∪ near-dup mutants: every 7th doc re-appears with one
@@ -445,6 +464,6 @@ object ExtensionQueries {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] =
-    Seq(q20, q21, q22, q23, q24, q30, q31, q32, q33, q34, q35, q36,
+    Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
       q40, q41, q42, q50)
 }

@@ -466,7 +466,48 @@ object ParityQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY segment"""))
 
+  /** q17 — pivot (conditional-aggregation twin in the oracle: that is
+    * exactly what Catalyst lowers pivot to). */
+  private val q17 = QueryDef(
+    "q17_pivot_status",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("priority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("priority")),
+    Some("""
+      SELECT o_orderpriority AS priority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders GROUP BY 1 ORDER BY priority"""))
+
+  /** q18 — exact interpolated percentiles (Spark `percentile` and
+    * DuckDB `quantile_cont` share the R-7 continuous definition). */
+  private val q18 = QueryDef(
+    "q18_percentiles",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("p"))
+        .select(col("status"),
+          element_at(col("p"), 1).as("p25"),
+          element_at(col("p"), 2).as("p50"),
+          element_at(col("p"), 3).as("p75"))
+        .orderBy(col("status")),
+    Some("""
+      SELECT o_orderstatus AS status,
+             quantile_cont(o_totalprice, 0.25) AS p25,
+             quantile_cont(o_totalprice, 0.50) AS p50,
+             quantile_cont(o_totalprice, 0.75) AS p75
+      FROM orders GROUP BY 1 ORDER BY status"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16)
+      q14, q15, q16, q17, q18)
 }
