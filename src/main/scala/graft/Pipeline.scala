@@ -117,22 +117,33 @@ object Pipeline {
       // historical facts resolve in the PIT join (SURVEY.md §7.4.3)
       val dim1 = Scd2.merge(dim0, incoming, spec, nowCol,
         newKeyValidFrom = Some(to_timestamp(lit("1900-01-01 00:00:00"))))
-      // write-then-swap via a staging dir: reading + overwriting the
-      // same path in one plan is undefined on plain parquet
-      dim1.cache().count()
-      LakeIO.overwriteGold(dim1, zones, "dim_customer")
+      // read-modify-write: materialize to a staging dir, then swap —
+      // the live dir stays intact while the job reads from it
+      LakeIO.replaceGold(dim1, zones, "dim_customer")
       LakeIO.readSilver(spark, zones, "transactions")
     }
 
     withRetry("gold", onFailure = onFailure) {
       val dimDate = CalendarDim(spark)
       LakeIO.overwriteGold(dimDate, zones, "dim_date")
+      // IDENTITY(1,1) continuation: seed SalesKey from the existing
+      // fact's max so incremental loads never reuse keys (ADVICE r01);
+      // exclude this run's own load_id so a retry re-assigns the SAME
+      // key range instead of stacking on its partial previous attempt.
+      val loadId = ingestDate.toString
+      val keyOffset: Long = Try {
+        LakeIO.readGold(spark, zones, "fact_sales")
+          .filter(col("load_id") =!= loadId)
+          .agg(coalesce(max(col("SalesKey")), lit(0L))).head().getLong(0)
+      }.getOrElse(0L)
       val fact = FactLoad.loadFactSales(
         silver,
         LakeIO.readGold(spark, zones, "dim_customer"),
         LakeIO.readGold(spark, zones, "dim_date"),
-        nowCol)
-      LakeIO.appendGold(fact.drop("DateKeyValid"), zones, "fact_sales")
+        nowCol, keyOffset)
+      // dynamic-partition overwrite of this run's load_id partition:
+      // retries replace, not duplicate (idempotent append — ADVICE r01)
+      LakeIO.appendGoldRun(fact.drop("DateKeyValid"), zones, "fact_sales", loadId)
       LakeIO.readGold(spark, zones, "fact_sales")
     }
   }

@@ -77,9 +77,15 @@ object FactLoad {
   /** Full fact load: PIT-resolve CustomerKey, validate DateKey against
     * Dim_Date (J-d), assign SalesKey surrogates, stamp LoadDate.
     * Returns the Fact_Sales contract
-    * (`sql_scripts/fact_sales.sql:22-48`). */
+    * (`sql_scripts/fact_sales.sql:22-48`).
+    *
+    * @param keyOffset highest SalesKey already present in the fact
+    *                  table (0 for a first load) — SalesKey continues
+    *                  from it, preserving the IDENTITY(1,1) uniqueness
+    *                  contract across incremental appends. */
   def loadFactSales(silver: DataFrame, dimCustomer: DataFrame,
-                    dimDate: DataFrame, loadDate: Column): DataFrame = {
+                    dimDate: DataFrame, loadDate: Column,
+                    keyOffset: Long = 0L): DataFrame = {
     val withCk = pointInTimeJoin(silver, dimCustomer)
     // Dim-key validation join (left — unmatched DateKeys survive with
     // the fact row; reference `DF_Load_FactSales.json:106-110,126-130`).
@@ -89,7 +95,8 @@ object FactLoad {
       .withColumn("DateKeyValid", col("_ddk").isNotNull)
       .drop("_ddk")
     Ids.addContiguousIds(
-        validated, Seq(col("OrderNumber"), col("ItemNumber")), "SalesKey")
+        validated, Seq(col("OrderNumber"), col("ItemNumber")), "SalesKey",
+        keyOffset)
       .withColumn("LoadDate", loadDate)
       .select(col("SalesKey"), col("CustomerKey"), col("DateKey"),
         col("OrderNumber"), col("OrderType"), col("ItemNumber"),

@@ -24,9 +24,21 @@ object Skew {
     * dimension replicated over the salt domain. Use when one fact key
     * is orders of magnitude hotter than the rest and the dim side is
     * too big to broadcast outright. */
+  /** Join types where replicating the dim side cannot multiply output:
+    * the fact side carries exactly one salt per row, so each fact row
+    * meets each dim key at most once; but an unmatched DIM row would
+    * survive once per bucket under right/full joins. */
+  private val SafeJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int, joinType: String = "inner",
                  factSaltCols: Seq[String] = Nil): DataFrame = {
+    require(SafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin replicates the dim side $saltBuckets times; " +
+      s"'$joinType' would emit unmatched dim rows once per salt bucket " +
+      "(supported: inner, left, left_semi, left_anti)")
     val stable = if (factSaltCols.nonEmpty) factSaltCols.map(col)
                  else facts.columns.map(col).toSeq
     val saltedFacts = facts.withColumn("_salt", salt(saltBuckets, stable: _*))

@@ -45,7 +45,10 @@ object LakeIO {
     spark.read.option("multiLine", "true").json(path)
 
   /** S2-layout + S6 — land a frame in Bronze, time-partitioned by
-    * ingest date. */
+    * ingest date. Dynamic partition overwrite replaces ONLY this
+    * ingest date's directory, so a retried ingest (C7 wraps this in
+    * `withRetry`) re-lands the same partition instead of appending
+    * duplicate rows — the write is idempotent per (table, date). */
   def writeBronze(df: DataFrame, zones: LakeZones, table: String,
                   ingestDate: LocalDate): Unit =
     df.withColumn("ingest_year", lit(ingestDate.getYear))
@@ -53,7 +56,8 @@ object LakeIO {
       .withColumn("ingest_day", lit(ingestDate.getDayOfMonth))
       .write
       .partitionBy("ingest_year", "ingest_month", "ingest_day")
-      .mode("append")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .parquet(zones.bronze(table))
 
@@ -82,14 +86,53 @@ object LakeIO {
     df.write.mode("append").option("compression", "snappy")
       .parquet(zones.gold(table))
 
-  /** S8/S9 rewrite — atomic-ish dimension replace: the SCD2 merge
-    * returns complete next state, written to a fresh versioned dir
-    * then pointer-swapped by overwrite (no partial update window —
-    * the reference's ordered update-then-insert hazard never exists).
-    */
+  /** S7, retry-safe — append one load batch as its own `load_id`
+    * partition with dynamic overwrite: a retried load (C7) replaces
+    * its OWN partition instead of appending a second copy, so the
+    * append-only fact sink is idempotent per logical run. `loadId`
+    * must be stable across retries of a run and unique per run (the
+    * ingest date works). */
+  def appendGoldRun(df: DataFrame, zones: LakeZones, table: String,
+                    loadId: String): Unit =
+    df.withColumn("load_id", lit(loadId))
+      .write
+      .partitionBy("load_id")
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .parquet(zones.gold(table))
+
+  /** Plain full overwrite. NOT safe when `df` reads from the target
+    * path — use [[replaceGold]] for read-modify-write cycles. */
   def overwriteGold(df: DataFrame, zones: LakeZones, table: String): Unit =
     df.write.mode("overwrite").option("compression", "snappy")
       .parquet(zones.gold(table))
+
+  /** S8/S9 rewrite — write-then-swap dimension replace for
+    * read-modify-write cycles (SCD2 merge reads the current dimension
+    * and writes its successor). The new state is fully materialized
+    * into a staging directory — the live directory is untouched while
+    * the job runs, so the plan can keep reading the files it started
+    * from — then swapped in with two FS renames. No window exists in
+    * which the dimension is partially written, and no reliance on
+    * cache retention (ADVICE r01). */
+  def replaceGold(df: DataFrame, zones: LakeZones, table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(zones.gold(table))
+    val staging = new Path(zones.gold(table) + ".staging")
+    val retired = new Path(zones.gold(table) + ".old")
+    val fs = target.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    fs.delete(staging, true)
+    df.write.mode("overwrite").option("compression", "snappy")
+      .parquet(staging.toString)
+    fs.delete(retired, true)
+    if (fs.exists(target)) {
+      require(fs.rename(target, retired), s"could not retire $target")
+    }
+    require(fs.rename(staging, target), s"could not publish $staging")
+    fs.delete(retired, true)
+  }
 
   def readGold(spark: SparkSession, zones: LakeZones, table: String): DataFrame =
     spark.read.parquet(zones.gold(table))

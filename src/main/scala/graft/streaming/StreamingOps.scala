@@ -66,8 +66,12 @@ object StreamingOps {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
-                s.sum + e.value))
+              // math.min on start: a late event from an earlier batch
+              // (t < s.start) extends the session BACKWARD too, keeping
+              // session_start_ms consistent with the batch twin
+              // EventWindows.sessionize over out-of-order input
+              cur = Some(SessionState(math.min(s.start, t),
+                math.max(s.end, t), s.n + 1, s.sum + e.value))
             case Some(s) =>
               closed ::= Session(userId, s.start, s.end, s.n, s.sum)
               cur = Some(SessionState(t, t, 1L, e.value))

@@ -79,4 +79,28 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(emitted(0).session_start_ms ==
       Timestamp.valueOf("2024-01-01 00:00:00").getTime)
   }
+
+  test("late cross-batch event extends an open session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    mem.addData(Event(1, Timestamp.valueOf("2024-01-01 00:20:00"), 9, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event 20 min BEFORE the open session's start —
+    // within gap, so it must merge and lower session_start_ms
+    mem.addData(Event(2, Timestamp.valueOf("2024-01-01 00:00:00"), 9, "a", 2.0))
+    q.processAllAvailable()
+    // batch 3: far-future event closes and emits the merged session
+    mem.addData(Event(3, Timestamp.valueOf("2024-01-01 05:00:00"), 9, "a", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sess_late").as[Session].collect()
+    assert(emitted.length == 1)
+    assert(emitted(0).n_events == 2L)
+    assert(emitted(0).session_start_ms ==
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime)
+    assert(emitted(0).session_end_ms ==
+      Timestamp.valueOf("2024-01-01 00:20:00").getTime)
+  }
 }

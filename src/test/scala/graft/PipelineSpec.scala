@@ -95,8 +95,22 @@ class PipelineSpec extends SparkSpec {
     assert(c0.length == 2)
     assert(!c0(0).getAs[Boolean]("IsActive") && c0(1).getAs[Boolean]("IsActive"))
     assert(c0(1).getAs[String]("CategoryCode") == "999")
-    // fact appended twice
-    assert(LakeIO.readGold(spark, zones, "fact_sales").count() == 400)
+    // fact appended twice, and SalesKey continues across loads
+    // (IDENTITY(1,1) uniqueness — ADVICE r01)
+    val facts = LakeIO.readGold(spark, zones, "fact_sales")
+    assert(facts.count() == 400)
+    assert(facts.select("SalesKey").distinct().count() == 400)
+    assert(facts.agg(max($"SalesKey")).head().getLong(0) == 400L)
+
+    // retrying the SAME logical run replaces its own load batch
+    // instead of duplicating it (idempotent append — ADVICE r01)
+    Pipeline.run(spark, zones, landing, s"$landing/source_config.json",
+      LocalDate.of(2024, 6, 2), java.sql.Timestamp.valueOf("2024-06-02 00:00:00"))
+    val facts2 = LakeIO.readGold(spark, zones, "fact_sales")
+    assert(facts2.count() == 400)
+    assert(facts2.select("SalesKey").distinct().count() == 400)
+    // dimension unchanged by the no-op re-merge (SCD2 idempotence)
+    assert(LakeIO.readGold(spark, zones, "dim_customer").count() == 51)
   }
 
   test("retry wrapper retries then alerts with stage context") {

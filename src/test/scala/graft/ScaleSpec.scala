@@ -74,5 +74,13 @@ class ScaleSpec extends SparkSpec {
     val lf = Seq((9L, 1L)).toDF("k", "payload")
     val lj = Skew.saltedJoin(lf, dim, "k", 4, "left", Seq("payload"))
     assert(lj.count() == 1 && lj.filter($"name".isNull).count() == 1)
+    // dim-preserving join types are rejected: replication would emit
+    // every unmatched dim row once per salt bucket (ADVICE r01)
+    Seq("right", "full", "full_outer").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(facts, dim, "k", 4, jt, Seq("payload"))
+      }
+      assert(e.getMessage.contains("salt bucket"))
+    }
   }
 }
