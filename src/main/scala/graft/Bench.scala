@@ -8,11 +8,15 @@ import graft.queries.QueryDef
   * total wall seconds.
   *
   * Measurement discipline: the table files are pre-read once (page
-  * cache + vectorized-reader/JIT warmup), then each query runs twice
-  * and reports the faster run — steady-state query cost, not
-  * first-touch JVM warmup or a host-scheduler stall that happened to
-  * land on one query. Cached/broadcast state is dropped between
-  * queries so none borrows work from a predecessor.
+  * cache + vectorized-reader/JIT warmup), then every query runs in
+  * two FULL PASSES over the whole query list, reporting each query's
+  * faster sample — steady-state query cost, not first-touch JVM
+  * warmup. Samples of the same query are minutes apart, so a host
+  * CPU-steal stall (this environment shows multi-second bursts that
+  * would span two back-to-back runs) contaminates at most one sample;
+  * if the two samples still disagree >2×, a third decides. Cached/
+  * broadcast state is dropped between queries so none borrows work
+  * from a predecessor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,17 +38,24 @@ object Bench {
     try QueryDef.eventsTable(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val a = once()
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      val b = once()
-      spark.catalog.clearCache()
-      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      dt
+    }
+    val pass1 = named.map { case (name, fn) => name -> once(fn) }.toMap
+    val pass2 = named.map { case (name, fn) => name -> once(fn) }.toMap
+    val results = named.map { case (name, fn) =>
+      val (a, b) = (pass1(name), pass2(name))
+      val best =
+        if (a < 0 || b < 0) -1.0
+        else if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) - math.min(a, b) > 0.5) {
+          val c = once(fn)
+          if (c < 0) math.min(a, b) else math.min(math.min(a, b), c)
+        } else math.min(a, b)
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

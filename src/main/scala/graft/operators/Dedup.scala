@@ -46,29 +46,26 @@ object Dedup {
     * base hash h to (A(i)·h + B(i)) mod P. P = 1e9+7 keeps every
     * intermediate below 2^60 (h%P < 2^30, A < 2^30 → product < 2^60),
     * so plain 64-bit arithmetic is exact on any engine. The DuckDB
-    * oracle inlines the same constants. */
-  val MinhashP: Long = 1000000007L
-  def minhashA(i: Int): Long = {
-    val a = (2654435761L * (i + 1)) % MinhashP
-    if (a == 0) 1L else a
-  }
-  def minhashB(i: Int): Long = (1779033703L * (i + 13)) % MinhashP
+    * oracle inlines the same constants (single source:
+    * [[graft.functions.MinhashExprs]]). */
+  val MinhashP: Long = graft.functions.MinhashExprs.P
+  def minhashA(i: Int): Long = graft.functions.MinhashExprs.familyA(i)
+  def minhashB(i: Int): Long = graft.functions.MinhashExprs.familyB(i)
 
   /** Portable 60-bit numeric string hash: md5 hex prefix → BIGINT
-    * (DuckDB twin: `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`). */
+    * (DuckDB twin: `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`).
+    * Built-ins-composed reference form; the hot path uses the
+    * bit-compatible native [[graft.functions.MinhashExprs]]. */
   def hexHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** MinHash signature from a STAGED array of base hashes (one
-    * `hexHash % P` per distinct shingle): family i's value is the min
-    * of (A·h+B) mod P — one md5 per shingle TOTAL instead of one per
-    * shingle per family (16× less hashing; the md5s dominate since
-    * higher-order functions run interpreted). */
+    * `hexHash % P` per distinct shingle). Native fused expression:
+    * all `numHashes` families in one codegen'd pass over the array
+    * (the HOF formulation re-enters the interpreter per family per
+    * element). */
   def minhashSignature(baseHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(baseHashes,
-        h => (h * minhashA(i) + minhashB(i)) % MinhashP))
-    }: _*)
+    graft.functions.MinhashExprs.minhash_signature(baseHashes, numHashes)
 
   /** LSH band keys: signature split into `numBands` rows of
     * `numHashes/numBands`, each band hashed to one bucket key. */
@@ -99,18 +96,25 @@ object Dedup {
     val shingled = docs
       .select(col(idCol).cast(LongType).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), array_distinct(
-        wordShinglesOf(col("toks"), shingleSize)).as("sh"))
+        graft.functions.TextExprs.word_shingles(col("toks"), shingleSize)).as("sh"))
     val hashed = shingled
       .select(col("id"), col("sh"),
-        transform(col("sh"), s => hexHash(s) % MinhashP).as("hs"))
+        graft.functions.MinhashExprs.minhash_base_hashes(col("sh")).as("hs"))
     val withSig = hashed
       .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
     val banded = withSig.select(col("id"),
       explode(bandKeys(col("sig"), numHashes, numBands)).as("band"))
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // pairs within each band bucket via groupBy + collect_list instead
+    // of a self-join: the signature pipeline (the expensive part) runs
+    // ONCE, not once per join side; singleton buckets — the vast
+    // majority — are pruned before any pair is generated. Bucket
+    // sizes are bounded by LSH design (docs sharing a band prefix).
+    val candidates = banded.groupBy(col("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
     val shingledSets = shingled
     val withSets = candidates
@@ -176,24 +180,49 @@ object Dedup {
 
   /** Blocked n-gram Jaccard: candidate pairs share a cheap blocking
     * key (source + length bucket), then exact word-shingle Jaccard.
-    * Jaccard is a ratio of ints — engine-exact. */
+    * Jaccard is a ratio of ints — engine-exact.
+    *
+    * Realized as a shingle-inverted-index join rather than a blocked
+    * pair join: explode distinct shingles to (block, shingle) rows,
+    * self-join on that key, count shared shingles per pair, and derive
+    * |A∪B| = |A|+|B|−|A∩B| from staged set sizes. Pairs sharing zero
+    * shingles (jaccard 0) never materialize, and the whole plan is
+    * codegen'd hash joins/aggregates — no interpreted
+    * `array_intersect` over every candidate pair. At 100 TB the one
+    * scale hazard is a degenerate ultra-frequent shingle inside one
+    * block (quadratic bucket): cap it upstream by dropping
+    * stopword-grams (document-frequency filter) before calling. */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", blockCol: String = "source",
                    shingleSize: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val prepped = docs.select(
+    val exploded = docs.select(
         col(idCol).cast(LongType).as("id"),
         concat_ws("#", col(blockCol), (length(col(textCol)) / 64).cast(LongType)).as("blk"),
         tokens(col(textCol)).as("toks"))
       .select(col("id"), col("blk"),
-        array_distinct(wordShinglesOf(col("toks"), shingleSize)).as("sh"))
-    val a = prepped.as("a"); val b = prepped.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("n_inter", size(array_intersect(col("a.sh"), col("b.sh"))).cast(LongType))
-      .withColumn("n_union", size(array_union(col("a.sh"), col("b.sh"))).cast(LongType))
+        array_distinct(
+          graft.functions.TextExprs.word_shingles(col("toks"), shingleSize)).as("sh"))
+      .select(col("id"), col("blk"), size(col("sh")).cast(LongType).as("n"),
+        explode(col("sh")).as("s"))
+    // one shuffle on (block, shingle); pairs generated inside each
+    // posting list (a self-join would recompute the shingle pipeline
+    // per side — and with AQE, broadcast the full exploded relation).
+    // Singleton postings (the vast majority of distinct shingles) are
+    // pruned before any pair exists.
+    exploded.groupBy(col("blk"), col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union").cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("n_inter"), col("n_union"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
   // ------------------------------------------------- embedding near-dup

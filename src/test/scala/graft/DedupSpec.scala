@@ -50,6 +50,46 @@ class DedupSpec extends SparkSpec {
     assert(arr.flatten.forall(v => v >= 0 && v < Dedup.MinhashP))
   }
 
+  test("native word shingles match the built-ins-composed form") {
+    import graft.functions.{TextExprs, TextFunctions}
+    val texts = Seq("the quick brown fox jumps", "a b", "one", "", "  x  ")
+      .toDF("text")
+      .select(TextFunctions.tokens($"text").as("toks"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val builtin = texts.select(
+        TextFunctions.wordShinglesOf($"toks", n).as("sh")).as[Seq[String]].collect()
+      val native = texts.select(
+        TextExprs.word_shingles($"toks", n).as("sh")).as[Seq[String]].collect()
+      assert(native.toSeq == builtin.toSeq, s"n=$n")
+    }
+  }
+
+  test("native minhash expressions match the built-ins-composed forms") {
+    import graft.functions.MinhashExprs
+    val sh = base
+      .select(graft.functions.TextFunctions.wordShingles($"text", 3).as("sh"))
+    // base hashes: native md5-60bit == conv(substring(md5,1,15),16,10) % P
+    val viaBuiltin = sh.select(
+      transform($"sh", s => Dedup.hexHash(s) % Dedup.MinhashP).as("hs"))
+    val viaNative = sh.select(MinhashExprs.minhash_base_hashes($"sh").as("hs"))
+    assert(viaNative.as[Seq[Long]].collect().toSeq ==
+      viaBuiltin.as[Seq[Long]].collect().toSeq)
+    // signature: native fused pass == per-family transform+array_min
+    val hs = viaBuiltin
+    val sigBuiltin = hs.select(array((0 until 16).map { i =>
+      array_min(transform($"hs",
+        h => (h * Dedup.minhashA(i) + Dedup.minhashB(i)) % Dedup.MinhashP))
+    }: _*).as("sig"))
+    val sigNative = hs.select(MinhashExprs.minhash_signature($"hs", 16).as("sig"))
+    assert(sigNative.as[Seq[Long]].collect().toSeq ==
+      sigBuiltin.as[Seq[Long]].collect().toSeq)
+    // empty shingle set → all-null signature on both paths
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+    val nat = empty.select(MinhashExprs.minhash_signature($"hs", 4).as("sig"))
+      .as[Seq[Option[Long]]].head()
+    assert(nat == Seq(None, None, None, None))
+  }
+
   test("simhash: identical docs share sig; near-dups within small hamming") {
     val pairs = Dedup.simhashPairs(base, maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
