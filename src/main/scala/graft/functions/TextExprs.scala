@@ -48,6 +48,69 @@ object TextExprs {
   def word_shingles(c: Column, n: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(WordShinglesExpr(
       org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
+  private val simhashMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 32-bit SimHash over a token array — native twin of
+    * [[graft.operators.Dedup.simhash32Of]]: bit b is the majority
+    * vote of md5-hex-digit-b's top bit over all tokens (ties and the
+    * empty array set the bit, matching `2*ones >= n`). One md5 per
+    * token total, vs one md5 per token PER BIT interpreted. */
+  def simhash32(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    val d = simhashMd5.get()
+    var i = 0
+    while (i < n) {
+      d.reset()
+      val digest = d.digest(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 32) {
+        val byte = digest(b >> 1) & 0xff
+        val nibble = if ((b & 1) == 0) byte >>> 4 else byte & 0xf
+        if (nibble >= 8) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * counts(b) >= n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def simhash_32(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(Simhash32Expr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+}
+
+/** array<string> tokens → long 32-bit simhash signature. */
+case class Simhash32Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_32 requires array<string>, got $other")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprs.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_32"
 }
 
 /** array<string> tokens → array<string> sliding n-gram shingles. */

@@ -136,7 +136,9 @@ object Dedup {
     * the token-count vote where token t votes +1 if hex digit b of
     * md5(t) has its top bit set, else −1. Single-row computation, no
     * shuffle. Tokens must be staged — 32 bit-expressions reference
-    * the array. */
+    * the array. Built-ins-composed reference form (32 interpreted
+    * md5 passes per token); the hot path uses the bit-compatible
+    * native [[graft.functions.TextExprs.simhash_32]]. */
   def simhash32Of(toks: Column): Column = {
     val highHex = typedLit(Seq("8", "9", "a", "b", "c", "d", "e", "f"))
     val bits = (0 until 32).map { b =>
@@ -150,23 +152,29 @@ object Dedup {
 
   def simhash32(text: Column): Column = simhash32Of(tokens(text))
 
-  /** Per-doc staged SimHash signatures. */
+  /** Per-doc staged SimHash signatures (native single-pass md5). */
   def simhashSigs(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
     docs.select(col(idCol).cast(LongType).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), simhash32Of(col("toks")).as("sig"))
+      .select(col("id"), graft.functions.TextExprs.simhash_32(col("toks")).as("sig"))
 
   /** SimHash near-dup pairs: candidates share at least one of four
     * 8-bit sub-bands (pigeonhole: hamming ≤ 3 ⇒ some band equal),
-    * verified by exact hamming distance ≤ `maxHamming`. */
+    * verified by exact hamming distance ≤ `maxHamming`. Pairs come
+    * from band posting lists (groupBy + collect_list), so the
+    * signature pipeline runs once — not once per self-join side. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSigs(docs, idCol, textCol)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(k =>
         concat_ws(":", lit(k), shiftright(col("sig"), k * 8) % 256)): _*)).as("band"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    banded.groupBy(col("band"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()

@@ -90,6 +90,19 @@ class DedupSpec extends SparkSpec {
     assert(nat == Seq(None, None, None, None))
   }
 
+  test("native simhash matches the built-ins-composed form") {
+    val toks = base.select(graft.functions.TextFunctions.tokens($"text").as("toks"))
+    val builtin = toks.select(Dedup.simhash32Of($"toks").as("sig")).as[Long].collect()
+    val native = toks.select(
+      graft.functions.TextExprs.simhash_32($"toks").as("sig")).as[Long].collect()
+    assert(native.toSeq == builtin.toSeq)
+    // empty token array: every majority vote ties → all 32 bits set
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+    val e = empty.select(graft.functions.TextExprs.simhash_32($"toks")).as[Long].head()
+    val eb = empty.select(Dedup.simhash32Of($"toks")).as[Long].head()
+    assert(e == eb && e == 0xffffffffL)
+  }
+
   test("simhash: identical docs share sig; near-dups within small hamming") {
     val pairs = Dedup.simhashPairs(base, maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
