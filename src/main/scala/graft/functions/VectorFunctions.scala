@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision (native codegen'd fold — see
+    * [[VectorExprs]]; [[dotComposed]] is the built-ins twin kept for
+    * the parity spec). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot_product(a, b)
+
+  /** Built-ins-composed dot product (interpreted HOFs) — the
+    * bit-compatibility reference for the native expression. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -57,9 +63,7 @@ object VectorFunctions {
 
   /** SRP sign bit: 1 when ⟨v, hyperplane⟩ ≥ 0. */
   def srpBit(v: Column, plane: Seq[Double]): Column =
-    (aggregate(
-      zip_with(v, typedLit(plane), (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, x) => acc + x) >= 0.0).cast("long")
+    (dot(v, typedLit(plane)) >= 0.0).cast("long")
 
   /** nBits-bit LSH bucket id from signed random projections. */
   def srpBucket(v: Column, nBits: Int, dim: Int): Column =

@@ -74,6 +74,61 @@ object Similarity {
         col("n_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic
+    * cell-probe ANN index expressed relationally:
+    *
+    *  1. coarse quantizer: a deterministic centroid subset of the
+    *     corpus (`vec_id % centroidEvery == 0` — a stand-in for an
+    *     offline-trained k-means codebook, which would slot in as the
+    *     same small broadcast relation);
+    *  2. index build: every corpus vector is assigned to its
+    *     nearest-by-cosine centroid via a broadcast join + map-side
+    *     `max(struct(cos, -c_id))` partial aggregate — one shuffle of
+    *     N rows (not N·C), no window over the cross product. At scale
+    *     this materializes ONCE as the stored index, partitioned by
+    *     cell;
+    *  3. search: each query probes its `nProbe` nearest cells and
+    *     scores exact cosine only against those cells' members —
+    *     expected cost O(|Q| · nProbe · N/C · d).
+    *
+    * Ties everywhere break toward the smaller id, so results are
+    * deterministic and SQL-oracle-reproducible. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Int = 50, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("n_id"), col(vecCol).as("n_v"))
+    val cents = broadcast(corpus
+      .filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_v")))
+    // nearest centroid per corpus vector: max over (cos, -c_id) picks
+    // the highest cosine, smallest centroid id on ties — equivalent to
+    // ROW_NUMBER()=1 but with a map-side partial aggregate
+    val assign = c.crossJoin(cents)
+      .withColumn("cos_c", cosine(col("n_v"), col("c_v")))
+      .groupBy(col("n_id"), col("n_v"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg"))).as("m"))
+      .select(col("n_id"), col("n_v"), (-col("m.neg")).as("cell"))
+    val q = queries.select(col(idCol).cast(LongType).as("q_id"), col(vecCol).as("q_v"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("c_id"))
+    val probes = q.crossJoin(cents)
+      .withColumn("cos_c", cosine(col("q_v"), col("c_v")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+    // every corpus vector lives in exactly one cell → no dedup needed
+    val scored = broadcast(probes)
+      .join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("n_id"), col("cos"))
+  }
+
   /** Recall@k of an approximate result against the exact baseline —
     * the evaluation harness for the ANN tier. */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {

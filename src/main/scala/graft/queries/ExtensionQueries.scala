@@ -339,6 +339,75 @@ object ExtensionQueries {
     },
     None)
 
+  /** q37 — IVF cell-probe ANN (deterministic coarse quantizer, so the
+    * full index build + probe is SQL-oracle-checkable, unlike q36's
+    * recall-tested SRP path). */
+  private val q37 = QueryDef(
+    "q37_knn_ivf",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5,
+          centroidEvery = 50, nProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH corp AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+      cents AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (
+        SELECT n_id, v, c_id AS cell FROM (
+          SELECT n_id, v, c_id,
+                 ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY cosc DESC, c_id) AS rn
+          FROM (SELECT n_id, v, c_id,
+                  list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cosc
+                FROM corp, cents))
+        WHERE rn = 1),
+      qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id % 200 = 0),
+      probes AS (
+        SELECT q_id, qv, c_id AS cell FROM (
+          SELECT q_id, qv, c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosc DESC, c_id) AS rn
+          FROM (SELECT q_id, qv, c_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosc
+                FROM qs, cents))
+        WHERE rn <= 2),
+      scored AS (
+        SELECT q_id, n_id,
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        FROM probes JOIN assign USING (cell)
+        WHERE q_id <> n_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+        FROM scored)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, cos
+      FROM ranked WHERE rn <= 5 ORDER BY q_id, rank"""))
+
+  /** q38 — vector norm statistics per label (order-independent
+    * min/max over per-row double norms — exercises the native dot
+    * product in an aggregation context). */
+  private val q38 = QueryDef(
+    "q38_vector_norm_stats",
+    (s, dir) => table(s, dir, "embeddings")
+      .select(col("label").cast(LongType).as("label"),
+        VectorFunctions.norm2(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy(col("label")),
+    Some("""
+      SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+             MIN(sqrt(list_dot_product(v, v))) AS min_norm,
+             MAX(sqrt(list_dot_product(v, v))) AS max_norm
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      GROUP BY 1 ORDER BY label"""))
+
   // ---------------------------------------------------------------- text
 
   private def langCaseSql: String = {
@@ -443,6 +512,70 @@ object ExtensionQueries {
              CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens
       FROM toks GROUP BY source ORDER BY source"""))
 
+  /** q43 — duplicate groups by the native rolling-hash fingerprint
+    * ([[RollingHashExpr]] inside an aggregation key): exact-dup
+    * mutants (doc_id%11, verbatim copy at id+2,000,000) synthesized
+    * identically on both engines. */
+  private val q43 = QueryDef(
+    "q43_fingerprint_dedup",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      aug.groupBy(RollingHashExpr.rolling_hash(
+          TextFunctions.normalized(col("text"))).as("fp_roll"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("fp_roll"))
+    },
+    Some(s"""
+      WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0)
+      SELECT $rollSql AS fp_roll, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM aug GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp_roll"""))
+
+  /** q44 — quality-score decile histogram: the quality filter of a
+    * training-data pipeline as a derived-metric aggregation. */
+  private val q44 = QueryDef(
+    "q44_quality_histogram",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("text"), tokens(col("text")).as("toks"))
+      .select(least(floor(qualityScoreOf(col("text"), col("toks")) * 10), lit(9))
+          .cast(LongType).as("decile"),
+        size(col("toks")).cast(LongType).as("n_tok"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("decile")),
+    Some(s"""
+      WITH toks AS (SELECT text, $toksSql AS t FROM documents)
+      SELECT CAST(least(floor(($qualitySql) * 10), 9) AS BIGINT) AS decile,
+             COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY 1 ORDER BY decile"""))
+
+  /** q46 — corpus-wide top-20 word bigrams (native shingles feeding a
+    * groupBy + top-k; ties broken lexicographically). */
+  private val q46 = QueryDef(
+    "q46_top_bigrams",
+    (s, dir) => table(s, dir, "documents")
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(
+        graft.functions.TextExprs.word_shingles(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20),
+    Some(s"""
+      WITH toks AS (SELECT $toksSql AS t FROM documents),
+      sh AS (SELECT unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])
+               ELSE [array_to_string(t, ' ')] END) AS bigram
+             FROM toks)
+      SELECT bigram, COUNT(*) AS n FROM sh
+      GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""))
+
   // ----------------------------------------------------------- multimodal
 
   /** Binary-column plumbing: text → utf-8 blob + typed metadata.
@@ -465,5 +598,5 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
-      q40, q41, q42, q50)
+      q37, q38, q40, q41, q42, q43, q44, q46, q50)
 }

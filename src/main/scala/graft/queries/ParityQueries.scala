@@ -507,7 +507,133 @@ object ParityQueries {
              quantile_cont(o_totalprice, 0.75) AS p75
       FROM orders GROUP BY 1 ORDER BY status"""))
 
+  /** q19 — range (interval) join: orders binned into calendar
+    * quarters via a non-equi date-range predicate against a small
+    * broadcast range dimension (the general form of the PIT join's
+    * interval membership, without an equi key). */
+  private val q19 = QueryDef(
+    "q19_range_join",
+    (s, dir) => {
+      val ranges = s.sql(
+        """SELECT q_start, add_months(q_start, 3) AS q_end
+          |FROM (SELECT explode(sequence(to_date('1992-01-01'),
+          |        to_date('1998-10-01'), interval 3 month)) AS q_start)""".stripMargin)
+      val o = table(s, dir, "orders")
+      o.join(broadcast(ranges),
+          o("o_orderdate") >= ranges("q_start") &&
+          o("o_orderdate") < ranges("q_end"))
+        .groupBy(col("q_start").as("quarter_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Dec)).cast(DoubleType).as("revenue"))
+        .orderBy(col("quarter_start"))
+    },
+    Some("""
+      WITH ranges AS (
+        SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-10-01',
+                                           INTERVAL 3 MONTH)) AS DATE) AS q_start)
+      SELECT q_start AS quarter_start, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN ranges
+        ON o_orderdate >= q_start AND o_orderdate < q_start + INTERVAL 3 MONTH
+      GROUP BY 1 ORDER BY quarter_start"""))
+
+  /** q26 — GROUPING SETS (the general grouping-set surface beyond
+    * q09 rollup / q14 cube), via the SQL entry point. */
+  private val q26 = QueryDef(
+    "q26_grouping_sets",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("v_orders26")
+      s.sql("""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n
+        FROM v_orders26
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status""")
+    },
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY priority, status"""))
+
+  /** q27 — left-semi join surface: customers that placed at least one
+    * order, counted per market segment. */
+  private val q27 = QueryDef(
+    "q27_semi_join",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY 1 ORDER BY segment"""))
+
+  /** q28 — running-frame window surface: cumulative revenue and
+    * inter-order gap per customer (sum over ROWS UNBOUNDED PRECEDING
+    * + lag), decimal-exact accumulation. */
+  private val q28 = QueryDef(
+    "q28_running_total",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("running_revenue",
+          sum(col("o_totalprice").cast(Dec))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast(DoubleType))
+        .withColumn("days_since_prev",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast(LongType))
+        .select(col("o_custkey").as("cust_key"),
+          col("o_orderkey").as("order_key"),
+          col("running_revenue"), col("days_since_prev"))
+        .orderBy(col("cust_key"), col("order_key"))
+    },
+    Some("""
+      SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue,
+             CAST(date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS days_since_prev
+      FROM orders ORDER BY cust_key, order_key"""))
+
+  /** q29 — correlated scalar subquery (Catalyst decorrelation):
+    * each customer's maximum-value orders. */
+  private val q29 = QueryDef(
+    "q29_scalar_subquery",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("v_orders29")
+      s.sql("""
+        SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+               o_totalprice AS total_price
+        FROM v_orders29 o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+                              FROM v_orders29 o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY cust_key, order_key""")
+    },
+    Some("""
+      SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+             o_totalprice AS total_price
+      FROM orders o
+      WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY cust_key, order_key"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q16, q17, q18)
+      q14, q15, q16, q17, q18, q19, q26, q27, q28, q29)
 }

@@ -52,4 +52,33 @@ class SimilaritySpec extends SparkSpec {
     val cos = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect().head
     assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
   }
+
+  test("native dot product is bit-identical to the HOF composition") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).select($"embedding".as("a"))
+    val pairs = e.crossJoin(e.select($"a".as("b")))
+    val native = pairs.select(VectorFunctions.dot($"a", $"b")).as[Double].collect()
+    val composed = pairs.select(VectorFunctions.dotComposed($"a", $"b")).as[Double].collect()
+    assert(native.length == 2500)
+    assert(native.toSeq == composed.toSeq) // exact bit equality
+    // float × double-literal mix (the SRP plane path)
+    val plane = VectorFunctions.hyperplane(0, 64)
+    val n2 = e.select(VectorFunctions.dot($"a", typedLit(plane))).as[Double].collect()
+    val c2 = e.select(VectorFunctions.dotComposed($"a", typedLit(plane))).as[Double].collect()
+    assert(n2.toSeq == c2.toSeq)
+  }
+
+  test("ivf top-k: self-consistent and high recall vs exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5).cache()
+    val ivf = Similarity.ivfTopK(e, q, k = 5, centroidEvery = 10, nProbe = 3).cache()
+    // every query returns ranked rows, self excluded
+    assert(ivf.filter($"q_id" === $"n_id").count() == 0)
+    val ranks = ivf.groupBy("q_id").agg(max("rank")).as[(Long, Long)].collect()
+    assert(ranks.forall(_._2 <= 5))
+    // probing 3 of ~5 cells should recover most of the true top-5
+    val recall = Similarity.recallAtK(exact, ivf)
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
 }
