@@ -58,6 +58,70 @@ object Multimodal {
     counts.map(_ / n)
   }
 
+  /** Frame sampling over the media column: fixed-size byte windows at
+    * a stride — the Spark-side plumbing of video frame-sampling (one
+    * output row per frame, ids + frame indices preserved, zero
+    * shuffle). The window slicer stands in for a real container
+    * demuxer, which would slot in behind [[decodeMedia]]; the
+    * partition-iterator shape, output schema and ordering contract are
+    * the real ones. Empty payloads produce zero frames. */
+  def sampleFrames(df: DataFrame, idCol: String = "doc_id",
+                   mediaCol: String = "media", frameBytes: Int = 256,
+                   stride: Int = 128): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false),
+      StructField("frame_bytes", LongType, nullable = false)))
+    val input = df.select(col(idCol).cast(LongType), col(mediaCol))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Iterator.range(0, bytes.length, stride).zipWithIndex.map {
+          case (off, idx) =>
+            val frame = java.util.Arrays.copyOfRange(
+              bytes, off, math.min(off + frameBytes, bytes.length))
+            Row(id, idx.toLong, frame, frame.length.toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic nearest-neighbor byte resample to `targetBytes` —
+    * the resize stage's plumbing (a real image resize would decode via
+    * [[decodeMedia]] first; the schema/partitioning/determinism
+    * contract here is the real one). Empty payloads resize to zeros. */
+  def resizeMedia(df: DataFrame, idCol: String = "doc_id",
+                  mediaCol: String = "media", targetBytes: Int = 64): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+      StructField("orig_bytes", LongType, nullable = false)))
+    val input = df.select(col(idCol).cast(LongType), col(mediaCol))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = new Array[Byte](targetBytes)
+        if (bytes.length > 0) {
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
+            i += 1
+          }
+        }
+        Row(id, out, bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-wise feature extraction over the media column: one
     * pass per partition, rows streamed through an iterator (the batch
     * shape a Python `mapInPandas`/Arrow pipeline would use — here a

@@ -3,8 +3,9 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.sources.{LakeIO, LakeZones}
 
 /** Structured Streaming surface (SURVEY.md §2.7: absent from the
   * reference, added as the scale path for continuous ingestion).
@@ -27,6 +28,39 @@ object StreamingOps {
   def ingestStream(spark: SparkSession, landingDir: String,
                    schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(landingDir)
+
+  /** Streaming exact dedup: first arrival of each key wins; duplicate
+    * arrivals inside the watermark horizon are dropped, and state for
+    * keys older than the watermark is evicted (bounded state — the
+    * streaming twin of [[graft.operators.Dedup.exactSurvivors]]).
+    * Dedup on a content fingerprint by passing e.g. a
+    * `rolling_hash(normalized(text))` column. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment: per-micro-batch broadcast hash join of
+    * the stream against a slowly-changing lake dimension (the static
+    * side is re-planned each batch, so dimension overwrites by
+    * [[LakeIO.replaceGold]] are picked up without restarting). */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Idempotent gold sink: each micro-batch lands as its own
+    * `load_id=batch-<id>` partition via dynamic partition overwrite,
+    * so a replayed batch (at-least-once delivery after recovery)
+    * REPLACES its previous partial write instead of duplicating it —
+    * the streaming face of the C7 retry-idempotency contract. */
+  def sinkToGold(stream: DataFrame, zones: LakeZones, table: String,
+                 checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        LakeIO.appendGoldRun(df.toDF(), zones, table, s"batch-$batchId")
+      }
+      .start()
 
   /** Watermarked tumbling-window aggregate (append-mode safe). */
   def tumbling(events: DataFrame, width: String = "1 hour",

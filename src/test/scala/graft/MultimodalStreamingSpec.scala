@@ -33,6 +33,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(again(0).getAs[scala.collection.Seq[Float]]("features") == f1)
   }
 
+  test("frame sampling windows the payload with stride; resize is deterministic") {
+    val docs = Seq(
+      (1L, "a" * 300),  // 300 bytes → frames at 0,128,256 = 3 frames
+      (2L, "xy"),       // shorter than frame → 1 partial frame
+      (3L, "")          // empty → no frames
+    ).toDF("doc_id", "text")
+    val packed = Multimodal.packMedia(docs, "doc_id", "text", "video/fake")
+    val frames = Multimodal.sampleFrames(packed, frameBytes = 256, stride = 128)
+      .orderBy("doc_id", "frame_idx").collect()
+    val byDoc = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc == Map(1L -> 3, 2L -> 1))
+    assert(frames.head.getLong(3) == 256L)            // full first frame
+    assert(frames.last.getLong(3) == 2L)              // partial frame kept
+    // frame boundaries: frame 1 of doc 1 starts at offset 128 → 172 bytes left? no: 300-128=172 <256
+    assert(frames(1).getLong(3) == math.min(256, 300 - 128).toLong)
+
+    val resized = Multimodal.resizeMedia(packed, targetBytes = 8)
+      .orderBy("doc_id").collect()
+    assert(resized.forall(_.getAs[Array[Byte]]("resized").length == 8))
+    assert(resized(0).getAs[Array[Byte]]("resized").forall(_ == 'a'.toByte))
+    assert(resized(2).getAs[Array[Byte]]("resized").forall(_ == 0)) // empty → zeros
+    // determinism
+    val again = Multimodal.resizeMedia(packed, targetBytes = 8)
+      .orderBy("doc_id").collect()
+    assert(again(1).getAs[Array[Byte]]("resized").toSeq ==
+      resized(1).getAs[Array[Byte]]("resized").toSeq)
+  }
+
   test("decode seam is a stub by contract") {
     intercept[NotImplementedError] {
       Multimodal.decodeMedia("image/png", Array[Byte](1, 2, 3))
@@ -78,6 +106,66 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(emitted(0).n_events == 2L && emitted(0).sum_value == 3.0)
     assert(emitted(0).session_start_ms ==
       Timestamp.valueOf("2024-01-01 00:00:00").getTime)
+  }
+
+  test("streaming dedup drops in-watermark duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(mem.toDF(), Seq("event_id"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_s").outputMode("append").start()
+    mem.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "a", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 00:01:00"), 1, "a", 2.0),
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:30"), 1, "a", 9.9)) // in-batch dup
+    q.processAllAvailable()
+    mem.addData(
+      Event(2, Timestamp.valueOf("2024-01-01 00:02:00"), 1, "a", 9.9), // cross-batch dup
+      Event(3, Timestamp.valueOf("2024-01-01 00:03:00"), 1, "a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_s").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static enrichment joins the lake dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.enrich(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_s").outputMode("append").start()
+    mem.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "a", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 00:00:10"), 7, "a", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_s")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).contains("gold"))
+    assert(rows(2L).isEmpty) // left join keeps unmatched stream rows
+  }
+
+  test("foreachBatch gold sink writes idempotent per-batch partitions") {
+    import graft.sources.{LakeIO, LakeZones}
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_ssink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val zones = LakeZones(lake)
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sinkToGold(mem.toDF(), zones, "events_gold", ckpt)
+    mem.addData(Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, Timestamp.valueOf("2024-01-01 00:01:00"), 2, "a", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val gold = LakeIO.readGold(spark, zones, "events_gold")
+    assert(gold.count() == 2)
+    assert(gold.select("load_id").distinct().count() == 2)
+    // a replayed batch overwrites its own partition, not appends
+    val replay = Seq(Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "a", 1.0))
+      .toDF()
+    LakeIO.appendGoldRun(replay, zones, "events_gold", "batch-0")
+    assert(LakeIO.readGold(spark, zones, "events_gold").count() == 2)
   }
 
   test("late cross-batch event extends an open session backward") {
