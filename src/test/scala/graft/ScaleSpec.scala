@@ -56,6 +56,33 @@ class ScaleSpec extends SparkSpec {
     assert(LakeIO.readBronze(spark, zones, "t", None).count() == 3)
   }
 
+  test("filters and projections reach the parquet scan") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val q = li.filter($"l_quantity" > 30)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    // predicate pushed into the file source (row-group/page skipping)
+    assert(scan.contains("PushedFilters") &&
+      scan.replaceAll("\\s", "").contains("GreaterThan(l_quantity,30"),
+      s"filter must reach the scan:\n${scan.take(900)}")
+    // column pruning: the scan reads ONLY the two projected columns
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
+  test("whole-stage codegen covers the aggregate hot path") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val agg = li.groupBy($"l_returnflag").agg(sum($"l_quantity"))
+    agg.collect() // AQE finalizes (and codegens) the plan on execution
+    val plan = agg.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string
+    assert(plan.contains("*("), plan.take(600))
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")),
+      s"aggregate must sit inside a codegen span:\n${plan.take(600)}")
+  }
+
   test("salted join: correct result and hot key spread across salts") {
     // hot key: 10k facts on one key, 10 on another
     val facts = ((1 to 10000).map(i => (1L, i.toLong)) ++
