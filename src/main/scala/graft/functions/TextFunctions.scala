@@ -19,6 +19,20 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-style pre-tokenization pattern (the word/number/punct split
+    * GPT-2-family tokenizers apply before merges): letter runs, digit
+    * runs, and single non-alphanumeric marks. Kept to portable regex
+    * constructs so the DuckDB oracle matches byte-for-byte. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Subword-ish tokens under [[BpePattern]] ("don't" → don, ', t —
+    * closer to a real tokenizer's unit count than whitespace words).
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
   /** Character k-shingles; texts shorter than k collapse to one
     * whole-text shingle (guards `sequence`'s descending-step trap). */
   def charShingles(c: Column, k: Int): Column =

@@ -31,7 +31,14 @@ import graft.functions.JdeFunctions.rowHash
   *    `row_number` window;
   *  - the whole merge is one shuffle-light DAG: hash (narrow) →
   *    broadcast join (narrow) → two filters over the cached join →
-  *    union (narrow).
+  *    union (narrow);
+  *  - the result references the input dimension THREE times (expire /
+  *    untouched / key seed), so chaining merges without materializing
+  *    between rounds grows the analyzed plan ~3^n. Persist the
+  *    returned state before the next merge — the pipeline does this
+  *    naturally by writing the dimension to the lake
+  *    ([[graft.sources.LakeIO.replaceGold]]); in-memory chains should
+  *    `localCheckpoint()`.
   */
 object Scd2 {
 

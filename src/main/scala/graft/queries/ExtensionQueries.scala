@@ -576,6 +576,33 @@ object ExtensionQueries {
       SELECT bigram, COUNT(*) AS n FROM sh
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""))
 
+  /** q47 — BPE-style token statistics vs whitespace tokens per
+    * source: the tokenizer-aware counting a training-data budget is
+    * planned against. */
+  private val q47 = QueryDef(
+    "q47_bpe_token_stats",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("source"),
+        bpeTokenCount(col("text")).cast(LongType).as("n_bpe"),
+        tokenCount(col("text")).cast(LongType).as("n_ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        max(col("n_bpe")).as("max_bpe_tokens"))
+      .orderBy(col("source")),
+    Some(s"""
+      WITH t AS (
+        SELECT source,
+               len(regexp_extract_all(text, '${TextFunctions.BpePattern}')) AS n_bpe,
+               len($toksSql) AS n_ws
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+             CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+             CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
+      FROM t GROUP BY source ORDER BY source"""))
+
   // ----------------------------------------------------------- multimodal
 
   /** Binary-column plumbing: text → utf-8 blob + typed metadata.
@@ -598,5 +625,5 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
-      q37, q38, q40, q41, q42, q43, q44, q46, q50)
+      q37, q38, q40, q41, q42, q43, q44, q46, q47, q50)
 }

@@ -56,6 +56,49 @@ class Scd2Spec extends SparkSpec {
     assert(dim2.exceptAll(dim1).count() == 0)
   }
 
+  test("randomized merge sequences match an in-memory model (SURVEY §5.2)") {
+    val rnd = new scala.util.Random(42) // seeded → deterministic run
+    var dim = Scd2.emptyDim(spark, b1, spec)
+    var model = Map.empty[Long, (String, String, String)]
+    var versions = 0L
+    for (step <- 1 to 6) {
+      val rows = (1L to 12L).flatMap { k =>
+        if (rnd.nextBoolean())
+          Some((k, s"name-${rnd.nextInt(3)}", "C", s"cat-${rnd.nextInt(3)}"))
+        else None
+      }
+      if (rows.nonEmpty) {
+        val changed = rows.filterNot(r => model.get(r._1).contains((r._2, r._3, r._4)))
+        // localCheckpoint breaks lineage between rounds: each merge
+        // references the prior dimension three times (expire/untouch/
+        // key-seed), so an unbroken 6-deep chain grows the analyzed
+        // plan ~3^n and stalls planning. Real pipelines break it the
+        // same way by persisting the dimension between runs.
+        dim = Scd2.merge(dim, batch(rows: _*), spec,
+          ts(f"2024-0$step%d-01 00:00:00")).localCheckpoint()
+        model ++= changed.map(r => r._1 -> ((r._2, r._3, r._4)))
+        versions += changed.size
+        // model agreement: active rows are exactly the model state
+        val active = dim.filter($"IsActive")
+          .select("CustomerID", "CustomerName", "SearchType", "CategoryCode")
+          .as[(Long, String, String, String)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        assert(active == model, s"step $step")
+        // row count: one row per historical version, keys unique
+        assert(dim.count() == versions, s"step $step")
+        assert(dim.select("CustomerKey").distinct().count() == versions)
+        // one active row per key; expired rows chain contiguously
+        assert(dim.filter($"IsActive").groupBy("CustomerID").count()
+          .filter($"count" =!= 1).count() == 0)
+        val gaps = dim.as("a").join(dim.as("b"),
+          $"a.CustomerID" === $"b.CustomerID" &&
+          $"a.ValidTo" === $"b.ValidFrom").count()
+        assert(gaps == dim.filter(!$"IsActive").count(), s"step $step")
+      }
+    }
+    assert(versions > 12, "scenario exercised repeated version churn")
+  }
+
   test("invariants: one active row per key; non-overlapping contiguous ranges") {
     val b2 = batch((10L, "Acme2", "C", "100"), (20L, "Globex", "C", "999"),
       (30L, "Initech", "C", "300"))
