@@ -102,6 +102,39 @@ object ExtensionQueries {
              prior_click AS prior_click_id
       FROM scanned WHERE side = 1 ORDER BY purchase_id"""))
 
+  /** q49 — gap sessionization via Spark's BUILT-IN `session_window`
+    * operator (the Spark-first twin of q22's manual lag+cumsum
+    * formulation; same shuffle shape, one groupBy on user_id). Window
+    * end is exclusive: last event + gap. */
+  private val q49 = QueryDef(
+    "q49_session_window",
+    (s, dir) => eventsTable(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_gap_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_ms")),
+    Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+      s AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS seq
+        FROM f)
+      SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+             epoch_ms(MAX(ts)) + 1800000 AS session_end_gap_ms,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, seq ORDER BY user_id, session_start_ms"""))
+
   /** q24 — approximate distinct (HLL sketch) per event type: no exact
     * SQL twin (sketch estimates are engine-specific), so rows-only;
     * the accuracy bound vs exact countDistinct is asserted in
@@ -625,5 +658,5 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
-      q37, q38, q40, q41, q42, q43, q44, q46, q47, q50)
+      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50)
 }
