@@ -198,11 +198,17 @@ object Dedup {
     * codegen'd hash joins/aggregates — no interpreted
     * `array_intersect` over every candidate pair. At 100 TB the one
     * scale hazard is a degenerate ultra-frequent shingle inside one
-    * block (quadratic bucket): cap it upstream by dropping
-    * stopword-grams (document-frequency filter) before calling. */
+    * block (quadratic posting list); `maxPostings` drops such
+    * stopword-gram postings before pair generation (document-frequency
+    * cap). The default (None) is exact; with a cap, a pair's
+    * `n_inter` misses only its capped shingles, biasing jaccard DOWN
+    * — near-dup pairs sharing mostly-rare shingles still surface
+    * (standard prefix-filter-style approximation; the oracle query
+    * runs uncapped, so capped mode is spec-verified instead). */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", blockCol: String = "source",
-                   shingleSize: Int = 3, threshold: Double = 0.3): DataFrame = {
+                   shingleSize: Int = 3, threshold: Double = 0.3,
+                   maxPostings: Option[Int] = None): DataFrame = {
     val exploded = docs.select(
         col(idCol).cast(LongType).as("id"),
         concat_ws("#", col(blockCol), (length(col(textCol)) / 64).cast(LongType)).as("blk"),
@@ -217,9 +223,12 @@ object Dedup {
     // per side — and with AQE, broadcast the full exploded relation).
     // Singleton postings (the vast majority of distinct shingles) are
     // pruned before any pair exists.
-    exploded.groupBy(col("blk"), col("s"))
+    val postings = exploded.groupBy(col("blk"), col("s"))
       .agg(collect_list(struct(col("id"), col("n"))).as("ms"))
       .filter(size(col("ms")) > 1)
+    val capped = maxPostings.fold(postings)(cap =>
+      postings.filter(size(col("ms")) <= cap))
+    capped
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))

@@ -130,4 +130,26 @@ class DedupSpec extends SparkSpec {
     val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(j12.exists(_.getDouble(2) == 1.0))
   }
+
+  test("ngram jaccard posting cap drops hot shingles, biases jaccard down") {
+    // doc 6/7: near-dups; every doc shares the hot shingle "x x x"
+    val hot = Seq(
+      (6L, "x x x alpha beta gamma delta", "s0"),
+      (7L, "x x x alpha beta gamma epsilon", "s0"),
+      (8L, "x x x totally different words here", "s0")
+    ).toDF("doc_id", "text", "source")
+    val exact = Dedup.ngramJaccard(hot, threshold = 0.1)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // cap=2 drops the "x x x"-area postings shared by all 3 docs
+    val capped = Dedup.ngramJaccard(hot, threshold = 0.1, maxPostings = Some(2))
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the near-dup pair survives capping, scored no higher than exact
+    assert(capped.contains((6L, 7L)))
+    assert(capped((6L, 7L)) <= exact((6L, 7L)))
+    // pairs held together ONLY by the hot shingles disappear
+    assert(exact.contains((6L, 8L)) || exact.contains((7L, 8L)))
+    assert(capped.keySet.subsetOf(exact.keySet))
+  }
 }
