@@ -656,7 +656,47 @@ object ExtensionQueries {
              md5(text) AS media_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** q51 — declarative data-quality report: the reference's PK/FK/
+    * NOT NULL serving-side constraints (`fact_sales.sql:43-47`)
+    * verified as lake-native checks (SURVEY §1.4). The orphan-FK case
+    * is synthesized identically on both engines (every 13th order's
+    * custkey shifted out of range). */
+  private val q51 = QueryDef(
+    "q51_dq_report",
+    (s, dir) => {
+      val customer = table(s, dir, "customer")
+      val orders0 = table(s, dir, "orders")
+      val orders = orders0.withColumn("o_custkey",
+        when(col("o_orderkey") % 13 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")))
+      graft.operators.Quality.report(Seq(
+        graft.operators.Quality.notNull(orders,
+          Seq("o_orderkey", "o_custkey", "o_orderdate"), "fact_not_null"),
+        graft.operators.Quality.unique(orders, Seq("o_orderkey"), "fact_pk"),
+        graft.operators.Quality.foreignKey(orders, "o_custkey",
+          customer, "c_custkey", name = "fact_fk_customer")))
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 10000000
+                    ELSE o_custkey END AS o_custkey
+        FROM orders)
+      SELECT 'fact_not_null' AS check_name, COUNT(*) AS n_checked,
+             COUNT(*) FILTER (WHERE o_orderkey IS NULL OR o_custkey IS NULL
+                              OR o_orderdate IS NULL) AS n_violations
+      FROM o
+      UNION ALL
+      SELECT 'fact_pk', COUNT(*), COUNT(*) - COUNT(DISTINCT o_orderkey) FROM o
+      UNION ALL
+      SELECT 'fact_fk_customer', COUNT(*),
+             COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey))
+      FROM o
+      ORDER BY check_name"""))
+
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
-      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50)
+      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51)
 }

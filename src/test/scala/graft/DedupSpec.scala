@@ -111,6 +111,25 @@ class DedupSpec extends SparkSpec {
     assert(m.get((1L, 3L)).exists(_ <= 8L))
   }
 
+  test("quality checks: not-null, pk uniqueness, fk orphans") {
+    import graft.operators.Quality
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val fact = Seq(
+      (10L, Some(1L)), (11L, Some(2L)), (12L, Some(9L)), // 9 = orphan
+      (13L, None), (13L, Some(1L))                       // null FK + dup PK
+    ).toDF("id", "fk")
+    val rep = Quality.report(Seq(
+      Quality.notNull(fact, Seq("fk")),
+      Quality.unique(fact, Seq("id")),
+      Quality.foreignKey(fact, "fk", dim, "k"),
+      Quality.foreignKey(fact, "fk", dim, "k", nullable = true, name = "fk_nullable")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("not_null(fk)") == ((5L, 1L)))
+    assert(rep("unique(id)") == ((5L, 1L)))
+    assert(rep("fk(fk->k)") == ((5L, 2L)))       // orphan + null
+    assert(rep("fk_nullable") == ((4L, 1L)))     // null exempted
+  }
+
   test("embedding near-dup finds scaled copies via cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f), 0),
