@@ -696,7 +696,36 @@ object ExtensionQueries {
       FROM o
       ORDER BY check_name"""))
 
+  /** q52 — deterministic hash-bucket sampling: a reproducible 20%
+    * sample (plus a disjoint 10% eval slice) summarized per source —
+    * membership is a pure function of doc_id, so any engine computes
+    * the same split. */
+  private val q52 = QueryDef(
+    "q52_hash_sample",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      val sampled = graft.operators.Sampling
+        .deterministicSample(d, "doc_id", 20)
+        .withColumn("slice", lit("sample20"))
+      val (_, eval) = graft.operators.Sampling.trainEvalSplit(d, "doc_id", 10)
+      sampled.unionByName(eval.withColumn("slice", lit("eval10")))
+        .groupBy(col("slice"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("slice"), col("source"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        FROM documents),
+      sliced AS (
+        SELECT 'sample20' AS slice, source, n_chars FROM b WHERE bkt < 20
+        UNION ALL
+        SELECT 'eval10', source, n_chars FROM b WHERE bkt < 10)
+      SELECT slice, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM sliced GROUP BY 1, 2 ORDER BY slice, source"""))
+
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
-      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51)
+      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51, q52)
 }

@@ -130,6 +130,29 @@ class DedupSpec extends SparkSpec {
     assert(rep("fk_nullable") == ((4L, 1L)))     // null exempted
   }
 
+  test("deterministic sampling: stable, stratified, and split-disjoint") {
+    import graft.operators.Sampling
+    val ids = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val s20 = Sampling.deterministicSample(ids, "id", 20)
+    val n = s20.count()
+    assert(n > 300 && n < 500, s"~20% expected, got $n")  // md5 buckets ≈ uniform
+    // rerun identical (purely id-derived, no RNG state)
+    assert(Sampling.deterministicSample(ids, "id", 20)
+      .exceptAll(s20).count() == 0)
+    // smaller rate is a subset of larger rate (nested by construction)
+    val s10 = Sampling.deterministicSample(ids, "id", 10)
+    assert(s10.exceptAll(s20).count() == 0)
+    // stratified: stratum b kept at 0 by default
+    val strat = Sampling.stratifiedSample(ids, "id", "src", Map("a" -> 50))
+    assert(strat.filter($"src" === "b").count() == 0)
+    assert(strat.filter($"src" === "a").count() > 0)
+    // train/eval partition the corpus disjointly
+    val (train, eval) = Sampling.trainEvalSplit(ids, "id", 10)
+    assert(train.count() + eval.count() == 2000L)
+    assert(train.join(eval, Seq("id"), "left_semi").count() == 0)
+  }
+
   test("embedding near-dup finds scaled copies via cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f), 0),
