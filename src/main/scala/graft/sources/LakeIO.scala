@@ -136,4 +136,27 @@ object LakeIO {
 
   def readGold(spark: SparkSession, zones: LakeZones, table: String): DataFrame =
     spark.read.parquet(zones.gold(table))
+
+  /** Small-file compaction: rewrite a zone table into
+    * ceil(bytes / targetFileBytes) right-sized files via the staged
+    * swap (atomic like [[replaceGold]], no reader ever sees a partial
+    * table). Streaming/incremental appends (per-batch `load_id`
+    * partitions, daily Bronze landings) accrete files far smaller
+    * than a scan-efficient parquet target — at 100 TB the file count,
+    * not the byte count, is what kills scan planning and open() cost.
+    * Partition columns (e.g. `load_id`) collapse into plain data
+    * columns, so compact a table only after its append window closes
+    * (a later retry of an already-compacted load_id would append, not
+    * replace). Returns the resulting file count. */
+  def compactGold(spark: SparkSession, zones: LakeZones, table: String,
+                  targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(zones.gold(table))
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(target).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(zones.gold(table)).repartition(nFiles)
+    replaceGold(df, zones, table)
+    nFiles
+  }
 }

@@ -113,6 +113,30 @@ class PipelineSpec extends SparkSpec {
     assert(LakeIO.readGold(spark, zones, "dim_customer").count() == 51)
   }
 
+  test("compaction collapses small files atomically, preserving rows") {
+    val lake = mkTmp()
+    val zones = LakeZones(lake)
+    // accrete 8 tiny load batches → >= 8 files
+    (0 until 8).foreach { i =>
+      LakeIO.appendGoldRun(
+        Seq((i.toLong, s"row$i")).toDF("id", "v"), zones, "tiny", s"b$i")
+    }
+    def dataFiles(): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(Paths.get(s"$lake/gold/tiny")).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    assert(dataFiles() >= 8)
+    val before = LakeIO.readGold(spark, zones, "tiny")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val n = LakeIO.compactGold(spark, zones, "tiny")
+    assert(n == 1) // 8 tiny rows ≪ target file size
+    assert(dataFiles() == 1)
+    val after = LakeIO.readGold(spark, zones, "tiny")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after == before) // rows and load_id column preserved
+  }
+
   test("retry wrapper retries then alerts with stage context") {
     var calls = 0; var alerted: Option[String] = None
     intercept[RuntimeException] {
