@@ -38,30 +38,50 @@ object EventWindows {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** As-of enrichment: for each right-side event, the latest
-    * left-side event of the same user at-or-before it (nearest-prior
-    * semantics, the "as-of join" of time-series engines). Expressed
-    * as union-tag + running `last_value(ignoreNulls)` over one
-    * user-partitioned ordering — a single shuffle, no range join, no
-    * per-row probe; scales as a plain window. */
+  /** As-of enrichment: for each right-side event, the nearest
+    * left-side event of the same user — at-or-before (`"backward"`,
+    * the default) or at-or-after (`"forward"`), optionally only
+    * within `toleranceMs` (pandas `merge_asof` semantics). Expressed
+    * as union-tag + one running `last/first(ignoreNulls)` window over
+    * one user-partitioned ordering — a single shuffle, no range join,
+    * no per-row probe; scales as a plain window.
+    *
+    * At equal timestamps the left row is eligible in BOTH directions
+    * ("at or ..."): the left side sorts before right for backward and
+    * after right for forward. */
   def asOfJoin(left: DataFrame, right: DataFrame,
                userCol: String = "user_id", tsCol: String = "ts",
-               payloadCol: String = "event_id"): DataFrame = {
+               payloadCol: String = "event_id",
+               direction: String = "backward",
+               toleranceMs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+    val (leftSide, rightSide) = if (backward) (0, 1) else (1, 0)
+    val payT = left.schema(payloadCol).dataType.catalogString
     val tagged = left.select(col(userCol), col(tsCol),
-        col(payloadCol).as("_asof_payload"), lit(0).as("_side"),
-        lit(null).cast("long").as("_rid"))
+        struct(unix_millis(col(tsCol)).as("_t"),
+          col(payloadCol).as("_p")).as("_pay"),
+        lit(leftSide).as("_side"), lit(null).cast("long").as("_rid"))
       .unionByName(right.select(col(userCol), col(tsCol),
-        lit(null).cast(left.schema(payloadCol).dataType.catalogString).as("_asof_payload"),
-        lit(1).as("_side"), col(payloadCol).cast("long").as("_rid")))
-    // left rows sort before right rows at equal ts → "at or before"
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+        lit(null).cast(s"struct<_t:bigint,_p:$payT>").as("_pay"),
+        lit(rightSide).as("_side"), col(payloadCol).cast("long").as("_rid")))
+    val w0 = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("_side"))
+    val (w, pick) =
+      if (backward)
+        (w0.rowsBetween(Window.unboundedPreceding, 0),
+          last(col("_pay"), ignoreNulls = true))
+      else
+        (w0.rowsBetween(0, Window.unboundedFollowing),
+          first(col("_pay"), ignoreNulls = true))
+    val gapOk = toleranceMs.fold(lit(true)) { tol =>
+      abs(col("_m._t") - unix_millis(col(tsCol))) <= tol
+    }
     tagged
-      .withColumn("_prior", last(col("_asof_payload"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn("_m", pick.over(w))
+      .filter(col("_rid").isNotNull)
       .select(col(userCol), col("_rid").as("right_id"), col(tsCol),
-        col("_prior").as("asof_left_id"))
+        when(col("_m").isNotNull && gapOk, col("_m._p")).as("asof_left_id"))
   }
 
   /** Gap-based sessionization: a new session starts when a user is

@@ -102,6 +102,43 @@ object ExtensionQueries {
              prior_click AS prior_click_id
       FROM scanned WHERE side = 1 ORDER BY purchase_id"""))
 
+  /** q53 — forward as-of join with tolerance: each click enriched
+    * with the user's NEXT purchase within 2 hours (conversion
+    * attribution — the directional/tolerance half of the as-of
+    * surface q23 opens). */
+  private val q53 = QueryDef(
+    "q53_asof_forward",
+    (s, dir) => {
+      val e = eventsTable(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+      val purchases = e.filter(col("event_type") === "purchase")
+      EventWindows.asOfJoin(purchases, clicks,
+          direction = "forward", toleranceMs = Some(2L * 3600 * 1000))
+        .select(col("user_id"), col("right_id").as("click_id"),
+          unix_millis(col("ts")).as("click_ts_ms"),
+          col("asof_left_id").as("next_purchase_id"))
+        .orderBy(col("click_id"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      tagged AS (
+        SELECT user_id, ts, event_id AS pay, 1 AS side, NULL AS rid
+        FROM e WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, NULL, 0, event_id FROM e WHERE event_type = 'click'),
+      scanned AS (
+        SELECT *,
+          FIRST_VALUE(pay IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, side
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt,
+          FIRST_VALUE(CASE WHEN side = 1 THEN epoch_ms(ts) END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, side
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_ts
+        FROM tagged)
+      SELECT user_id, rid AS click_id, epoch_ms(ts) AS click_ts_ms,
+             CASE WHEN nxt_ts - epoch_ms(ts) <= 7200000 THEN nxt END AS next_purchase_id
+      FROM scanned WHERE rid IS NOT NULL ORDER BY click_id"""))
+
   /** q49 — gap sessionization via Spark's BUILT-IN `session_window`
     * operator (the Spark-first twin of q22's manual lag+cumsum
     * formulation; same shuffle shape, one groupBy on user_id). Window
@@ -727,5 +764,5 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
-      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51, q52)
+      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51, q52, q53)
 }

@@ -34,6 +34,34 @@ class EventWindowsSpec extends SparkSpec {
     assert(got(300L).isEmpty)
   }
 
+  test("asOfJoin forward picks nearest next left event, honors tolerance") {
+    val purchases = ev(
+      (100L, "2024-01-01 01:00:00", 1L),
+      (101L, "2024-01-01 06:00:00", 1L))
+    val clicks = ev(
+      (10L, "2024-01-01 00:30:00", 1L), // next purchase 100 at +30min
+      (11L, "2024-01-01 01:00:00", 1L), // ties purchase 100 → at-or-after → 100
+      (12L, "2024-01-01 02:00:00", 1L), // next purchase 101 at +4h → outside 2h tol
+      (13L, "2024-01-01 07:00:00", 1L), // nothing after → null
+      (20L, "2024-01-01 00:00:00", 2L)) // user with no purchases → null
+    val got = EventWindows.asOfJoin(purchases, clicks,
+        direction = "forward", toleranceMs = Some(2L * 3600 * 1000))
+      .select($"right_id", $"asof_left_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(10L).contains(100L))
+    assert(got(11L).contains(100L))
+    assert(got(12L).isEmpty) // match exists but outside tolerance
+    assert(got(13L).isEmpty)
+    assert(got(20L).isEmpty)
+    // backward with tolerance also nulls distant matches
+    val back = EventWindows.asOfJoin(clicks, purchases,
+        toleranceMs = Some(30L * 60 * 1000))
+      .select($"right_id", $"asof_left_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(back(100L).contains(11L))  // tie at 0ms gap
+    assert(back(101L).isEmpty)        // prior click 12 is 4h away > 30min
+  }
+
   test("approx_count_distinct within 5% of exact on events fixture") {
     val e = graft.queries.QueryDef.eventsTable(spark, "/root/testdata/sf0.01")
     val both = e.groupBy($"event_type")
