@@ -673,6 +673,35 @@ object ExtensionQueries {
              CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
       FROM t GROUP BY source ORDER BY source"""))
 
+  /** q54 — character-shingle profile over a bounded 512-char prefix
+    * (prefix cap keeps per-row cost constant at any document size):
+    * distinct char-4-grams per source, the character-level analog of
+    * the word-shingle surface. */
+  private val q54 = QueryDef(
+    "q54_char_shingles",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("source"),
+        array_distinct(TextFunctions.charShingles(
+          substring(col("text"), 1, 512), 4)).as("sh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("sh"))).cast(LongType).as("total_distinct_shingles"),
+        max(size(col("sh"))).cast(LongType).as("max_distinct_shingles"))
+      .orderBy(col("source")),
+    Some("""
+      WITH p AS (SELECT source, substr(text, 1, 512) AS t FROM documents),
+      sh AS (
+        SELECT source,
+               len(list_distinct(CASE WHEN length(t) >= 4
+                 THEN list_transform(generate_series(1, length(t) - 3),
+                                     i -> substr(t, CAST(i AS INT), 4))
+                 ELSE [t] END)) AS n
+        FROM p)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS total_distinct_shingles,
+             CAST(MAX(n) AS BIGINT) AS max_distinct_shingles
+      FROM sh GROUP BY source ORDER BY source"""))
+
   // ----------------------------------------------------------- multimodal
 
   /** Binary-column plumbing: text → utf-8 blob + typed metadata.
@@ -764,5 +793,6 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
-      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51, q52, q53)
+      q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51, q52, q53,
+      q54)
 }
