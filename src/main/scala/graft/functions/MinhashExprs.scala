@@ -57,41 +57,48 @@ object MinhashExprs {
   }
 
   /** array<string> shingles → array<long> base hashes (one hash60
-    * per element, single codegen call per row). */
+    * per element, single codegen call per row). Null elements map to
+    * null hashes, matching the built-ins twin (`md5(null)` → null). */
   def baseHashes(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = hash60(arr.getUTF8String(i))
+      if (!arr.isNullAt(i)) out(i) = hash60(arr.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(out)
   }
 
   /** array<long> base hashes → array<long> minhash signature: entry j
-    * is min over elements of (h·A(j)+B(j)) mod P. Empty input yields
-    * all-null entries, matching `array_min(transform([], …))`. */
+    * is min over non-null elements of (h·A(j)+B(j)) mod P. Null
+    * elements are skipped and an empty / all-null input yields
+    * all-null entries — matching `array_min(transform(…))`, which
+    * ignores nulls and returns null on an empty array. */
   def signature(hs: ArrayData, numHashes: Int): ArrayData = {
     val n = hs.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
     val as = new Array[Long](numHashes)
     val bs = new Array[Long](numHashes)
     var j = 0
     while (j < numHashes) { as(j) = familyA(j); bs(j) = familyB(j); j += 1 }
     val out = new Array[Long](numHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      j = 0
-      while (j < numHashes) {
-        val v = (h * as(j) + bs(j)) % P
-        if (v < out(j)) out(j) = v
-        j += 1
+      if (!hs.isNullAt(i)) {
+        any = true
+        val h = hs.getLong(i)
+        j = 0
+        while (j < numHashes) {
+          val v = (h * as(j) + bs(j)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!any) return new GenericArrayData(new Array[Any](numHashes))
     new GenericArrayData(out)
   }
 
@@ -107,7 +114,13 @@ object MinhashExprs {
 /** array<string> → array<long>: md5-60-bit base hash per element. */
 case class MinhashBaseHashExpr(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements propagate (md5(null) → null), so the output can
+  // hold nulls exactly when the input can
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -26,10 +26,14 @@ object TextExprs {
     * branch, including the empty-array → [""] case). */
   def shingles(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
+    // null tokens → null parts, which concatWs skips — same as the
+    // twin's concat_ws (and avoids undefined reads on UnsafeArrayData)
+    def part(i: Int): UTF8String =
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i)
     if (len < n) {
       val parts = new Array[UTF8String](len)
       var i = 0
-      while (i < len) { parts(i) = arr.getUTF8String(i); i += 1 }
+      while (i < len) { parts(i) = part(i); i += 1 }
       new GenericArrayData(Array[Any](UTF8String.concatWs(Space, parts: _*)))
     } else {
       val out = new Array[Any](len - n + 1)
@@ -37,7 +41,7 @@ object TextExprs {
       while (i <= len - n) {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        while (j < n) { parts(j) = part(i + j); j += 1 }
         out(i) = UTF8String.concatWs(Space, parts: _*)
         i += 1
       }
@@ -65,6 +69,10 @@ object TextExprs {
     val d = simhashMd5.get()
     var i = 0
     while (i < n) {
+      // null tokens cast no vote but still count toward n — the twin's
+      // `filter` drops them (null predicate) while `size(toks)` keeps them
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       d.reset()
       val digest = d.digest(arr.getUTF8String(i).getBytes)
       var b = 0
@@ -75,6 +83,7 @@ object TextExprs {
         b += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var b = 0

@@ -93,7 +93,24 @@ object LakeIO {
     * must be stable across retries of a run and unique per run (the
     * ingest date works). */
   def appendGoldRun(df: DataFrame, zones: LakeZones, table: String,
-                    loadId: String): Unit =
+                    loadId: String): Unit = {
+    // Fail fast on a layout clash: if the target already holds
+    // root-level (non-partitioned) data files — e.g. a compactGold
+    // rewrite — adding load_id=... partition dirs next to them makes
+    // Spark partition discovery reject the whole table at read time.
+    // Better to refuse the write than to poison the table.
+    import org.apache.hadoop.fs.Path
+    val target = new Path(zones.gold(table))
+    val fs = target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(target)) {
+      val rootData = fs.listStatus(target).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      require(!rootData,
+        s"$target holds non-partitioned data files; appending a " +
+          "load_id= partition would mix layouts and break partition " +
+          "discovery. Compact with preservePartitions=true, or " +
+          "overwrite the table instead.")
+    }
     df.withColumn("load_id", lit(loadId))
       .write
       .partitionBy("load_id")
@@ -101,6 +118,7 @@ object LakeIO {
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
       .parquet(zones.gold(table))
+  }
 
   /** Plain full overwrite. NOT safe when `df` reads from the target
     * path — use [[replaceGold]] for read-modify-write cycles. */
@@ -113,18 +131,25 @@ object LakeIO {
     * and writes its successor). The new state is fully materialized
     * into a staging directory — the live directory is untouched while
     * the job runs, so the plan can keep reading the files it started
-    * from — then swapped in with two FS renames. No window exists in
-    * which the dimension is partially written, and no reliance on
-    * cache retention (ADVICE r01). */
-  def replaceGold(df: DataFrame, zones: LakeZones, table: String): Unit = {
+    * from — then swapped in with two FS renames. Readers never see a
+    * partially-written state: they see the old table, or the new one,
+    * or (in the brief rename window, or after a crash inside it) a
+    * missing directory — which the next replaceGold/readGoldRecovering
+    * repairs from the `.old`/`.staging` leftovers before proceeding.
+    * Pass `partitionCols` to keep a hive-partitioned layout through
+    * the rewrite. */
+  def replaceGold(df: DataFrame, zones: LakeZones, table: String,
+                  partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(zones.gold(table))
     val staging = new Path(zones.gold(table) + ".staging")
     val retired = new Path(zones.gold(table) + ".old")
     val fs = target.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
+    recoverGold(fs, target, staging, retired)
     fs.delete(staging, true)
-    df.write.mode("overwrite").option("compression", "snappy")
+    val w = df.write.mode("overwrite").option("compression", "snappy")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging.toString)
     fs.delete(retired, true)
     if (fs.exists(target)) {
@@ -134,29 +159,100 @@ object LakeIO {
     fs.delete(retired, true)
   }
 
+  /** Crash recovery for the swap window: if a previous replaceGold
+    * died between retiring the live table and publishing staging, the
+    * target is missing but its content survives in `.old` (complete
+    * previous state) and possibly `.staging` (complete next state).
+    * Prefer the fully-written NEW state when present — it was the
+    * outcome the crashed call was committing — else restore the old. */
+  private def recoverGold(fs: org.apache.hadoop.fs.FileSystem,
+                          target: org.apache.hadoop.fs.Path,
+                          staging: org.apache.hadoop.fs.Path,
+                          retired: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(target)) {
+      // A staging dir is complete iff the committer wrote _SUCCESS —
+      // a crash mid-write (no prior target at all) leaves no marker.
+      val stagingComplete = fs.exists(
+        new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+      if (stagingComplete) {
+        require(fs.rename(staging, target), s"could not publish $staging")
+        fs.delete(retired, true)
+      } else if (fs.exists(retired)) {
+        require(fs.rename(retired, target), s"could not restore $retired")
+      }
+    }
+
+  /** Read a gold table, first repairing any dangling replaceGold swap
+    * (see [[replaceGold]]); use where a reader may race a crashed
+    * writer. */
+  def readGoldRecovering(spark: SparkSession, zones: LakeZones,
+                         table: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(zones.gold(table))
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverGold(fs, target, new Path(zones.gold(table) + ".staging"),
+      new Path(zones.gold(table) + ".old"))
+    spark.read.parquet(zones.gold(table))
+  }
+
   def readGold(spark: SparkSession, zones: LakeZones, table: String): DataFrame =
     spark.read.parquet(zones.gold(table))
 
   /** Small-file compaction: rewrite a zone table into
-    * ceil(bytes / targetFileBytes) right-sized files via the staged
+    * ~ceil(bytes / targetFileBytes) right-sized files via the staged
     * swap (atomic like [[replaceGold]], no reader ever sees a partial
     * table). Streaming/incremental appends (per-batch `load_id`
     * partitions, daily Bronze landings) accrete files far smaller
     * than a scan-efficient parquet target — at 100 TB the file count,
     * not the byte count, is what kills scan planning and open() cost.
-    * Partition columns (e.g. `load_id`) collapse into plain data
-    * columns, so compact a table only after its append window closes
-    * (a later retry of an already-compacted load_id would append, not
-    * replace). Returns the resulting file count. */
+    *
+    * The hive partition layout is PRESERVED by default (detected from
+    * the directory names and re-applied on the rewrite, coalescing
+    * within partitions), so a later [[appendGoldRun]] into the same
+    * table still finds a partitioned layout. Pass
+    * `preservePartitions = false` to deliberately flatten partition
+    * columns into data columns — after that, appendGoldRun refuses the
+    * table (layout-clash guard). Returns the shuffle partition count
+    * used for the rewrite. */
   def compactGold(spark: SparkSession, zones: LakeZones, table: String,
-                  targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+                  targetFileBytes: Long = 128L * 1024 * 1024,
+                  preservePartitions: Boolean = true): Int = {
     import org.apache.hadoop.fs.Path
     val target = new Path(zones.gold(table))
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(target).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(zones.gold(table)).repartition(nFiles)
-    replaceGold(df, zones, table)
+    val partCols =
+      if (preservePartitions) hivePartitionColumns(fs, target) else Nil
+    val src = spark.read.parquet(zones.gold(table))
+    val df =
+      if (partCols.nonEmpty)
+        // Hash by partition key: each partition's rows land together,
+        // so the writer emits few, large files per partition dir.
+        src.repartition(nFiles, partCols.map(col): _*)
+      else src.repartition(nFiles)
+    replaceGold(df, zones, table, partCols)
     nFiles
+  }
+
+  /** Detect hive-style partition columns (`k=v` directory levels) by
+    * walking the first directory chain under `root`. */
+  private def hivePartitionColumns(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val cols = scala.collection.mutable.ListBuffer.empty[String]
+    var cur = root
+    var continue = true
+    while (continue) {
+      val kids = fs.listStatus(cur).filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      kids.headOption match {
+        case Some(d) =>
+          cols += d.getPath.getName.split("=", 2)(0)
+          cur = d.getPath
+        case None => continue = false
+      }
+    }
+    cols.toList
   }
 }

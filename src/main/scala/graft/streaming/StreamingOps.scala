@@ -99,13 +99,22 @@ object StreamingOps {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              // math.min on start: a late event from an earlier batch
-              // (t < s.start) extends the session BACKWARD too, keeping
-              // session_start_ms consistent with the batch twin
-              // EventWindows.sessionize over out-of-order input
+            case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
+              // Within the gap of the open session on EITHER side: a
+              // late event just before s.start extends it backward
+              // (math.min), matching the batch twin
+              // EventWindows.sessionize over out-of-order input. An
+              // event far BEFORE the session must not merge — without
+              // the s.start - t guard, t < s.end makes t - s.end
+              // negative and the gap test vacuously true.
               cur = Some(SessionState(math.min(s.start, t),
                 math.max(s.end, t), s.n + 1, s.sum + e.value))
+            case Some(s) if t < s.start =>
+              // Late event more than a gap before the open session: the
+              // batch twin would place it in its own earlier session.
+              // Nothing later can merge with it (rows are sorted), so
+              // emit it immediately as a closed singleton session.
+              closed ::= Session(userId, t, t, 1L, e.value)
             case Some(s) =>
               closed ::= Session(userId, s.start, s.end, s.n, s.sum)
               cur = Some(SessionState(t, t, 1L, e.value))

@@ -103,6 +103,54 @@ class DedupSpec extends SparkSpec {
     assert(e == eb && e == 0xffffffffL)
   }
 
+  test("native expressions match built-ins on null array elements") {
+    // ADVICE r02: nulls inside the array must not crash the native
+    // kernels, and must produce exactly the built-ins' results
+    import graft.functions.{MinhashExprs, TextExprs, TextFunctions}
+    val withNulls = Seq(
+      Seq(Some("a"), None, Some("b c")),
+      Seq(None, None),
+      Seq(Some("x"))
+    ).toDF("sh")
+    // base hashes: md5(null) → null element on both paths
+    val hb = withNulls.select(
+      transform($"sh", s => Dedup.hexHash(s) % Dedup.MinhashP).as("hs"))
+      .as[Seq[Option[Long]]].collect().toSeq
+    val hn = withNulls.select(MinhashExprs.minhash_base_hashes($"sh").as("hs"))
+      .as[Seq[Option[Long]]].collect().toSeq
+    assert(hn == hb)
+    // signature over null-bearing hashes: array_min skips nulls
+    val hs = withNulls.select(
+      transform($"sh", s => Dedup.hexHash(s) % Dedup.MinhashP).as("hs"))
+    val sb = hs.select(array((0 until 4).map { i =>
+      array_min(transform($"hs",
+        h => (h * Dedup.minhashA(i) + Dedup.minhashB(i)) % Dedup.MinhashP))
+    }: _*).as("sig")).as[Seq[Option[Long]]].collect().toSeq
+    val sn = hs.select(MinhashExprs.minhash_signature($"hs", 4).as("sig"))
+      .as[Seq[Option[Long]]].collect().toSeq
+    assert(sn == sb)
+    // all-null hashes → all-null signature (not Long.MaxValue garbage)
+    assert(sn(1).forall(_.isEmpty))
+    // simhash: null tokens vote nothing but count toward n
+    val simB = withNulls.select(Dedup.simhash32Of($"sh").as("s")).as[Long].collect().toSeq
+    val simN = withNulls.select(TextExprs.simhash_32($"sh").as("s")).as[Long].collect().toSeq
+    assert(simN == simB)
+    // shingles: concat_ws skips null parts on both paths
+    for (n <- Seq(1, 2, 3)) {
+      val shB = withNulls.select(TextFunctions.wordShinglesOf($"sh", n).as("w"))
+        .as[Seq[String]].collect().toSeq
+      val shN = withNulls.select(TextExprs.word_shingles($"sh", n).as("w"))
+        .as[Seq[String]].collect().toSeq
+      assert(shN == shB, s"n=$n")
+    }
+    // and the SQL surface no longer crashes on array('a', NULL)
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT minhash_base_hashes(array('a', CAST(NULL AS STRING))) AS h")
+      .as[Seq[Option[Long]]].head()
+    assert(sql.length == 2 && sql(1).isEmpty)
+  }
+
   test("simhash: identical docs share sig; near-dups within small hamming") {
     val pairs = Dedup.simhashPairs(base, maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()

@@ -191,4 +191,36 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(emitted(0).session_end_ms ==
       Timestamp.valueOf("2024-01-01 00:20:00").getTime)
   }
+
+  test("far-late event becomes its own session, not a backward merge") {
+    // ADVICE r02: an event hours BEFORE the open session must not
+    // merge (the old guard t - s.end <= gapMs was vacuously true for
+    // past events). The batch twin would emit it as its own earlier
+    // session — so must the stream.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_farlate").outputMode("append").start()
+    mem.addData(Event(1, Timestamp.valueOf("2024-01-01 06:00:00"), 9, "a", 1.0))
+    q.processAllAvailable()
+    // 6 hours before the open session: gap to it far exceeds 30 min
+    mem.addData(Event(2, Timestamp.valueOf("2024-01-01 00:00:00"), 9, "a", 2.0))
+    q.processAllAvailable()
+    // close the open session so everything is emitted
+    mem.addData(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "a", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sess_farlate").as[Session].collect()
+      .sortBy(_.session_start_ms)
+    assert(emitted.length == 2)
+    // the far-late event is its own singleton session
+    assert(emitted(0).session_start_ms ==
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime)
+    assert(emitted(0).session_end_ms == emitted(0).session_start_ms)
+    assert(emitted(0).n_events == 1L)
+    // the open session was untouched (start stayed at 06:00)
+    assert(emitted(1).session_start_ms ==
+      Timestamp.valueOf("2024-01-01 06:00:00").getTime)
+    assert(emitted(1).n_events == 1L)
+  }
 }

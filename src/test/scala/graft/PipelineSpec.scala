@@ -129,12 +129,51 @@ class PipelineSpec extends SparkSpec {
     assert(dataFiles() >= 8)
     val before = LakeIO.readGold(spark, zones, "tiny")
       .orderBy("id").collect().map(_.toString).toSeq
+    // default: hive layout preserved → one file per load_id partition,
+    // and a later appendGoldRun still finds a partitioned table
     val n = LakeIO.compactGold(spark, zones, "tiny")
-    assert(n == 1) // 8 tiny rows ≪ target file size
-    assert(dataFiles() == 1)
+    assert(n == 1) // 8 tiny rows ≪ target file size → 1 shuffle task
+    assert(dataFiles() == 8) // but still one file per partition dir
     val after = LakeIO.readGold(spark, zones, "tiny")
       .orderBy("id").collect().map(_.toString).toSeq
     assert(after == before) // rows and load_id column preserved
+    LakeIO.appendGoldRun(
+      Seq((99L, "row99")).toDF("id", "v"), zones, "tiny", "b99")
+    assert(LakeIO.readGold(spark, zones, "tiny").count() == 9)
+
+    // explicit flatten: load_id becomes a data column, one file total,
+    // and appendGoldRun now REFUSES the mixed-layout write (ADVICE r02)
+    LakeIO.compactGold(spark, zones, "tiny", preservePartitions = false)
+    assert(dataFiles() == 1)
+    assert(LakeIO.readGold(spark, zones, "tiny").count() == 9)
+    val ex = intercept[IllegalArgumentException] {
+      LakeIO.appendGoldRun(
+        Seq((100L, "x")).toDF("id", "v"), zones, "tiny", "b100")
+    }
+    assert(ex.getMessage.contains("non-partitioned"))
+  }
+
+  test("replaceGold recovers a dangling swap (crash between renames)") {
+    val lake = mkTmp()
+    val zones = LakeZones(lake)
+    LakeIO.replaceGold(Seq((1L, "v1")).toDF("id", "v"), zones, "dim")
+    // simulate a crash after rename(target → .old): live path missing
+    val dir = Paths.get(s"$lake/gold/dim")
+    val old = Paths.get(s"$lake/gold/dim.old")
+    Files.move(dir, old)
+    // a reader repairs the dangling state instead of failing
+    val recovered = LakeIO.readGoldRecovering(spark, zones, "dim")
+    assert(recovered.select("v").as[String].collect().toSeq == Seq("v1"))
+    assert(Files.exists(dir) && !Files.exists(old))
+    // crash with a COMPLETE staging dir: the new state wins
+    val staging = Paths.get(s"$lake/gold/dim.staging")
+    Seq((2L, "v2")).toDF("id", "v").write.parquet(staging.toString)
+    Files.move(dir, old)
+    LakeIO.replaceGold(Seq((3L, "v3")).toDF("id", "v"), zones, "dim")
+    val fin = LakeIO.readGold(spark, zones, "dim")
+      .select("v").as[String].collect().toSeq
+    assert(fin == Seq("v3")) // the new call's state, built on recovery
+    assert(!Files.exists(staging) && !Files.exists(old))
   }
 
   test("retry wrapper retries then alerts with stage context") {

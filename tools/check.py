@@ -6,17 +6,32 @@ each oracle_sql.json query in DuckDB over the same parquet tables and
 compares schema + values column-by-column (sorted by column name,
 row-order-insensitive via sorted tuples).
 
-Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+Usage: python3 tools/check.py [sfdir] [--out=outdir] [--skip-verify] [names...]
+
+Flags are parsed before positionals, so flag order doesn't matter. The
+output dir is flag-only (never positional) so a query name or a flag can
+never be mistaken for it — that accident once littered the repo root with
+verification artifacts.
 """
 import json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-FLAGS = set(a for a in sys.argv[3:] if a.startswith("--"))
-ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+FLAGS = set(a for a in sys.argv[1:] if a.startswith("--"))
+_POS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _POS[0] if _POS else "/root/testdata/sf0.001"
+ONLY = _POS[1:]
+OUT = "/tmp/graft_verify"
+for f in list(FLAGS):
+    if f.startswith("--out="):
+        OUT = f[len("--out="):]
+        FLAGS.discard(f)
+_UNKNOWN = FLAGS - {"--skip-verify"}
+if _UNKNOWN:
+    sys.exit(f"unknown flags: {sorted(_UNKNOWN)}")
+if not OUT or OUT.startswith("-") or Path(OUT).resolve() == Path("/root/repo").resolve():
+    sys.exit(f"refusing suspicious outdir {OUT!r}")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
