@@ -217,12 +217,18 @@ object Dedup {
         array_distinct(
           graft.functions.TextExprs.word_shingles(col("toks"), shingleSize)).as("sh"))
       .select(col("id"), col("blk"), size(col("sh")).cast(LongType).as("n"),
-        explode(col("sh")).as("s"))
-    // one shuffle on (block, shingle); pairs generated inside each
-    // posting list (a self-join would recompute the shingle pipeline
-    // per side — and with AQE, broadcast the full exploded relation).
-    // Singleton postings (the vast majority of distinct shingles) are
-    // pruned before any pair exists.
+        explode(col("sh")).as("s0"))
+      // shingles shuffle as 64-bit hashes, not strings: ~2-4× less
+      // shuffle volume and fixed-width grouping keys. Intersection
+      // counts are over distinct shingles per doc, so a (within-
+      // block) xxhash64 collision is the only error source —
+      // vanishingly unlikely and caught by the oracle gate.
+      .select(col("id"), col("blk"), col("n"), xxhash64(col("s0")).as("s"))
+    // one shuffle on (block, shingle-hash); pairs generated inside
+    // each posting list (a self-join would recompute the shingle
+    // pipeline per side — and with AQE, broadcast the full exploded
+    // relation). Singleton postings (the vast majority of distinct
+    // shingles) are pruned before any pair exists.
     val postings = exploded.groupBy(col("blk"), col("s"))
       .agg(collect_list(struct(col("id"), col("n"))).as("ms"))
       .filter(size(col("ms")) > 1)

