@@ -40,4 +40,123 @@ object TextAnalysis {
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
+
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Conservative, engine-portable PII patterns (plain character
+    * classes only — identical semantics under Java regex and RE2, so
+    * the DuckDB oracle replays them verbatim). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[a-z0-9./_-]+"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Redact emails/URLs/phone-like tokens and count each class —
+    * the PII-scrub stage of a training-data pipeline. Narrow per-row
+    * projection: no shuffle, scales with input splits. Counting uses
+    * `regexp_extract_all` BEFORE replacement so overlapping classes
+    * (an email inside a URL never matches both patterns here) are
+    * counted on the original text. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast(LongType))
+      .withColumn("n_urls",
+        size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast(LongType))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast(LongType))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            UrlRe, "<URL>"),
+          PhoneRe, "<PHONE>"))
+  }
+
+  // ----------------------------------------- boilerplate line removal
+
+  /** C4/RefinedWeb-style boilerplate removal: a line that appears (as
+    * an exact trimmed match) in at least `minDocFreq` DISTINCT
+    * documents is boilerplate (headers, footers, nav chrome) and is
+    * dropped from every document; document line order is preserved.
+    *
+    * Shape: posexplode (narrow) → distinct(line, doc) + count per
+    * line (one shuffle on the line hash) → broadcast-or-shuffle join
+    * back → groupBy doc to reassemble (one shuffle on doc id). Line
+    * frequency counting shuffles 8-byte xxhash64 line keys, not line
+    * text. At 100 TB the hot lines are exactly the frequent ones, so
+    * the count aggregation map-side-combines to almost nothing.
+    *
+    * @return (idCol, clean_text, n_lines_kept, n_lines_dropped)
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       minDocFreq: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_line", trim(col("_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    // document frequency per line (distinct doc per line, hashed key)
+    val boiler = lines.select(col("_lh"), col("_id")).distinct()
+      .groupBy(col("_lh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_lh"), lit(true).as("_isBoiler"))
+    lines
+      .join(boiler, Seq("_lh"), "left")
+      .withColumn("_keep", col("_isBoiler").isNull)
+      .groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("_pos"), col("_line"))))),
+            s => s.getField("_line")),
+          "\n").as("clean_text"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_lines_dropped"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  // ------------------------------------------------------------- TF-IDF
+
+  /** Top-`k` corpus terms per group (e.g. per source) by summed
+    * TF-IDF: tf(term, doc) · ln(N / df(term)), N = corpus size,
+    * df = documents containing the term.
+    *
+    * Shape: tokenize+explode (narrow) → (doc, term) counts (shuffle
+    * 1) → term document frequencies (shuffle 2, map-side combined) →
+    * broadcast N → per-group ranked top-k (shuffle 3 on group).
+    * Scores are rounded to 6 decimals so the cross-engine `ln` is
+    * hash-stable in the oracle gate.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", groupCol: String = "source",
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol).as("_id"), col(groupCol).as("_grp"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("_id"), col("_grp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    // ln(N/df) is constant per term, so aggregate the integer tf sum
+    // first and multiply once: no float-summation order dependence,
+    // bit-stable across partitionings and engines.
+    val scored = tf.join(df, "term")
+      .groupBy(col("_grp"), col("term"), col("df"))
+      .agg(sum(col("tf")).as("tf_sum"))
+      .withColumn("score",
+        round(col("tf_sum") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("_grp"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("_grp").as(groupCol), col("rk").cast(LongType).as("rk"),
+        col("term"), col("score"))
+  }
 }

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+import graft.operators.{Reconcile, Sampling, TextAnalysis}
+import graft.queries.QueryDef.table
+
+/** Round-3 widening: distribution-window family, PII scrubbing,
+  * snapshot reconciliation, boilerplate-line removal, TF-IDF,
+  * stratified sampling, and embedding centroids — each oracle-checked
+  * against DuckDB on the shared parquet tables. */
+object CurationQueries {
+
+  /** q39 — ranking-distribution window family (percent_rank /
+    * cume_dist / ntile), the OVER-clause surface q10/q28 don't cover.
+    * percent_rank and cume_dist are integer-ratio doubles under a
+    * unique ordering, so they hash identically across engines. */
+  private val q39 = QueryDef(
+    "q39_rank_distribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rk"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast(LongType).as("nt"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_orderpriority"), col("rk"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER w AS BIGINT) AS rk,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS BIGINT) AS nt
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rk <= 3 ORDER BY o_orderpriority, rk"""))
+
+  /** Documents with deterministic PII injected into every even doc
+    * (odd docs stay clean — the scrub must count zero there). */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"),
+            lit(" contact user"), (col("doc_id") % 10).cast(StringType),
+            lit("@example.com or https://site"),
+            (col("doc_id") % 7).cast(StringType),
+            lit(".io call 555-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+          .otherwise(col("text")).as("text"))
+
+  private val piiDocsSql =
+    """pii AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN text || ' contact user' || CAST(doc_id % 10 AS VARCHAR)
+                         || '@example.com or https://site'
+                         || CAST(doc_id % 7 AS VARCHAR) || '.io call 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents)"""
+
+  /** q45 — PII scrub: redact emails/URLs/phones, count each class. */
+  private val q45 = QueryDef(
+    "q45_pii_scrub",
+    (s, dir) => TextAnalysis.scrubPii(piiDocs(s, dir))
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_phones"),
+        col("clean_text"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $piiDocsSql
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRe}')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                 '${TextAnalysis.UrlRe}', '<URL>', 'g'),
+               '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
+      FROM pii ORDER BY doc_id"""))
+
+  /** q48 — snapshot reconciliation: customer vs a deterministically
+    * mutated successor (drops, adds, segment changes); emits only the
+    * differing keys with their status and changed-column list. */
+  private val q48 = QueryDef(
+    "q48_snapshot_diff",
+    (s, dir) => {
+      val before = table(s, dir, "customer")
+      val after = before
+        .filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit("REMAPPED"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(before.filter(col("c_custkey") % 89 === 0).select(
+          (col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), lit("NEWSEG").as("c_mktsegment")))
+      Reconcile.snapshotDiff(before, after, Seq("c_custkey"),
+          Seq("c_mktsegment", "c_acctbal"))
+        .filter(col("status") =!= "unchanged")
+        .select(col("c_custkey"), col("status"), col("changed_cols"),
+          col("c_mktsegment_before"), col("c_mktsegment_after"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'REMAPPED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG', c_acctbal
+        FROM customer WHERE c_custkey % 89 = 0),
+      j AS (
+        SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+               b.c_custkey IS NULL AS added, a.c_custkey IS NULL AS removed,
+               b.c_mktsegment AS seg_b, a.c_mktsegment AS seg_a,
+               b.c_acctbal AS bal_b, a.c_acctbal AS bal_a
+        FROM customer b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey),
+      d AS (
+        SELECT c_custkey,
+               CASE WHEN added THEN 'added'
+                    WHEN removed THEN 'removed'
+                    WHEN NOT (seg_b IS NOT DISTINCT FROM seg_a)
+                      OR NOT (bal_b IS NOT DISTINCT FROM bal_a) THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               seg_b, seg_a, bal_b, bal_a
+        FROM j)
+      SELECT c_custkey, status,
+             CASE WHEN status = 'changed' THEN concat_ws(',',
+               CASE WHEN NOT (seg_b IS NOT DISTINCT FROM seg_a)
+                    THEN 'c_mktsegment' END,
+               CASE WHEN NOT (bal_b IS NOT DISTINCT FROM bal_a)
+                    THEN 'c_acctbal' END)
+                  ELSE '' END AS changed_cols,
+             seg_b AS c_mktsegment_before, seg_a AS c_mktsegment_after
+      FROM d WHERE status <> 'unchanged' ORDER BY c_custkey"""))
+
+  /** Multi-line corpus: shared header class (one of 3), unique-ish
+    * body, universal footer — the boilerplate-removal fixture. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("hdr "), (col("doc_id") % 3).cast(StringType)),
+          col("text"),
+          lit("common footer")).as("text"))
+
+  private val linedDocsSql =
+    """lined AS (
+        SELECT doc_id,
+               'hdr ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || text
+                 || chr(10) || 'common footer' AS text
+        FROM documents)"""
+
+  /** q55 — boilerplate line removal (C4-style): lines present in ≥ 10
+    * distinct docs are dropped everywhere; line order preserved. */
+  private val q55 = QueryDef(
+    "q55_line_boilerplate",
+    (s, dir) => TextAnalysis.stripBoilerplate(linedDocs(s, dir), minDocFreq = 10)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $linedDocsSql,
+      lines AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+               trim(unnest(string_split(text, chr(10)))) AS line
+        FROM lined),
+      freq AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+      SELECT l.doc_id,
+             coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                        FILTER (WHERE f.df < 10), '') AS clean_text,
+             COUNT(*) FILTER (WHERE f.df < 10) AS n_lines_kept,
+             COUNT(*) FILTER (WHERE f.df >= 10) AS n_lines_dropped
+      FROM lines l JOIN freq f USING (line)
+      GROUP BY l.doc_id ORDER BY l.doc_id"""))
+
+  /** q56 — corpus TF-IDF: top-5 terms per source by summed
+    * tf·ln(N/df); integer tf sums × one log per term keep the doubles
+    * bit-stable (see [[TextAnalysis.tfIdfTopTerms]]). */
+  private val q56 = QueryDef(
+    "q56_tfidf_terms",
+    (s, dir) => TextAnalysis.tfIdfTopTerms(
+      table(s, dir, "documents"), k = 5)
+      .orderBy(col("source"), col("rk")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source, u.term AS term
+        FROM documents,
+             UNNEST(list_filter(string_split(lower(text), ' '),
+                    x -> x <> '')) AS u(term)),
+      tf AS (
+        SELECT doc_id, source, term, COUNT(*) AS tf
+        FROM toks GROUP BY 1, 2, 3),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      scored AS (
+        SELECT tf.source, tf.term,
+               round(SUM(tf.tf) * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        GROUP BY tf.source, tf.term, df.df, n.n),
+      ranked AS (
+        SELECT source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY score DESC, term) AS BIGINT) AS rk,
+               term, score
+        FROM scored)
+      SELECT source, rk, term, score FROM ranked
+      WHERE rk <= 5 ORDER BY source, rk"""))
+
+  /** q57 — stratified deterministic hash sampling: per-source keep
+    * rates, reproducible in any engine (no RNG stream dependence). */
+  private val q57 = QueryDef(
+    "q57_stratified_sample",
+    (s, dir) => {
+      val rates = Map("src0" -> 50, "src1" -> 25, "src2" -> 10)
+      Sampling.stratifiedSample(
+          table(s, dir, "documents"), "doc_id", "source", rates, defaultPct = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT *,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 100 AS bkt,
+               CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+                           WHEN 'src2' THEN 10 ELSE 5 END AS rate
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM b WHERE bkt < rate GROUP BY source ORDER BY source"""))
+
+  /** q58 — per-label embedding centroids: elementwise mean over each
+    * label's vectors. Elements are cast to DECIMAL(20,7) before the
+    * sum so the aggregation is exact (order-independent) and the
+    * final double division is bit-identical across engines. */
+  private val q58 = QueryDef(
+    "q58_vector_centroids",
+    (s, dir) => table(s, dir, "embeddings")
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("x").cast(DoubleType).cast(DecimalType(20, 7)).as("xd"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("xd")).cast(DoubleType) / count(lit(1))).as("centroid"))
+      .orderBy(col("label"), col("pos")),
+    Some("""
+      WITH e AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,7)) AS xd
+        FROM embeddings)
+      SELECT label, pos, COUNT(*) AS n_vecs,
+             CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS centroid
+      FROM e GROUP BY 1, 2 ORDER BY label, pos"""))
+
+  val all: Seq[QueryDef] = Seq(q39, q45, q48, q55, q56, q57, q58)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Reconcile, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-3 curation operators: snapshot diff, PII scrub, boilerplate
+  * removal, TF-IDF. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val before = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "seg", "bal")
+    val after = Seq(
+      (1L, "a", 10.0),          // unchanged
+      (2L, "B2", 20.0),         // seg changed
+      (3L, "c", 33.0),          // bal changed
+      (5L, "e", 50.0))          // added; 4 removed
+      .toDF("k", "seg", "bal")
+    val out = Reconcile.snapshotDiff(before, after, Seq("k"), Seq("seg", "bal"))
+      .select("k", "status", "changed_cols").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "unchanged", ""),
+      (2L, "changed", "seg"),
+      (3L, "changed", "bal"),
+      (4L, "removed", ""),
+      (5L, "added", "")))
+  }
+
+  test("snapshotDiff is null-safe on compared columns") {
+    val before = Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("k", "seg")
+    val after = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "seg")
+    val out = Reconcile.snapshotDiff(before, after, Seq("k"), Seq("seg"))
+      .select("k", "status").as[(Long, String)].collect().sortBy(_._1)
+    // null -> null is unchanged; x -> null is changed (not dropped)
+    assert(out.toSeq == Seq((1L, "changed"), (2L, "unchanged")))
+  }
+
+  test("scrubPii redacts and counts every class, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith@corp.io and see https://a.b/c now"),
+      (2L, "call 555-0134 or 555-9999 twice"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs)
+      .select("doc_id", "n_emails", "n_urls", "n_phones", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1L, 0L, "mail me at <EMAIL> and see <URL> now")))
+    assert(out(1) == ((2L, 0L, 0L, 2L, "call <PHONE> or <PHONE> twice")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("stripBoilerplate drops frequent lines, keeps order, keeps empty docs") {
+    val docs = (1L to 10L).map { i =>
+      (i, s"shared header\nbody line $i\nshared footer")
+    }.toDF("doc_id", "text")
+      // one doc that is ALL boilerplate
+      .unionByName(Seq((11L, "shared header\nshared footer")).toDF("doc_id", "text"))
+    val out = TextAnalysis.stripBoilerplate(docs, minDocFreq = 5)
+      .select("doc_id", "clean_text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 11)
+    assert(out(0) == ((1L, "body line 1", 1L, 2L)))
+    // all-boilerplate doc survives with empty text, not a missing row
+    assert(out(10) == ((11L, "", 0L, 2L)))
+  }
+
+  test("stripBoilerplate preserves multi-line kept order") {
+    val docs = Seq(
+      (1L, "keep a\nNOISE\nkeep b\nkeep c"),
+      (2L, "NOISE"), (3L, "NOISE"), (4L, "NOISE")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, minDocFreq = 3)
+      .filter($"doc_id" === 1L).select("clean_text").as[String].head()
+    assert(out == "keep a\nkeep b\nkeep c")
+  }
+
+  test("tfIdfTopTerms ranks corpus-frequent-but-distinctive terms") {
+    val docs = Seq(
+      (1L, "g1", "apple apple banana common"),
+      (2L, "g1", "apple cherry common"),
+      (3L, "g2", "durian durian common"),
+      (4L, "g2", "elderberry common")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .select("source", "rk", "term").as[(String, Long, String)]
+      .collect().sortBy(t => (t._1, t._2))
+    // 'common' has df=4 -> idf=ln(1)=0 -> never ranks
+    assert(out.toSeq == Seq(
+      ("g1", 1L, "apple"), ("g1", 2L, "banana"),
+      ("g2", 1L, "durian"), ("g2", 2L, "elderberry")))
+    assert(!out.exists(_._3 == "common"))
+  }
+}
