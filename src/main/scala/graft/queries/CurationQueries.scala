@@ -267,5 +267,134 @@ object CurationQueries {
              CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS centroid
       FROM e GROUP BY 1, 2 ORDER BY label, pos"""))
 
-  val all: Seq[QueryDef] = Seq(q39, q45, q48, q55, q56, q57, q58)
+  /** q59 — unpivot/melt (wide → long), the inverse of q17's pivot:
+    * three measure columns become (metric, value) rows, then a
+    * long-form aggregate. Narrow row-expansion, no shuffle until the
+    * final group. */
+  private val q59 = QueryDef(
+    "q59_unpivot_measures",
+    (s, dir) => table(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .orderBy(col("l_returnflag"), col("metric")),
+    Some("""
+      WITH long AS (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+      SELECT l_returnflag, metric, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM long GROUP BY 1, 2 ORDER BY l_returnflag, metric"""))
+
+  /** q60 — incremental-rollup merge: two pre-aggregated partial loads
+    * (split by order key parity, as daily batches would be) merged by
+    * re-aggregation into the monthly rollup. Verifies the
+    * reaggregatable-measure design (counts sum, DECIMAL sums sum) the
+    * incremental gold layer depends on: the oracle computes the
+    * rollup DIRECTLY, so a pass proves partial-merge ≡ full-agg. */
+  private val q60 = QueryDef(
+    "q60_rollup_merge",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      def partial(part: DataFrame): DataFrame = part
+        .groupBy(col("month"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      val load1 = partial(o.filter(col("o_orderkey") % 2 === 0))
+      val load2 = partial(o.filter(col("o_orderkey") % 2 =!= 0))
+      load1.unionByName(load2)
+        .groupBy(col("month"), col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("total")).cast(DoubleType).as("total"))
+        .orderBy(col("month"), col("o_orderpriority"))
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority"""))
+
+  /** q61 — MapType surface: per-source language histogram built AS A
+    * MAP (map_from_entries over collected pairs), filtered and
+    * share-scored with map higher-order functions, then exploded back
+    * to rows. The oracle sees only the exploded long form, which is
+    * engine-neutral. */
+  private val q61 = QueryDef(
+    "q61_map_histogram",
+    (s, dir) => {
+      val counts = table(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val asMap = counts
+        .groupBy(col("source"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("lang"), col("n"))))).as("hist"))
+        .withColumn("total",
+          aggregate(map_values(col("hist")), lit(0L), (acc, x) => acc + x))
+        // map HOFs: drop rare entries, rescale survivors to percent
+        .withColumn("hist_pct",
+          map_filter(
+            transform_values(col("hist"),
+              (_, v) => round(v * lit(100.0) / col("total"), 6)),
+            (_, pct) => pct >= 1.0))
+      asMap
+        .select(col("source"), col("total"),
+          explode(col("hist_pct")).as(Seq("lang", "pct")))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+      tot AS (
+        SELECT source, SUM(n) AS total FROM counts GROUP BY 1),
+      pct AS (
+        SELECT c.source, t.total, c.lang,
+               round(c.n * 100.0 / t.total, 6) AS pct
+        FROM counts c JOIN tot t USING (source))
+      SELECT source, CAST(total AS BIGINT) AS total, lang, pct
+      FROM pct WHERE pct >= 1.0 ORDER BY source, lang"""))
+
+  /** q62 — time-range rolling features (the RANGE BETWEEN frame the
+    * row-frame queries q10/q28 don't touch): per user, each event's
+    * trailing-1-hour event count and value sum. One shuffle on
+    * user_id; the range frame is evaluated in a single sorted pass
+    * per partition. */
+  private val q62 = QueryDef(
+    "q62_rolling_range",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, 0L)
+      QueryDef.eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ms"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .select(col("event_id"), col("user_id"), col("ms"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("v")).over(w).cast(DoubleType).as("sum_trailing_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events)
+      SELECT event_id, user_id, ms,
+             COUNT(*) OVER w AS n_trailing_1h,
+             CAST(SUM(v) OVER w AS DOUBLE) AS sum_trailing_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms
+                   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62)
 }
