@@ -62,6 +62,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Watermarked stream-stream interval join: each left event inner-
+    * joined to right events sharing `keys` whose timestamp lies in
+    * [left.ts - beforeSec, left.ts + afterSec]. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark can size and EVICT the two join-state stores — the
+    * unbounded-state trap of a naive stream-stream join. Right-side
+    * non-key columns come back prefixed `r_`. The batch twin is the
+    * same expression without watermarks (asserted in the spec). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   beforeSec: Long = 600L, afterSec: Long = 600L,
+                   tsCol: String = "ts",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val renamed = right.columns.map(c =>
+      if (keys.contains(c)) c else s"r_$c")
+    val r = right.toDF(renamed: _*).withWatermark(s"r_$tsCol", watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val rangeCond =
+      col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $beforeSec SECOND") &&
+      col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $afterSec SECOND")
+    val joined = l.join(r, keyCond && rangeCond, "inner")
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
   /** Watermarked tumbling-window aggregate (append-mode safe). */
   def tumbling(events: DataFrame, width: String = "1 hour",
                watermark: String = "2 hours"): DataFrame =

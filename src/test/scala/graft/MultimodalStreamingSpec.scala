@@ -192,6 +192,41 @@ class MultimodalStreamingSpec extends SparkSpec {
       Timestamp.valueOf("2024-01-01 00:20:00").getTime)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF(), buys.toDF(), Seq("user_id"),
+      beforeSec = 0L, afterSec = 600L)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    clicks.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 00:00:00"), 2, "click", 1.0))
+    buys.addData(
+      Event(10, Timestamp.valueOf("2024-01-01 00:05:00"), 1, "buy", 9.0), // in window
+      Event(11, Timestamp.valueOf("2024-01-01 00:20:00"), 1, "buy", 9.0), // too late
+      Event(12, Timestamp.valueOf("2024-01-01 00:05:00"), 3, "buy", 9.0)) // no click
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj")
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 10L)))
+    // batch twin: identical join expression over static frames
+    val cb = Seq(
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 00:00:00"), 2, "click", 1.0)).toDF()
+    val bb = Seq(
+      Event(10, Timestamp.valueOf("2024-01-01 00:05:00"), 1, "buy", 9.0),
+      Event(11, Timestamp.valueOf("2024-01-01 00:20:00"), 1, "buy", 9.0),
+      Event(12, Timestamp.valueOf("2024-01-01 00:05:00"), 3, "buy", 9.0)).toDF()
+    val batch = StreamingOps.intervalJoin(cb, bb, Seq("user_id"),
+        beforeSec = 0L, afterSec = 600L)
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(batch == rows)
+  }
+
   test("far-late event becomes its own session, not a backward merge") {
     // ADVICE r02: an event hours BEFORE the open session must not
     // merge (the old guard t - s.end <= gapMs was vacuously true for
