@@ -83,6 +83,48 @@ class ScaleSpec extends SparkSpec {
       s"aggregate must sit inside a codegen span:\n${plan.take(600)}")
   }
 
+  test("boilerplate removal shuffles hashed line keys, not line text") {
+    import graft.operators.TextAnalysis
+    val docs = (1 to 50).map(i => (i.toLong, s"hdr\nbody $i\nfoot"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, minDocFreq = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // the frequency-count aggregation groups on the xxhash64 key only
+    assert(plan.contains("xxhash64"), plan.take(800))
+    assert(out.count() == 50)
+  }
+
+  test("rolling range-frame window runs one shuffle and stays ordered") {
+    val q = SparkEntry.queries("q62_rolling_range")(
+      spark, "/root/testdata/sf0.001")
+    q.collect()
+    // under AQE the plan string appends an "Initial Plan" section —
+    // count exchanges in the final plan only
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // exactly one hash exchange (user_id) feeds the window; the final
+    // orderBy adds a range exchange for output determinism
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected one hash exchange:\n${plan.take(900)}")
+    assert(plan.contains("RangeFrame"), plan.take(900))
+  }
+
+  test("snapshot diff is a single full-outer join, no extra passes") {
+    import graft.operators.Reconcile
+    val before = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val after = (2 to 101).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val out = Reconcile.snapshotDiff(before, after, Seq("k"), Seq("v"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("FullOuter"), plan.take(600))
+    // both sides scanned once each: one join, two scans (local relations)
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin") || l.contains("BroadcastNestedLoopJoin"))
+    assert(joins == 1, s"one join expected:\n${plan.take(900)}")
+  }
+
   test("salted join: correct result and hot key spread across salts") {
     // hot key: 10k facts on one key, 10 on another
     val facts = ((1 to 10000).map(i => (1L, i.toLong)) ++
