@@ -395,6 +395,154 @@ object CurationQueries {
                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** q63 — ordered funnel: click → view → purchase, each stage's
+    * first occurrence strictly after the previous stage's. Three
+    * conditional-min aggregations over one shuffled pass each; the
+    * stage dependencies are expressed as joins back to the events,
+    * which AQE broadcasts (per-user firsts are tiny next to events). */
+  private val q63 = QueryDef(
+    "q63_event_funnel",
+    (s, dir) => {
+      val e = QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val c = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+      val v = e.join(c, "user_id")
+        .filter(col("event_type") === "view" && col("ms") > col("c_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+      val p = e.join(v, "user_id")
+        .filter(col("event_type") === "purchase" && col("ms") > col("v_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+      val stages = Seq(
+        ("1_click", c), ("2_view_after_click", v), ("3_purchase_after_view", p))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }.reduce(_ unionByName _).orderBy(col("stage"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+      c AS (SELECT user_id, MIN(ms) AS c_ms FROM e
+            WHERE event_type = 'click' GROUP BY 1),
+      v AS (SELECT e.user_id, MIN(ms) AS v_ms
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'view' AND ms > c_ms GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(ms) AS p_ms
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'purchase' AND ms > v_ms GROUP BY 1)
+      SELECT '1_click' AS stage, COUNT(*) AS n_users FROM c
+      UNION ALL
+      SELECT '2_view_after_click', COUNT(*) FROM v
+      UNION ALL
+      SELECT '3_purchase_after_view', COUNT(*) FROM p
+      ORDER BY stage"""))
+
+  /** q64 — retention cohorts: users grouped by first-seen week, the
+    * classic (cohort_week, week_offset) → distinct-user matrix. Two
+    * shuffles: per-user first week, then the cohort cell counts. */
+  private val q64 = QueryDef(
+    "q64_retention_cohorts",
+    (s, dir) => {
+      val e = QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(first, "user_id")
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast(LongType).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events),
+      first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+      SELECT cohort_wk,
+             CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM e JOIN first USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_wk, week_offset"""))
+
+  /** q65 — generic keyed upsert ([[graft.operators.Upsert]]): a daily
+    * batch of changed + new customers merged into the current state;
+    * the oracle rebuilds the same state with anti-join + union SQL. */
+  private val q65 = QueryDef(
+    "q65_upsert",
+    (s, dir) => {
+      val current = table(s, dir, "customer")
+      val updates = current.filter(col("c_custkey") % 11 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+        .unionByName(current.filter(col("c_custkey") % 13 === 0).select(
+          (col("c_custkey") + 2000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), lit("UPSERTED").as("c_mktsegment")))
+      graft.operators.Upsert.merge(current, updates, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_nationkey").cast(LongType).as("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, 'UPSERTED'
+        FROM customer WHERE c_custkey % 13 = 0),
+      merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT c.* FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.c_custkey = c.c_custkey))
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM merged ORDER BY c_custkey"""))
+
+  /** q66 — vocabulary coverage: top-100 corpus terms as the vocab,
+    * per-source out-of-vocabulary token rate. The vocab is a
+    * broadcast-joined posting set; the rate is an integer ratio
+    * rounded for cross-engine hash stability. */
+  private val q66 = QueryDef(
+    "q66_oov_rate",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(100)
+        .select(col("term"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS term
+        FROM documents),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, COUNT(*) AS n FROM toks GROUP BY 1
+          ORDER BY n DESC, term LIMIT 100)),
+      tagged AS (
+        SELECT t.source, v.term IS NOT NULL AS in_vocab
+        FROM toks t LEFT JOIN vocab v USING (term))
+      SELECT source, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+             round(CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+                   / COUNT(*), 6) AS oov_rate
+      FROM tagged GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[QueryDef] =
-    Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62)
+    Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62,
+      q63, q64, q65, q66)
 }

@@ -77,6 +77,26 @@ class CurationSpec extends SparkSpec {
     assert(out == "keep a\nkeep b\nkeep c")
   }
 
+  test("upsert: updates win, new keys insert, untouched rows pass through") {
+    import graft.operators.Upsert
+    val current = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "v", "x")
+    val updates = Seq((2L, "B", 9.0), (4L, "d", 4.0)).toDF("k", "v", "x")
+    val out = Upsert.merge(current, updates, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", 1.0), (2L, "B", 9.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    // idempotent: re-applying the same batch changes nothing
+    val again = Upsert.merge(
+      Upsert.merge(current, updates, Seq("k")), updates, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+    // schema drift is rejected
+    intercept[IllegalArgumentException] {
+      Upsert.merge(current, updates.select("k", "v"), Seq("k"))
+    }
+  }
+
   test("tfIdfTopTerms ranks corpus-frequent-but-distinctive terms") {
     val docs = Seq(
       (1L, "g1", "apple apple banana common"),
