@@ -248,6 +248,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  // --------------------------------------------- duplicate clustering
+
+  /** Connected components over an undirected near-dup pair list —
+    * the transitive-closure step that turns pairwise matches into
+    * dedup CLUSTERS (A~B and B~C must land A,C in one cluster even if
+    * the A–C pair was never emitted). Returns (id, component) with
+    * `component` = the minimum id reachable from `id`.
+    *
+    * Algorithm: iterative min-label propagation to direct neighbors;
+    * converges in O(cluster diameter) rounds, and near-dup clusters
+    * are shallow (a dup cluster's diameter is small by construction —
+    * every member matches a shared survivor within a hop or two).
+    * Each round is one shuffle join + aggregate; labels and the edge
+    * list are `localCheckpoint`ed so the plan does not grow with
+    * rounds. At larger diameters switch to the large-star/small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — same join primitives, O(log n) rounds.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast(LongType).as("src"),
+      col(bCol).cast(LongType).as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("slbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup within a blocking column (e.g. a

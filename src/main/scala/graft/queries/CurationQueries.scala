@@ -542,7 +542,100 @@ object CurationQueries {
                    / COUNT(*), 6) AS oov_rate
       FROM tagged GROUP BY 1 ORDER BY source"""))
 
+  /** q67 — dedup clusters: n-gram-Jaccard near-dup pairs promoted to
+    * transitive clusters via [[graft.operators.Dedup.connectedComponents]]
+    * (min-label propagation); the oracle closes the same edge list
+    * with a recursive CTE. Output: every clustered doc with its
+    * canonical (minimum) id and the cluster size. */
+  private val q67 = QueryDef(
+    "q67_dedup_clusters",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup.ngramJaccard(
+        ExtensionQueries.augmentedDocs(s, dir), threshold = 0.3)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val sizes = comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comps.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, source, text, ${ExtensionQueries.toksSql} AS t
+               FROM aug),
+      prepped AS (
+        SELECT doc_id AS id,
+               source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
+               list_distinct(${ExtensionQueries.shinglesSql}) AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      sizes AS (SELECT component, COUNT(*) AS cluster_size
+                FROM comp GROUP BY 1)
+      SELECT c.id AS doc_id, c.component, s.cluster_size
+      FROM comp c JOIN sizes s USING (component)
+      ORDER BY doc_id"""))
+
+  /** q68 — z-score standardization with EXACT integer moments: sum
+    * and sum-of-squares of n_chars are integer aggregates (order-
+    * independent), so mean/std and the |z|>2 outlier test are
+    * bit-identical across engines without any rounding slack. */
+  private val q68 = QueryDef(
+    "q68_zscore_outliers",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+      val stats = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("s1"),
+          sum(col("n_chars") * col("n_chars")).as("s2"))
+        .withColumn("mean_chars", col("s1").cast(DoubleType) / col("n_docs"))
+        .withColumn("std_chars",
+          sqrt(col("s2").cast(DoubleType) / col("n_docs")
+            - col("mean_chars") * col("mean_chars")))
+      d.join(broadcast(stats), "source")
+        .withColumn("z",
+          (col("n_chars").cast(DoubleType) - col("mean_chars")) / col("std_chars"))
+        .groupBy(col("source"), col("n_docs"),
+          round(col("mean_chars"), 6).as("mean_chars"),
+          round(col("std_chars"), 6).as("std_chars"))
+        .agg(sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY 1),
+      m AS (
+        SELECT source, n_docs,
+               CAST(s1 AS DOUBLE) / n_docs AS mean_chars,
+               sqrt(CAST(s2 AS DOUBLE) / n_docs
+                    - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs))
+                 AS std_chars
+        FROM stats)
+      SELECT d.source, m.n_docs,
+             round(m.mean_chars, 6) AS mean_chars,
+             round(m.std_chars, 6) AS std_chars,
+             CAST(SUM(CASE WHEN abs((CAST(d.n_chars AS DOUBLE) - m.mean_chars)
+                                    / m.std_chars) > 2.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM documents d JOIN m USING (source)
+      GROUP BY 1, 2, 3, 4 ORDER BY d.source"""))
+
   val all: Seq[QueryDef] =
     Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62,
-      q63, q64, q65, q66)
+      q63, q64, q65, q66, q67, q68)
 }

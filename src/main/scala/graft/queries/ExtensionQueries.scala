@@ -208,7 +208,7 @@ object ExtensionQueries {
 
   /** documents ∪ near-dup mutants: every 7th doc re-appears with one
     * appended token and id+1,000,000. */
-  private def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0).select(
       (col("doc_id") + 1000000L).as("doc_id"),
@@ -216,17 +216,17 @@ object ExtensionQueries {
       col("source")))
   }
 
-  private val augmentedDocsSql =
+  private[queries] val augmentedDocsSql =
     """aug AS (
         SELECT doc_id, text, source FROM documents
         UNION ALL
         SELECT doc_id + 1000000, text || ' spark', source
         FROM documents WHERE doc_id % 7 = 0)"""
 
-  private val toksSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+  private[queries] val toksSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   /** Word-3-gram shingles (SQL twin of TextFunctions.wordShingles). */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     s"""CASE WHEN len(t) >= 3
          THEN list_transform(generate_series(1, len(t) - 2),
                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])

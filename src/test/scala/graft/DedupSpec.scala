@@ -151,6 +151,20 @@ class DedupSpec extends SparkSpec {
     assert(sql.length == 2 && sql(1).isEmpty)
   }
 
+  test("connected components closes pair chains into clusters") {
+    // chain 1-2-3-4 (no direct 1-4 pair), pair 10-11, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // a long chain still converges (diameter = rounds needed)
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(c2.forall(_._2 == 1L) && c2.length == 20)
+  }
+
   test("simhash: identical docs share sig; near-dups within small hamming") {
     val pairs = Dedup.simhashPairs(base, maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
