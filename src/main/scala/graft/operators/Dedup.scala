@@ -256,15 +256,17 @@ object Dedup {
     * the A–C pair was never emitted). Returns (id, component) with
     * `component` = the minimum id reachable from `id`.
     *
-    * Algorithm: iterative min-label propagation to direct neighbors;
-    * converges in O(cluster diameter) rounds, and near-dup clusters
-    * are shallow (a dup cluster's diameter is small by construction —
-    * every member matches a shared survivor within a hop or two).
-    * Each round is one shuffle join + aggregate; labels and the edge
-    * list are `localCheckpoint`ed so the plan does not grow with
-    * rounds. At larger diameters switch to the large-star/small-star
-    * formulation (Kiveris et al., "Connected Components in MapReduce
-    * and Beyond") — same join primitives, O(log n) rounds.
+    * Algorithm: min-label propagation to direct neighbors PLUS
+    * pointer jumping (each round also adopts the label of one's
+    * current label), which halves remaining chain depth per round —
+    * O(log diameter) rounds total, the property that makes the
+    * operator viable on deep accidental chains at 100 TB, not just on
+    * the shallow clusters near-dup data produces. Each round is two
+    * shuffle joins + one aggregate; labels and the edge list are
+    * `localCheckpoint`ed so the plan does not grow with rounds. (The
+    * large-star/small-star formulation — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — is the same primitives
+    * with edge rewriting; unnecessary here.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
@@ -285,10 +287,18 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("slbl")).as("nlbl"))
+      // pointer jump: the label of my label (labels is small after the
+      // first rounds; AQE broadcasts the lookup side)
+      val jump = labels.select(col("lbl").as("jid"), col("id"))
+        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")), "jid")
+        .select(col("id"), col("jlbl"))
       val next = labels
         .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"),
+            least(coalesce(col("nlbl"), col("lbl")),
+              coalesce(col("jlbl"), col("lbl")))).as("lbl"))
         .localCheckpoint()
       converged = next
         .join(labels.select(col("id"), col("lbl").as("old")), "id")

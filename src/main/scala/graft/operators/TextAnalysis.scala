@@ -142,7 +142,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    // corpus size: docs are one row per document (id unique by
+    // contract), so a metadata-only parquet count suffices — no
+    // distinct shuffle
+    val n = docs.count()
     // ln(N/df) is constant per term, so aggregate the integer tf sum
     // first and multiply once: no float-summation order dependence,
     // bit-stable across partitionings and engines.

@@ -203,7 +203,7 @@ object CurationQueries {
         SELECT doc_id, source, term, COUNT(*) AS tf
         FROM toks GROUP BY 1, 2, 3),
       df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      n AS (SELECT COUNT(*) AS n FROM documents),
       scored AS (
         SELECT tf.source, tf.term,
                round(SUM(tf.tf) * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
