@@ -46,4 +46,27 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<int>")))
     saltedFacts.join(saltedDim, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Two-stage salted aggregation for skewed GROUP BY keys: stage 1
+    * aggregates on (key, salt) — the hot key's rows split across
+    * `saltBuckets` reducers — stage 2 combines the per-salt partials
+    * on the key alone (tiny input: ≤ saltBuckets rows per key).
+    *
+    * `partials` maps each measure column to its per-salt aggregate;
+    * `combine` folds the partials (must be the associative second
+    * stage: sum→sum, count→sum, min→min, max→max). Spark's own
+    * map-side partial aggregation covers MOST skew already — reach
+    * for this only when a single key floods even the combined
+    * partials (e.g. high-cardinality agg state like collect_set). */
+  def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
+                partials: Seq[Column], combine: Seq[Column],
+                factSaltCols: Seq[String] = Nil): DataFrame = {
+    val stable = if (factSaltCols.nonEmpty) factSaltCols.map(col)
+                 else df.columns.map(col).toSeq
+    df.withColumn("_salt", salt(saltBuckets, stable: _*))
+      .groupBy(col(key), col("_salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col(key))
+      .agg(combine.head, combine.tail: _*)
+  }
 }

@@ -635,7 +635,38 @@ object CurationQueries {
       FROM documents d JOIN m USING (source)
       GROUP BY 1, 2, 3, 4 ORDER BY d.source"""))
 
+  /** q69 — two-stage salted aggregation ≡ plain aggregation: the
+    * skewed-GROUP-BY mitigation ([[graft.operators.Skew.saltedAgg]])
+    * must be value-identical to the direct form, which is exactly
+    * what the oracle computes. Measures are associative (count→sum,
+    * DECIMAL sum→sum, min/max→min/max) so the two-stage split cannot
+    * change results. */
+  private val q69 = QueryDef(
+    "q69_salted_agg",
+    (s, dir) => graft.operators.Skew.saltedAgg(
+        table(s, dir, "lineitem"), "l_returnflag", saltBuckets = 8,
+        partials = Seq(
+          count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"),
+          min(col("l_shipdate")).as("pmin"),
+          max(col("l_shipdate")).as("pmax")),
+        combine = Seq(
+          sum(col("pn")).as("n_rows"),
+          sum(col("pq")).cast(DoubleType).as("sum_qty"),
+          unix_millis(min(col("pmin"))
+            .cast(org.apache.spark.sql.types.TimestampType)).as("first_ship_ms"),
+          unix_millis(max(col("pmax"))
+            .cast(org.apache.spark.sql.types.TimestampType)).as("last_ship_ms")),
+        factSaltCols = Seq("l_orderkey", "l_linenumber"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             epoch_ms(MIN(l_shipdate)) AS first_ship_ms,
+             epoch_ms(MAX(l_shipdate)) AS last_ship_ms
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] =
     Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62,
-      q63, q64, q65, q66, q67, q68)
+      q63, q64, q65, q66, q67, q68, q69)
 }

@@ -62,6 +62,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream-static POINT-IN-TIME enrichment: each streamed fact row
+    * resolves the SCD2 dimension version whose [ValidFrom, ValidTo)
+    * interval contains its event time — the streaming face of the
+    * warehouse core (C4's PIT join) over a live dimension. The static
+    * side is re-read per micro-batch, so dimension replaces by
+    * [[LakeIO.replaceGold]] take effect without a restart; the
+    * half-open interval semantics are EXACTLY
+    * [[graft.operators.FactLoad.pitPredicate]]. */
+  def enrichPointInTime(stream: DataFrame, dim: DataFrame,
+                        businessKey: String, eventTimeCol: String = "ts"): DataFrame = {
+    val attrs = dim.columns
+      .filterNot(Set(businessKey, "ValidFrom", "ValidTo").contains)
+    val dimSel = broadcast(dim.select(
+      col(businessKey).as("_bk") +:
+        col("ValidFrom").as("_vf") +: col("ValidTo").as("_vt") +:
+        attrs.map(col): _*))
+    stream.join(dimSel,
+        stream(businessKey) === col("_bk") &&
+          graft.operators.FactLoad.pitPredicate(
+            stream(eventTimeCol), col("_vf"), col("_vt")),
+        "left")
+      .drop("_bk", "_vf", "_vt")
+  }
+
   /** Watermarked stream-stream interval join: each left event inner-
     * joined to right events sharing `keys` whose timestamp lies in
     * [left.ts - beforeSec, left.ts + afterSec]. Both sides carry a

@@ -192,6 +192,33 @@ class MultimodalStreamingSpec extends SparkSpec {
       Timestamp.valueOf("2024-01-01 00:20:00").getTime)
   }
 
+  test("streaming PIT enrichment resolves the version covering event time") {
+    implicit val sqlCtx = spark.sqlContext
+    // SCD2 dimension: user 1 changed tier at 01:00 (half-open ranges)
+    val dim = Seq(
+      (1L, "bronze", Timestamp.valueOf("2024-01-01 00:00:00"),
+        Option(Timestamp.valueOf("2024-01-01 01:00:00"))),
+      (1L, "gold", Timestamp.valueOf("2024-01-01 01:00:00"),
+        Option.empty[Timestamp]))
+      .toDF("user_id", "tier", "ValidFrom", "ValidTo")
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.enrichPointInTime(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("pit_s").outputMode("append").start()
+    mem.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 00:30:00"), 1, "a", 1.0), // bronze era
+      Event(2, Timestamp.valueOf("2024-01-01 01:00:00"), 1, "a", 1.0), // boundary → gold
+      Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "a", 1.0), // gold era
+      Event(4, Timestamp.valueOf("2024-01-01 02:00:00"), 9, "a", 1.0)) // unknown user
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pit_s")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).contains("bronze"))
+    assert(rows(2L).contains("gold")) // half-open: boundary joins the NEW version
+    assert(rows(3L).contains("gold"))
+    assert(rows(4L).isEmpty) // left join keeps unmatched stream rows
+  }
+
   test("stream-stream interval join matches its batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
