@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic keyed upsert (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
@@ -31,5 +32,22 @@ object Upsert {
     val untouched = current.join(updates.select(keyCols.map(col): _*),
       keyCols, "left_anti")
     updates.unionByName(untouched)
+  }
+
+  /** CDC log compaction: keep each key's LATEST row under `ordering`
+    * (descending-first wins). The standard step that turns an
+    * append-only change log into current state — and the safe form of
+    * "dropDuplicates by key", which keeps an ARBITRARY row and changes
+    * results under repartitioning. `ordering` must be a total order
+    * per key (add a unique tiebreaker column) or the winner is
+    * nondeterministic. One shuffle on the key; the per-key sort is
+    * partition-local. */
+  def latestByKey(log: DataFrame, keyCols: Seq[String],
+                  ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordering.map(_.desc): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
   }
 }

@@ -666,7 +666,33 @@ object CurationQueries {
              epoch_ms(MAX(l_shipdate)) AS last_ship_ms
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
+  /** q70 — CDC log compaction ([[graft.operators.Upsert.latestByKey]]):
+    * each user's latest event under a TOTAL order (ts, then event_id
+    * as the tiebreaker — without it the winner is partition-dependent,
+    * which is exactly the dropDuplicates trap the operator exists to
+    * avoid). */
+  private val q70 = QueryDef(
+    "q70_log_compaction",
+    (s, dir) => {
+      val e = QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+      graft.operators.Upsert.latestByKey(
+          e, Seq("user_id"), Seq(col("ms"), col("event_id")))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+               event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) DESC,
+                                           event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id, ms, event_type
+      FROM e WHERE rn = 1 ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62,
-      q63, q64, q65, q66, q67, q68, q69)
+      q63, q64, q65, q66, q67, q68, q69, q70)
 }
