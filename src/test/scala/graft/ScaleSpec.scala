@@ -125,6 +125,38 @@ class ScaleSpec extends SparkSpec {
     assert(joins == 1, s"one join expected:\n${plan.take(900)}")
   }
 
+  test("z-order layout clusters BOTH dimensions; single-sort does not") {
+    import graft.sources.ZOrder
+    // 64×64 grid of (x, y) points
+    val grid = spark.range(64L * 64)
+      .select(($"id" % 64).as("x"), ($"id" / 64).as("y"))
+    val dirZ = Files.createTempDirectory("graft_z").toString
+    val dirX = Files.createTempDirectory("graft_x").toString
+    ZOrder.writeZOrdered(grid, Seq("x", "y"), dirZ, nFiles = 16, bitsPerCol = 6)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(dirX)
+
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter($"y" >= 10 && $"y" < 18) // selective filter on the SECOND dim
+        .select(input_file_name()).distinct().count()
+
+    val zFiles = filesTouched(dirZ)
+    val xFiles = filesTouched(dirX)
+    // x-sorted layout scatters y across every file; the z-curve keeps
+    // a y-slice inside a small subset
+    assert(xFiles == 16, s"x-sorted layout should touch all files, got $xFiles")
+    assert(zFiles <= 8, s"z-ordered layout should localize the y-slice, got $zFiles")
+    // layout change must not change content
+    assert(spark.read.parquet(dirZ).count() == 64L * 64)
+    // interleave correctness: bit i of each bucket lands at stride positions
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(ZOrder.interleave(Seq($"a", $"b"), 3).as("z"))
+      .as[Long].head()
+    // a=3=0b011, b=5=0b101 → z bits (b2 a2 b1 a1 b0 a0) = 1 0 0 1 1 1 = 39
+    assert(z == 39L, s"interleave(3,5)=$z")
+  }
+
   test("salted join: correct result and hot key spread across salts") {
     // hot key: 10k facts on one key, 10 on another
     val facts = ((1 to 10000).map(i => (1L, i.toLong)) ++
