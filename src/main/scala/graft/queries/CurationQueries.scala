@@ -692,7 +692,97 @@ object CurationQueries {
       SELECT user_id, event_id, ms, event_type
       FROM e WHERE rn = 1 ORDER BY user_id"""))
 
+  /** q71 — eval-contamination check: the held-out slice (deterministic
+    * hash bucket, same split as q52/q57) scored by the fraction of its
+    * 3-gram shingles that appear anywhere in the training slice — the
+    * benchmark-overlap scan every LLM data pipeline runs before
+    * training. Train shingles form a distinct posting set (one
+    * shuffle); containment is a semi join against it. */
+  private val q71 = QueryDef(
+    "q71_contamination",
+    (s, dir) => {
+      import graft.functions.{TextExprs, TextFunctions}
+      val docs = table(s, dir, "documents")
+      val bkt = Sampling.bucket(col("doc_id"))
+      val shingled = docs.select(col("doc_id"), bkt.as("bkt"),
+        array_distinct(TextExprs.word_shingles(
+          TextFunctions.tokens(col("text")), 3)).as("sh"))
+      val evalSh = shingled.filter(col("bkt") < 5)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val trainSh = shingled.filter(col("bkt") >= 5)
+        .select(explode(col("sh")).as("s")).distinct()
+      val tot = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val hit = evalSh.join(trainSh, Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+        .withColumn("contamination",
+          round(col("n_contaminated").cast(DoubleType) / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 100 AS bkt,
+               list_distinct(${ExtensionQueries.shinglesSql}) AS shl
+        FROM (SELECT doc_id, ${ExtensionQueries.toksSql} AS t FROM documents)),
+      ev AS (SELECT doc_id, unnest(shl) AS s FROM sh WHERE bkt < 5),
+      tr AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE bkt >= 5),
+      tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+      hit AS (SELECT ev.doc_id, COUNT(*) AS n_contaminated
+              FROM ev JOIN tr USING (s) GROUP BY 1)
+      SELECT t.doc_id, t.n_shingles,
+             coalesce(h.n_contaminated, 0) AS n_contaminated,
+             round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+                   / t.n_shingles, 6) AS contamination
+      FROM tot t LEFT JOIN hit h USING (doc_id)
+      ORDER BY t.doc_id"""))
+
+  /** q72 — intra-document repetition (Gopher/RefinedWeb-style quality
+    * signal): repeated-shingle mass per source. Corpus ratios are
+    * integer-sum ratios (order-independent); only the per-doc maximum
+    * — itself order-free — floats. */
+  private val q72 = QueryDef(
+    "q72_repetition",
+    (s, dir) => {
+      import graft.functions.{TextExprs, TextFunctions}
+      val perDoc = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextExprs.word_shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"), col("source"),
+          size(col("sh")).cast(LongType).as("n_tot"),
+          size(array_distinct(col("sh"))).cast(LongType).as("n_dist"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tot")).as("sum_tot"),
+          sum(col("n_dist")).as("sum_dist"),
+          round(max(lit(1.0) - col("n_dist").cast(DoubleType) / col("n_tot")), 6)
+            .as("max_doc_repetition"))
+        .withColumn("corpus_repetition",
+          round(lit(1.0) - col("sum_dist").cast(DoubleType) / col("sum_tot"), 6))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, source, ${ExtensionQueries.shinglesSql} AS shl
+        FROM (SELECT doc_id, source, ${ExtensionQueries.toksSql} AS t
+              FROM documents)),
+      per AS (
+        SELECT doc_id, source,
+               CAST(len(shl) AS BIGINT) AS n_tot,
+               CAST(len(list_distinct(shl)) AS BIGINT) AS n_dist
+        FROM sh)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tot) AS BIGINT) AS sum_tot,
+             CAST(SUM(n_dist) AS BIGINT) AS sum_dist,
+             round(MAX(1.0 - CAST(n_dist AS DOUBLE) / n_tot), 6)
+               AS max_doc_repetition,
+             round(1.0 - CAST(CAST(SUM(n_dist) AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(n_tot) AS BIGINT), 6) AS corpus_repetition
+      FROM per GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62,
-      q63, q64, q65, q66, q67, q68, q69, q70)
+      q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }
