@@ -73,6 +73,25 @@ object LakeIO {
     }
   }
 
+  /** S2 with schema drift — the reference declares `allowSchemaDrift:
+    * true, validateSchema: false` on every source (SURVEY §1.3):
+    * extra columns pass through, missing columns are not an error.
+    * Parquet union-by-name via `mergeSchema` reproduces exactly that
+    * over Bronze batches whose shape changed between ingest dates:
+    * columns absent in older batches surface as nulls, new columns
+    * survive. Schema merging lists every file footer — bounded at
+    * scale by partition pruning (pass `ingestDate`) or a pinned
+    * contract schema once drift settles. */
+  def readBronzeEvolving(spark: SparkSession, zones: LakeZones, table: String,
+                         ingestDate: Option[LocalDate] = None): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(zones.bronze(table))
+    ingestDate.fold(df) { d =>
+      df.filter(col("ingest_year") === d.getYear &&
+        col("ingest_month") === d.getMonthValue &&
+        col("ingest_day") === d.getDayOfMonth)
+    }
+  }
+
   /** S3/S10 — truncate-load a Silver domain (`DF_Clean_JDE.json:95`). */
   def overwriteSilver(df: DataFrame, zones: LakeZones, domain: String): Unit =
     df.write.mode("overwrite").option("compression", "snappy")

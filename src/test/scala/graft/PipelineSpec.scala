@@ -176,6 +176,25 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(staging) && !Files.exists(old))
   }
 
+  test("schema drift: evolving bronze batches merge by name (SURVEY §1.3)") {
+    val lake = mkTmp()
+    val zones = LakeZones(lake)
+    // day 1: two columns; day 2 adds a column (allowSchemaDrift)
+    LakeIO.writeBronze(Seq((1L, "a")).toDF("id", "v"),
+      zones, "drift", LocalDate.of(2024, 6, 1))
+    LakeIO.writeBronze(Seq((2L, "b", 9.5)).toDF("id", "v", "score"),
+      zones, "drift", LocalDate.of(2024, 6, 2))
+    val merged = LakeIO.readBronzeEvolving(spark, zones, "drift")
+    assert(merged.columns.contains("score"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(9.5)) // old rows null-fill
+    // pruned read still drifts through the merged schema
+    val d1 = LakeIO.readBronzeEvolving(spark, zones, "drift",
+      Some(LocalDate.of(2024, 6, 1)))
+    assert(d1.count() == 1 && d1.columns.contains("score"))
+  }
+
   test("retry wrapper retries then alerts with stage context") {
     var calls = 0; var alerted: Option[String] = None
     intercept[RuntimeException] {
