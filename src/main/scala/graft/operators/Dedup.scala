@@ -277,8 +277,12 @@ object Dedup {
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed with one propagation folded in: lbl₀ = min(id, direct
+    // neighbors) — the same aggregation that extracts the vertex set,
+    // one fewer iteration for free
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("src").as("id"), least(col("src"), col("_m")).as("lbl"))
       .localCheckpoint()
     var converged = false
     var i = 0
