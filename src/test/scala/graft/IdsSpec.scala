@@ -29,9 +29,17 @@ class IdsSpec extends SparkSpec {
     val out = Ids.addContiguousIds(df, Seq(col("key")), "sk")
     val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(after == before, "plan construction must trigger no Spark jobs")
-    // both window branch and offset branch consume one reused exchange
-    val plan = out.queryExecution.executedPlan.toString
     assert(out.select(max($"sk")).as[Long].head() == 10000L)
+    // CORRECTNESS-CRITICAL: the numbering branch and the offsets
+    // branch must consume the SAME materialized range exchange — if
+    // each materialized its own, AQE could partition them differently
+    // and the pid-keyed offset join would mis-assign ids. Reuse only
+    // shows in the FINAL adaptive plan, so execute `out` itself first.
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      s"offsets branch must reuse the range exchange:\n${plan.take(1200)}")
   }
 
   test("distinct ids under skewed multi-column ordering") {
