@@ -217,6 +217,30 @@ object LakeIO {
   def readGold(spark: SparkSession, zones: LakeZones, table: String): DataFrame =
     spark.read.parquet(zones.gold(table))
 
+  /** Register every table directory of a zone as `<zone>_<table>`
+    * views so the whole lake is `spark.sql`-addressable (the SQL
+    * serving surface of the reference's Azure SQL tier, SURVEY §1.1,
+    * lake-native). Re-running refreshes the view set; views are
+    * lazy — registration reads only directory listings, no data. */
+  def registerViews(spark: SparkSession, zones: LakeZones): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(zones.root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    for {
+      zone <- Seq("bronze", "silver", "gold")
+      zonePath = new Path(s"${zones.root}/$zone")
+      if fs.exists(zonePath)
+      dir <- fs.listStatus(zonePath).toSeq if dir.isDirectory
+      name = dir.getPath.getName
+      // skip staging/retired swap leftovers
+      if !name.endsWith(".staging") && !name.endsWith(".old")
+      viewName = s"${zone}_$name"
+    } yield {
+      spark.read.parquet(dir.getPath.toString).createOrReplaceTempView(viewName)
+      viewName
+    }
+  }
+
   /** Small-file compaction: rewrite a zone table into
     * ~ceil(bytes / targetFileBytes) right-sized files via the staged
     * swap (atomic like [[replaceGold]], no reader ever sees a partial

@@ -195,6 +195,21 @@ class PipelineSpec extends SparkSpec {
     assert(d1.count() == 1 && d1.columns.contains("score"))
   }
 
+  test("registerViews makes every zone table SQL-addressable") {
+    val lake = mkTmp()
+    val zones = LakeZones(lake)
+    LakeIO.writeBronze(Seq((1L, "a")).toDF("id", "v"),
+      zones, "raw", LocalDate.of(2024, 6, 1))
+    LakeIO.overwriteSilver(Seq((1L, "A")).toDF("id", "v"), zones, "clean")
+    LakeIO.replaceGold(Seq((1L, 10.0)).toDF("id", "m"), zones, "dim")
+    val views = LakeIO.registerViews(spark, zones)
+    assert(views.toSet == Set("bronze_raw", "silver_clean", "gold_dim"))
+    assert(spark.sql("SELECT m FROM gold_dim WHERE id = 1").as[Double].head() == 10.0)
+    assert(spark.sql(
+      "SELECT silver_clean.v FROM bronze_raw JOIN silver_clean USING (id)")
+      .count() == 1)
+  }
+
   test("retry wrapper retries then alerts with stage context") {
     var calls = 0; var alerted: Option[String] = None
     intercept[RuntimeException] {
