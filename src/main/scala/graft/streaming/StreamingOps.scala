@@ -62,6 +62,41 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming SCD2 dimension maintenance: each micro-batch of
+    * change events merges into the lake dimension with the BATCH
+    * [[graft.operators.Scd2.merge]] (same hash-diff semantics, same
+    * invariants) and publishes atomically via
+    * [[LakeIO.replaceGold]] — continuous CDC ingestion without a
+    * second merge implementation. Within a batch, only each key's
+    * latest event applies ([[graft.operators.Upsert.latestByKey]] on
+    * event time; `merge` requires one row per key). `now` for each
+    * batch is the batch's max event time, so ValidFrom/ValidTo
+    * watermarks advance with the data, not the wall clock —
+    * reprocessing a backlog yields the same dimension history. */
+  def scd2Sink(changes: DataFrame, zones: LakeZones, table: String,
+               spec: graft.operators.Scd2.Spec, checkpointDir: String,
+               tsCol: String = "ts"): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val latest = graft.operators.Upsert
+            .latestByKey(batch.toDF(), Seq(spec.businessKey), Seq(col(tsCol)))
+          val now = latest.agg(max(col(tsCol))).head().getTimestamp(0)
+          val incoming = latest.drop(tsCol)
+          val dim =
+            try LakeIO.readGoldRecovering(spark, zones, table)
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              graft.operators.Scd2.emptyDim(spark, incoming, spec)
+            }
+          val next = graft.operators.Scd2.merge(
+            dim.localCheckpoint(), incoming, spec, lit(now))
+          LakeIO.replaceGold(next, zones, table)
+        }
+      }
+      .start()
+
   /** Stream-static POINT-IN-TIME enrichment: each streamed fact row
     * resolves the SCD2 dimension version whose [ValidFrom, ValidTo)
     * interval contains its event time — the streaming face of the

@@ -7,6 +7,9 @@ import graft.operators.Multimodal
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.{Event, Session}
 
+/** CDC change event for the streaming SCD2 sink test. */
+final case class Cdc(k: Long, name: String, ts: Timestamp)
+
 /** Multimodal binary plumbing + Structured Streaming twins. */
 class MultimodalStreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -190,6 +193,44 @@ class MultimodalStreamingSpec extends SparkSpec {
       Timestamp.valueOf("2024-01-01 00:00:00").getTime)
     assert(emitted(0).session_end_ms ==
       Timestamp.valueOf("2024-01-01 00:20:00").getTime)
+  }
+
+  test("streaming SCD2 sink maintains the dimension across micro-batches") {
+    import graft.operators.Scd2
+    import graft.sources.{LakeIO, LakeZones}
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_scd2s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2c").toString
+    val zones = LakeZones(lake)
+    val spec = Scd2.Spec("DimKey", "k", Seq("name"))
+    val mem = MemoryStream[Cdc]
+    val q = StreamingOps.scd2Sink(mem.toDF(), zones, "dim_k", spec, ckpt)
+    // batch 1: two new keys
+    mem.addData(
+      Cdc(1L, "alice", Timestamp.valueOf("2024-01-01 00:00:00")),
+      Cdc(2L, "bob", Timestamp.valueOf("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    assert(LakeIO.readGold(spark, zones, "dim_k").count() == 2)
+    // batch 2: key 1 changes twice in-batch (latest wins), key 3 new
+    mem.addData(
+      Cdc(1L, "alicia", Timestamp.valueOf("2024-01-02 00:00:00")),
+      Cdc(1L, "ALICE2", Timestamp.valueOf("2024-01-02 00:00:01")),
+      Cdc(3L, "carol", Timestamp.valueOf("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val dim = LakeIO.readGold(spark, zones, "dim_k")
+    assert(dim.count() == 4) // 2 initial + 1 new version of k=1 + k=3
+    val active = dim.filter($"IsActive")
+      .select("k", "name").as[(Long, String)].collect().toMap
+    assert(active == Map(1L -> "ALICE2", 2L -> "bob", 3L -> "carol"))
+    // expired version carries the batch event-time watermark
+    val expired = dim.filter(!$"IsActive")
+      .select("k", "ValidTo").as[(Long, Timestamp)].collect()
+    assert(expired.toSeq == Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:01"))))
+    // surrogate keys stay unique and contiguous across batches
+    assert(dim.select("DimKey").distinct().count() == 4)
+    assert(dim.agg(max($"DimKey")).head().getLong(0) == 4L)
   }
 
   test("streaming PIT enrichment resolves the version covering event time") {
