@@ -176,33 +176,32 @@ object StreamingOps {
         state.remove()
         Iterator(Session(userId, s.start, s.end, s.n, s.sum))
       } else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        // Interval-gap merge over the restored open session PLUS this
+        // batch's events, all in start-time order. This handles late
+        // data exactly like the batch twin within the visible horizon:
+        // an event inside the open session's gap (either side) merges
+        // and can extend it backward; far-late events session among
+        // THEMSELVES (two late events within a gap of each other form
+        // ONE earlier session, not two singletons); everything that
+        // ends more than a gap before the final interval closes.
+        val items = (state.getOption.toList ++
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+          .sortBy(s => (s.start, s.end))
         var closed = List.empty[Session]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
+        var cur = Option.empty[SessionState]
+        items.foreach { it =>
           cur match {
-            case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
-              // Within the gap of the open session on EITHER side: a
-              // late event just before s.start extends it backward
-              // (math.min), matching the batch twin
-              // EventWindows.sessionize over out-of-order input. An
-              // event far BEFORE the session must not merge — without
-              // the s.start - t guard, t < s.end makes t - s.end
-              // negative and the gap test vacuously true.
-              cur = Some(SessionState(math.min(s.start, t),
-                math.max(s.end, t), s.n + 1, s.sum + e.value))
-            case Some(s) if t < s.start =>
-              // Late event more than a gap before the open session: the
-              // batch twin would place it in its own earlier session.
-              // Nothing later can merge with it (rows are sorted), so
-              // emit it immediately as a closed singleton session.
-              closed ::= Session(userId, t, t, 1L, e.value)
-            case Some(s) =>
-              closed ::= Session(userId, s.start, s.end, s.n, s.sum)
-              cur = Some(SessionState(t, t, 1L, e.value))
+            case Some(c) if it.start - c.end <= gapMs =>
+              // start-sorted ⇒ it.start >= c.start; overlap makes the
+              // difference negative and merges, as it must
+              cur = Some(SessionState(c.start, math.max(c.end, it.end),
+                c.n + it.n, c.sum + it.sum))
+            case Some(c) =>
+              closed ::= Session(userId, c.start, c.end, c.n, c.sum)
+              cur = Some(it)
             case None =>
-              cur = Some(SessionState(t, t, 1L, e.value))
+              cur = Some(it)
           }
         }
         cur.foreach { s =>

@@ -306,8 +306,12 @@ class MultimodalStreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sess_farlate").outputMode("append").start()
     mem.addData(Event(1, Timestamp.valueOf("2024-01-01 06:00:00"), 9, "a", 1.0))
     q.processAllAvailable()
-    // 6 hours before the open session: gap to it far exceeds 30 min
-    mem.addData(Event(2, Timestamp.valueOf("2024-01-01 00:00:00"), 9, "a", 2.0))
+    // 6 hours before the open session: gap to it far exceeds 30 min.
+    // TWO late events within a gap of each other must form ONE
+    // earlier session, not two singletons (review r03 finding).
+    mem.addData(
+      Event(2, Timestamp.valueOf("2024-01-01 00:00:00"), 9, "a", 2.0),
+      Event(4, Timestamp.valueOf("2024-01-01 00:05:00"), 9, "a", 3.0))
     q.processAllAvailable()
     // close the open session so everything is emitted
     mem.addData(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "a", 0.0))
@@ -316,11 +320,12 @@ class MultimodalStreamingSpec extends SparkSpec {
     val emitted = spark.table("sess_farlate").as[Session].collect()
       .sortBy(_.session_start_ms)
     assert(emitted.length == 2)
-    // the far-late event is its own singleton session
+    // the far-late pair is one merged earlier session
     assert(emitted(0).session_start_ms ==
       Timestamp.valueOf("2024-01-01 00:00:00").getTime)
-    assert(emitted(0).session_end_ms == emitted(0).session_start_ms)
-    assert(emitted(0).n_events == 1L)
+    assert(emitted(0).session_end_ms ==
+      Timestamp.valueOf("2024-01-01 00:05:00").getTime)
+    assert(emitted(0).n_events == 2L && emitted(0).sum_value == 5.0)
     // the open session was untouched (start stayed at 06:00)
     assert(emitted(1).session_start_ms ==
       Timestamp.valueOf("2024-01-01 06:00:00").getTime)
