@@ -113,22 +113,32 @@ object LakeIO {
     * ingest date works). */
   def appendGoldRun(df: DataFrame, zones: LakeZones, table: String,
                     loadId: String): Unit = {
-    // Fail fast on a layout clash: if the target already holds
-    // root-level (non-partitioned) data files — e.g. a compactGold
-    // rewrite — adding load_id=... partition dirs next to them makes
-    // Spark partition discovery reject the whole table at read time.
-    // Better to refuse the write than to poison the table.
+    // Fail fast on layout clashes: mixing load_id=... dirs with
+    // root-level data files (a flattening compactGold rewrite) OR
+    // with a DIFFERENT partition column (a replaceGold written with
+    // other partitionCols) makes Spark partition discovery reject the
+    // whole table at read time. Better to refuse the write than to
+    // poison the table.
     import org.apache.hadoop.fs.Path
     val target = new Path(zones.gold(table))
     val fs = target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     if (fs.exists(target)) {
-      val rootData = fs.listStatus(target).exists(st =>
+      val entries = fs.listStatus(target)
+      val rootData = entries.exists(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))
       require(!rootData,
         s"$target holds non-partitioned data files; appending a " +
           "load_id= partition would mix layouts and break partition " +
           "discovery. Compact with preservePartitions=true, or " +
           "overwrite the table instead.")
+      val foreignKeys = entries.collect {
+        case st if st.isDirectory && st.getPath.getName.contains("=") =>
+          st.getPath.getName.split("=", 2)(0)
+      }.filter(_ != "load_id").distinct
+      require(foreignKeys.isEmpty,
+        s"$target is partitioned by ${foreignKeys.mkString(",")}; " +
+          "appending a load_id= partition would conflict with that " +
+          "layout and break partition discovery at read time.")
     }
     df.withColumn("load_id", lit(loadId))
       .write
@@ -202,8 +212,15 @@ object LakeIO {
     }
 
   /** Read a gold table, first repairing any dangling replaceGold swap
-    * (see [[replaceGold]]); use where a reader may race a crashed
-    * writer. */
+    * (see [[replaceGold]]).
+    *
+    * SINGLE-WRITER ASSUMPTION: repair cannot distinguish a CRASHED
+    * writer from a LIVE one currently between its two renames —
+    * repairing concurrently with a live writer can steal its publish
+    * rename and fail the writer. This engine's orchestration (C7, one
+    * driver) satisfies the assumption; concurrent multi-writer tables
+    * need an external commit protocol (a lock or a transaction log),
+    * which is out of scope for plain-parquet zones. */
   def readGoldRecovering(spark: SparkSession, zones: LakeZones,
                          table: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -269,11 +286,24 @@ object LakeIO {
       if (preservePartitions) hivePartitionColumns(fs, target) else Nil
     val src = spark.read.parquet(zones.gold(table))
     val df =
-      if (partCols.nonEmpty)
-        // Hash by partition key: each partition's rows land together,
-        // so the writer emits few, large files per partition dir.
-        src.repartition(nFiles, partCols.map(col): _*)
-      else src.repartition(nFiles)
+      if (partCols.nonEmpty) {
+        // Keying the shuffle on the partition columns ALONE would cap
+        // output at one task (= one file) per partition VALUE — a
+        // 100 GB partition would become one 100 GB file. Add a
+        // deterministic spread key so each partition's rows split
+        // over ~filesPerPart tasks and the writer emits right-sized
+        // files per partition dir. Partition-dir count is estimated
+        // from the directory summary (over-counts nested layouts ⇒
+        // at worst files come out smaller than the target, not
+        // bigger).
+        val nDirs = math.max(1L,
+          fs.getContentSummary(target).getDirectoryCount - 1)
+        val filesPerPart = math.max(1, math.ceil(nFiles.toDouble / nDirs).toInt)
+        val spread = pmod(
+          xxhash64(src.columns.filterNot(partCols.contains).map(col): _*),
+          lit(filesPerPart))
+        src.repartition(nFiles, partCols.map(col) :+ spread: _*)
+      } else src.repartition(nFiles)
     replaceGold(df, zones, table, partCols)
     nFiles
   }

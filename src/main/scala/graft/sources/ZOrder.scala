@@ -39,13 +39,16 @@ object ZOrder {
   }
 
   /** Equi-width bucket rank of `c` in [0, 2^bitsPerCol) given the
-    * column's observed [lo, hi]. */
+    * column's observed [lo, hi]; null values land deterministically
+    * in bucket 0. */
   def bucketOf(c: Column, lo: Double, hi: Double, bitsPerCol: Int): Column = {
     val nBuckets = 1L << bitsPerCol
     val width = math.max(hi - lo, java.lang.Double.MIN_VALUE)
-    least(lit(nBuckets - 1),
-      greatest(lit(0L),
-        floor((c.cast("double") - lit(lo)) / lit(width) * nBuckets).cast("long")))
+    coalesce(
+      least(lit(nBuckets - 1),
+        greatest(lit(0L),
+          floor((c.cast("double") - lit(lo)) / lit(width) * nBuckets).cast("long"))),
+      lit(0L))
   }
 
   /** The z-value column for `cols` of `df` (min/max probed with one
@@ -55,6 +58,11 @@ object ZOrder {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = cols.zipWithIndex.map { case (c, j) =>
+      // an empty frame or an all-null column has no [lo, hi]; fail
+      // with the actual problem instead of an opaque NPE
+      require(!row.isNullAt(2 * j) && !row.isNullAt(2 * j + 1),
+        s"cannot z-order on '$c': no non-null values to bucket " +
+          "(empty input or all-null column)")
       bucketOf(col(c), row.getDouble(2 * j), row.getDouble(2 * j + 1), bitsPerCol)
     }
     interleave(buckets, bitsPerCol)

@@ -3,9 +3,10 @@ package graft
 import graft.operators.Ids
 import org.apache.spark.sql.functions._
 
-/** The lazy contiguous-id plan: correct global numbering, and the
-  * range exchange feeding both the numbering and the offset branches
-  * is materialized once (ReuseExchange). */
+/** Contiguous-id assignment: correct global numbering, direction
+  * honoring, and stability across repeated evaluation (the property
+  * the reverted lazy two-branch plan could not guarantee — see the
+  * Ids scaladoc). */
 class IdsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -23,23 +24,26 @@ class IdsSpec extends SparkSpec {
     }
   }
 
-  test("plan has no driver-side jobs and reuses the range exchange") {
-    val df = spark.range(10000).select($"id".as("key"))
-    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+  test("descending sort expressions are honored (review r03 finding)") {
+    val df = spark.range(1, 101).select($"id".as("key")).repartition(5)
+    val out = Ids.addContiguousIds(df, Seq(col("key").desc), "sk")
+      .select("sk", "key").as[(Long, Long)].collect().sortBy(_._1)
+    // largest key gets id 1, smallest gets id 100
+    assert(out.head == ((1L, 100L)) && out.last == ((100L, 1L)))
+    assert(out.forall { case (sk, key) => sk == 101L - key })
+  }
+
+  test("repeated evaluation of one plan yields identical ids") {
+    // zipWithIndex pins a single RDD: the count job and every data
+    // job read the same partitioning, so re-evaluating the result
+    // (no cache) cannot re-deal rows into different partitions
+    val df = spark.range(20000).select(($"id" * 37 % 20011).as("key"))
+      .repartition(7)
     val out = Ids.addContiguousIds(df, Seq(col("key")), "sk")
-    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    assert(after == before, "plan construction must trigger no Spark jobs")
-    assert(out.select(max($"sk")).as[Long].head() == 10000L)
-    // CORRECTNESS-CRITICAL: the numbering branch and the offsets
-    // branch must consume the SAME materialized range exchange — if
-    // each materialized its own, AQE could partition them differently
-    // and the pid-keyed offset join would mis-assign ids. Reuse only
-    // shows in the FINAL adaptive plan, so execute `out` itself first.
-    out.collect()
-    val plan = out.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert(plan.contains("ReusedExchange"),
-      s"offsets branch must reuse the range exchange:\n${plan.take(1200)}")
+    val a = out.select("key", "sk").as[(Long, Long)].collect().sortBy(_._1)
+    val b = out.select("key", "sk").as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._2).distinct.length == a.length)
   }
 
   test("distinct ids under skewed multi-column ordering") {

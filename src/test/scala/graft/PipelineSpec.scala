@@ -153,6 +153,18 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-partitioned"))
   }
 
+  test("appendGoldRun rejects a foreign partition layout (review r03)") {
+    val lake = mkTmp()
+    val zones = LakeZones(lake)
+    LakeIO.replaceGold(Seq((1L, "east", 1.0)).toDF("id", "region", "m"),
+      zones, "t", partitionCols = Seq("region"))
+    val ex = intercept[IllegalArgumentException] {
+      LakeIO.appendGoldRun(Seq((2L, "west", 2.0)).toDF("id", "region", "m"),
+        zones, "t", "b1")
+    }
+    assert(ex.getMessage.contains("partitioned by region"))
+  }
+
   test("replaceGold recovers a dangling swap (crash between renames)") {
     val lake = mkTmp()
     val zones = LakeZones(lake)
