@@ -153,6 +153,25 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-partitioned"))
   }
 
+  test("compaction spreads a large partition over multiple files (review r03)") {
+    val lake = mkTmp()
+    val zones = LakeZones(lake)
+    // one hot load_id partition with many rows
+    LakeIO.appendGoldRun(
+      spark.range(50000).selectExpr("id", "cast(id % 97 as string) AS v"),
+      zones, "hot", "b0")
+    // tiny target size forces several files; partition-col-only keying
+    // would emit exactly one file for the single load_id
+    LakeIO.compactGold(spark, zones, "hot", targetFileBytes = 64 * 1024)
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(Paths.get(s"$lake/gold/hot")).iterator()
+      .asScala.count(_.toString.endsWith(".parquet"))
+    assert(files > 1, s"hot partition must split across files, got $files")
+    val back = LakeIO.readGold(spark, zones, "hot")
+    assert(back.count() == 50000)
+    assert(back.select("load_id").distinct().count() == 1)
+  }
+
   test("appendGoldRun rejects a foreign partition layout (review r03)") {
     val lake = mkTmp()
     val zones = LakeZones(lake)
