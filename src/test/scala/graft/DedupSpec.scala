@@ -159,10 +159,11 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
-    // a long chain still converges (diameter = rounds needed)
-    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a DEEP chain converges within maxIter thanks to pointer jumping
+    // (plain neighbor propagation would need 499 rounds)
+    val chain = (1L until 500L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val c2 = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
-    assert(c2.forall(_._2 == 1L) && c2.length == 20)
+    assert(c2.forall(_._2 == 1L) && c2.length == 500)
   }
 
   test("simhash: identical docs share sig; near-dups within small hamming") {

@@ -11,9 +11,10 @@ class ModelPropertySpec extends SparkSpec {
 
   test("connectedComponents matches in-memory union-find on random graphs") {
     val rnd = new scala.util.Random(7)
-    for (trial <- 1 to 5) {
-      val nNodes = 20 + rnd.nextInt(30)
-      val nEdges = 5 + rnd.nextInt(40)
+    for (trial <- 1 to 6) {
+      // last trial: a larger sparse graph with long accidental chains
+      val nNodes = if (trial == 6) 2000 else 20 + rnd.nextInt(30)
+      val nEdges = if (trial == 6) 1900 else 5 + rnd.nextInt(40)
       val pairs = (1 to nEdges).map { _ =>
         val a = rnd.nextInt(nNodes).toLong
         val b = rnd.nextInt(nNodes).toLong
