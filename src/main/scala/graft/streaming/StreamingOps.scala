@@ -81,8 +81,15 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // latestByKey needs a TOTAL order per key: equal-ts change
+          // events would otherwise pick a partition-dependent winner.
+          // A content hash breaks ties deterministically (identical
+          // duplicates tie harmlessly).
+          val tiebreak = xxhash64(
+            batch.columns.filterNot(_ == tsCol).map(col): _*)
           val latest = graft.operators.Upsert
-            .latestByKey(batch.toDF(), Seq(spec.businessKey), Seq(col(tsCol)))
+            .latestByKey(batch.toDF(), Seq(spec.businessKey),
+              Seq(col(tsCol), tiebreak))
           val now = latest.agg(max(col(tsCol))).head().getTimestamp(0)
           val incoming = latest.drop(tsCol)
           val dim =
