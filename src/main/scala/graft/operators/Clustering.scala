@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.functions.VectorFunctions
+
+/** Distributed k-means building blocks over `array<float>` embedding
+  * columns, expressed relationally so Catalyst plans them (SURVEY.md
+  * §7.5 extension tier; cf. the reference's offline "train once,
+  * apply everywhere" codebook idea in `docs/technical_report.md`'s
+  * silver→gold modeling — here re-expressed as Spark aggregates).
+  *
+  * Scale shape (the 100 TB contract):
+  *  - the centroid set C is SMALL (k ≤ ~64k rows) and always
+  *    broadcasts; the corpus N is LARGE and never shuffles more than
+  *    once per operation;
+  *  - assignment is a broadcast cross join + map-side
+  *    `max(struct(cos, -c_id))` partial aggregate — the N×C score
+  *    matrix never materializes past a task, and the shuffle carries
+  *    exactly N rows (the same pattern as [[Similarity.ivfTopK]]'s
+  *    index build);
+  *  - the Lloyd update sums per (cell, dim) in DECIMAL so the new
+  *    centroids are exact and order-independent — bit-identical
+  *    across partitionings, retries, and engines (the property the
+  *    DuckDB oracle gate checks);
+  *  - iteration would `localCheckpoint` between rounds exactly like
+  *    [[Dedup.connectedComponents]]; one verified round is exposed as
+  *    q73 (further rounds are the same plan re-applied).
+  */
+object Clustering {
+
+  /** Deterministic seed centroids: every `every`-th vector by id — a
+    * stand-in for an offline-trained codebook, which would slot in as
+    * the same small broadcast relation. */
+  def seedCentroids(corpus: DataFrame, every: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    corpus.filter(col(idCol) % every === 0)
+      .select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_v"))
+
+  /** Nearest-centroid assignment by cosine (ties → smaller centroid
+    * id): one broadcast join, one N-row shuffle, no window over the
+    * N×C cross product. Output: (n_id, n_v, cell). */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("n_id"),
+      col(vecCol).as("n_v"))
+    c.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", VectorFunctions.cosine(col("n_v"), col("c_v")))
+      .groupBy(col("n_id"), col("n_v"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg"))).as("m"))
+      .select(col("n_id"), col("n_v"), (-col("m.neg")).as("cell"))
+  }
+
+  /** One Lloyd update step: exact per-dimension DECIMAL mean of every
+    * cell's members. Output: (cell, pos, n_vecs, centroid) with pos
+    * 1-based — the same exact-mean discipline as q58. */
+  def centroidUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("n_v")).as(Seq("pos0", "x")))
+      .select(col("cell"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("x").cast(DoubleType).cast(DecimalType(20, 7)).as("xd"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("xd")).cast(DoubleType) / count(lit(1))).as("centroid"))
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): block by k-means cell, emit within-cell pairs with
+    * cosine ≥ `threshold`, keep the smallest id per near-dup group.
+    * Returns the REMOVED ids with their keeper — the pruning list a
+    * curation pipeline applies as an anti join.
+    *
+    * At scale the assignment materializes once as a stored index
+    * partitioned by cell (like the IVF index); here it flows straight
+    * into [[Dedup.embeddingNearDup]]'s blocked pair generation. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignCells(corpus, centroids, idCol, vecCol)
+    val pairs = Dedup.embeddingNearDup(assigned, idCol = "n_id",
+      vecCol = "n_v", blockCol = "cell", threshold = threshold)
+    // keeper of a removed id = the SMALLEST id it near-dups with in
+    // its cell (transitive closure is q67's job; SemDeDup prunes
+    // pairwise within a cell by design)
+    pairs.groupBy(col("id_b").as("removed_id"))
+      .agg(min(col("id_a")).as("kept_id"))
+  }
+}

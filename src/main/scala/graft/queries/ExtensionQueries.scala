@@ -327,7 +327,7 @@ object ExtensionQueries {
   // -------------------------------------------- embeddings / similarity
 
   /** embeddings ∪ scaled near-dup mutants (×1.01, cosine 1.0). */
-  private def augmentedEmbs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def augmentedEmbs(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
     e.unionByName(e.filter(col("vec_id") % 5 === 0).select(
@@ -336,7 +336,7 @@ object ExtensionQueries {
       col("label")))
   }
 
-  private val augmentedEmbsSql =
+  private[queries] val augmentedEmbsSql =
     """aug AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         UNION ALL
@@ -353,7 +353,7 @@ object ExtensionQueries {
       s"(CASE WHEN list_dot_product(v, ${planeSql(h)}) >= 0 THEN CAST(${1L << h} AS BIGINT) ELSE 0 END)"
     }.mkString(" +\n          ")
 
-  private val cosSql =
+  private[queries] val cosSql =
     """list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
 

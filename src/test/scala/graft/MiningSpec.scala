@@ -1,0 +1,116 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Pruning, Sketches}
+
+/** Mining-tier operators: k-means building blocks, SemDeDup,
+  * sketch-narrowed heavy hitters, Bloom join pruning. */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*) = xs.map(_.toFloat).toArray
+
+  test("assignCells picks the nearest centroid by cosine, ties to smaller id") {
+    // centroids along axes; vectors near each axis
+    val cents = Seq((0L, vec(1, 0, 0)), (1L, vec(0, 1, 0)))
+      .toDF("c_id", "c_v")
+    val corpus = Seq(
+      (10L, vec(0.9, 0.1, 0)),  // → cell 0
+      (11L, vec(0.1, 0.9, 0)),  // → cell 1
+      (12L, vec(1, 1, 0))       // equidistant → tie → cell 0
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.assignCells(corpus, cents)
+      .select("n_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
+  test("centroidUpdate computes exact per-dimension means") {
+    val assigned = Seq(
+      (1L, vec(1, 3), 7L),
+      (2L, vec(3, 5), 7L),
+      (3L, vec(10, 0), 8L)
+    ).toDF("n_id", "n_v", "cell")
+    val got = Clustering.centroidUpdate(assigned)
+      .select("cell", "pos", "n_vecs", "centroid")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((7L, 1L, 2L, 2.0), (7L, 2L, 2L, 4.0),
+      (8L, 1L, 1L, 10.0), (8L, 2L, 1L, 0.0)))
+  }
+
+  test("one Lloyd step strictly reduces within-cluster scatter on separated data") {
+    // two tight blobs far apart; seeds off-center inside each blob
+    val rnd = new Random(7)
+    def blob(cx: Double, cy: Double, n: Int, base: Long) =
+      (0 until n).map(i => (base + i,
+        vec(cx + rnd.nextGaussian() * 0.05, cy + rnd.nextGaussian() * 0.05)))
+    val corpus = (blob(1, 0, 40, 0L) ++ blob(0, 1, 40, 1000L))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq((0L, vec(0.9, 0.2)), (1L, vec(0.2, 0.9))).toDF("c_id", "c_v")
+    val assigned = Clustering.assignCells(corpus, seeds)
+    // every member of blob A lands in cell 0, blob B in cell 1
+    val cells = assigned.select("n_id", "cell").as[(Long, Long)].collect()
+    assert(cells.forall { case (id, cell) => (id < 1000L) == (cell == 0L) })
+    val updated = Clustering.centroidUpdate(assigned)
+      .select("cell", "pos", "centroid").as[(Long, Long, Double)].collect()
+    // updated centroids sit at the blob means, i.e. near (1,0) and (0,1)
+    val m = updated.map { case (c, p, v) => (c, p) -> v }.toMap
+    assert(math.abs(m((0L, 1L)) - 1.0) < 0.05 && math.abs(m((0L, 2L))) < 0.05)
+    assert(math.abs(m((1L, 1L))) < 0.05 && math.abs(m((1L, 2L)) - 1.0) < 0.05)
+  }
+
+  test("semanticDedup removes near-identical vectors, keeping the smallest id") {
+    val cents = Seq((0L, vec(1, 0)), (1L, vec(0, 1))).toDF("c_id", "c_v")
+    val corpus = Seq(
+      (1L, vec(1, 0.01)), (2L, vec(1, 0.011)), (3L, vec(1, 0.012)), // trio
+      (4L, vec(0.01, 1)), (5L, vec(0.012, 1)),                      // pair
+      (6L, vec(0.6, 0.8))                                           // lone
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semanticDedup(corpus, cents, threshold = 0.999)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 1L, 5L -> 4L))
+  }
+
+  test("misraGries retains every item above the frequency guarantee") {
+    val stream = Seq.fill(400)("hot") ++ Seq.tabulate(300)(i => s"cold$i") ++
+      Seq.fill(200)("warm")
+    val shuffled = new Random(3).shuffle(stream)
+    val kept = Sketches.misraGries(shuffled.iterator, k = 8).toSet
+    // hot: 400/900 > 1/9, warm: 200/900 > 1/9 → both must survive
+    assert(kept.contains("hot") && kept.contains("warm"))
+    assert(kept.size <= 8)
+  }
+
+  test("heavyHitters equals exact GROUP BY HAVING under any partitioning") {
+    val rnd = new Random(11)
+    // zipf-ish: token t_i with multiplicity ~ 2000/(i+1)
+    val toks = (0 until 50).flatMap(i => Seq.fill(2000 / (i + 1))(s"t$i"))
+    val shuffled = rnd.shuffle(toks)
+    val exact = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = shuffled.size
+    val phi = 0.02
+    val expected = exact.filter(_._2 >= math.ceil(n * phi).toLong)
+    for (parts <- Seq(1, 3, 16)) {
+      val df = shuffled.toDF("token").repartition(parts)
+      val got = Sketches.heavyHitters(spark, df, phi)
+        .select("token", "cnt").as[(String, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("bloomPrunedJoin equals the plain join and actually prunes the scan") {
+    val fact = (1L to 5000L).map(i => (i, i % 100)).toDF("f_id", "f_key")
+    val dim = Seq((3L, "a"), (7L, "b"), (11L, "c")).toDF("d_key", "d_name")
+    val pruned = Pruning.bloomPrunedJoin(fact, dim, "f_key", "d_key",
+      expectedKeys = 100L, fpp = 0.01)
+    val plain = fact.join(dim, $"f_key" === $"d_key")
+    assert(pruned.select("f_id", "f_key", "d_key", "d_name").collect().toSet ==
+      plain.select("f_id", "f_key", "d_key", "d_name").collect().toSet)
+    // the Bloom pre-filter must drop the vast majority of the 5000
+    // fact rows before the join (3 hot keys → 150 matches; allow fpp slack)
+    val bf = dim.stat.bloomFilter("d_key", 100L, 0.01)
+    val prefiltered = fact.filter(udf((k: Long) => bf.mightContainLong(k))
+      .apply($"f_key")).count()
+    assert(prefiltered < 500, s"bloom should prune, kept $prefiltered")
+  }
+}
