@@ -66,6 +66,32 @@ object Clustering {
       .agg(count(lit(1)).as("n_vecs"),
         (sum(col("xd")).cast(DoubleType) / count(lit(1))).as("centroid"))
 
+  /** Iterated Lloyd's algorithm: `rounds` × (assign → exact-mean
+    * update), re-assembling the per-dimension means into centroid
+    * vectors between rounds. The centroid relation is tiny (k rows),
+    * so each round `localCheckpoint`s it — the lineage (and plan
+    * size) stays constant in rounds, the same discipline as
+    * [[Dedup.connectedComponents]]. Empty cells drop out naturally
+    * (no member rows → no updated centroid). Output: (c_id, c_v)
+    * with `c_v: array<double>` — feeds [[Similarity.ivfTopKWith]] as
+    * a trained codebook. */
+  def kmeans(corpus: DataFrame, seeds: DataFrame, rounds: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    var cents = seeds
+    for (_ <- 0 until rounds) {
+      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      cents = centroidUpdate(assigned)
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+          .as("ps"))
+        .select(col("cell").as("c_id"),
+          transform(col("ps"), p => p.getField("centroid")).as("c_v"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): block by k-means cell, emit within-cell pairs with
     * cosine ≥ `threshold`, keep the smallest id per near-dup group.

@@ -95,11 +95,23 @@ object Similarity {
     * deterministic and SQL-oracle-reproducible. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 50, nProbe: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(corpus, queries,
+      corpus.filter(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_v")),
+      k, nProbe, idCol, vecCol)
+
+  /** IVF search against an EXPLICIT codebook `(c_id, c_v)` — e.g. one
+    * trained by [[Clustering.kmeans]], which tightens the cells and
+    * so the recall at the same nProbe. Same plan as [[ivfTopK]]:
+    * broadcast codebook, map-side argmax assignment, cell-probe
+    * search. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, k: Int, nProbe: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).cast(LongType).as("n_id"), col(vecCol).as("n_v"))
-    val cents = broadcast(corpus
-      .filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_v")))
+    val cents = broadcast(centroids.select(
+      col("c_id").cast(LongType).as("c_id"), col("c_v")))
     // nearest centroid per corpus vector: max over (cos, -c_id) picks
     // the highest cosine, smallest centroid id on ties — equivalent to
     // ROW_NUMBER()=1 but with a map-side partial aggregate

@@ -59,6 +59,36 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(m((1L, 1L))) < 0.05 && math.abs(m((1L, 2L)) - 1.0) < 0.05)
   }
 
+  test("iterated kmeans recovers blob directions from poor seeds") {
+    val rnd = new Random(13)
+    // three tight directional blobs (cosine clustering → directions)
+    val dirs = Seq((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    val corpus = dirs.zipWithIndex.flatMap { case ((x, y, z), b) =>
+      (0 until 30).map(i => (b * 1000L + i, vec(
+        x + rnd.nextGaussian() * 0.05, y + rnd.nextGaussian() * 0.05,
+        z + rnd.nextGaussian() * 0.05)))
+    }.toDF("vec_id", "embedding")
+    // seeds: three arbitrary corpus members, one per blob region
+    val seeds = Seq((0L, vec(0.8, 0.3, 0.1)), (1L, vec(0.3, 0.8, 0.1)),
+      (2L, vec(0.1, 0.3, 0.8))).toDF("c_id", "c_v")
+    val trained = Clustering.kmeans(corpus, seeds, rounds = 3)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(trained.size == 3)
+    // each final centroid aligns with one distinct blob direction
+    def cos(a: Array[Double], b: (Double, Double, Double)): Double = {
+      val d = a(0) * b._1 + a(1) * b._2 + a(2) * b._3
+      d / math.sqrt(a.map(x => x * x).sum)
+    }
+    val aligned = dirs.map(d => trained.values.count(c => cos(c, d) > 0.99))
+    assert(aligned == Seq(1, 1, 1), s"alignment counts $aligned")
+    // assignment under the trained codebook is the true blob partition
+    val cells = Clustering.assignCells(corpus,
+        trained.toSeq.toDF("c_id", "c_v"))
+      .select("n_id", "cell").as[(Long, Long)].collect()
+    val byBlob = cells.groupBy(_._1 / 1000L).view.mapValues(_.map(_._2).distinct)
+    assert(byBlob.values.forall(_.size == 1))
+  }
+
   test("semanticDedup removes near-identical vectors, keeping the smallest id") {
     val cents = Seq((0L, vec(1, 0)), (1L, vec(0, 1))).toDF("c_id", "c_v")
     val corpus = Seq(

@@ -81,4 +81,17 @@ class SimilaritySpec extends SparkSpec {
     val recall = Similarity.recallAtK(exact, ivf)
     assert(recall >= 0.4, s"ivf recall $recall")
   }
+
+  test("ivf with a kmeans-trained codebook keeps recall at the same nProbe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5).cache()
+    val seeds = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".cast("long").as("c_id"), $"embedding".as("c_v"))
+    val codebook = graft.operators.Clustering.kmeans(e, seeds, rounds = 2)
+    val ivf = Similarity.ivfTopKWith(e, q, codebook, k = 5, nProbe = 3).cache()
+    assert(ivf.filter($"q_id" === $"n_id").count() == 0)
+    val recall = Similarity.recallAtK(exact, ivf)
+    assert(recall >= 0.4, s"trained-codebook ivf recall $recall")
+  }
 }
