@@ -44,6 +44,31 @@ object LakeIO {
   def readJsonConfig(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").json(path)
 
+  /** JSONL (newline-delimited JSON) source — the training-data
+    * interchange format (one document object per line, splittable,
+    * so a 100 TB corpus scans with full parallelism). An explicit
+    * schema skips Spark's whole-corpus inference pass; pass
+    * `columnNameOfCorruptRecord`-style handling upstream if lines
+    * may be malformed. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL sink (gzip per-part — splittable at the FILE level, so
+    * write many parts; a single giant .gz would serialize the
+    * downstream scan). */
+  def writeJsonl(df: DataFrame, path: String, compress: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** ORC source/sink — the other columnar lake format (Hive/Trino
+    * interop); same pushdown + pruning behavior as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
   /** S2-layout + S6 — land a frame in Bronze, time-partitioned by
     * ingest date. Dynamic partition overwrite replaces ONLY this
     * ingest date's directory, so a retried ingest (C7 wraps this in

@@ -253,6 +253,32 @@ class PipelineSpec extends SparkSpec {
     assert(alerted.contains("silver"))
   }
 
+  test("jsonl and orc round-trip with schema and value fidelity") {
+    val dir = mkTmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val expected = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().toSet
+
+    LakeIO.writeJsonl(docs, s"$dir/docs_jsonl")
+    val jl = LakeIO.readJsonl(spark, s"$dir/docs_jsonl", docs.schema)
+    assert(jl.schema == docs.schema)
+    assert(jl.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().toSet == expected)
+    // gzip-compressed part files landed
+    val parts = new java.io.File(s"$dir/docs_jsonl").listFiles()
+    assert(parts.exists(_.getName.endsWith(".json.gz")), parts.mkString(","))
+
+    LakeIO.writeOrc(docs, s"$dir/docs_orc")
+    val orc = LakeIO.readOrc(spark, s"$dir/docs_orc")
+    assert(orc.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().toSet == expected)
+    // ORC scans push filters like parquet
+    val plan = orc.filter($"doc_id" === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("orc"),
+      plan.take(400))
+  }
+
   test("csv dialect: quoted fields with commas and escapes") {
     val dir = mkTmp()
     Files.writeString(Paths.get(s"$dir/F0101.csv"),
