@@ -184,4 +184,30 @@ class ScaleSpec extends SparkSpec {
       assert(e.getMessage.contains("salt bucket"))
     }
   }
+
+  test("kmeans assignment shuffles N rows once, never the N×C score matrix") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = graft.operators.Clustering.assignCells(e,
+      graft.operators.Clustering.seedCentroids(e, 50))
+    val plan = assigned.queryExecution.executedPlan.toString
+    // centroids broadcast to the corpus scan (cross join, build right)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // exactly ONE data exchange: the (n_id, n_v) argmax aggregate;
+    // the partial aggregate collapses N×C → N before it
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n${plan.take(1200)}")
+    assert(plan.indexOf("Aggregate") < plan.indexOf("Exchange hashpartitioning"),
+      "partial aggregate must sit above (before) the exchange in the plan tree")
+  }
+
+  test("heavy hitters: candidate set broadcasts; no full-vocabulary shuffle") {
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+    val hh = graft.operators.Sketches.heavyHitters(spark, toks, phi = 0.005)
+    val plan = hh.queryExecution.executedPlan.toString
+    // the exact pass semi-joins against the broadcast candidates
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(800))
+  }
 }
