@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.TextFunctions
 import graft.operators.{Clustering, Pruning, Sketches}
-import graft.queries.ExtensionQueries.{augmentedEmbs, augmentedEmbsSql, cosSql, toksSql}
+import graft.queries.ExtensionQueries.{augmentedEmbs, augmentedEmbsSql, cosSql, shinglesSql, toksSql}
 import graft.queries.QueryDef.table
 
 /** Round-3 second widening: distributed clustering (k-means Lloyd
@@ -195,5 +195,66 @@ object MiningQueries {
       FROM toks JOIN f USING (token)
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  def all: Seq[QueryDef] = Seq(q73, q74, q75, q76, q77, q78)
+  /** Per-family `MIN((h·a_j + b_j) % P)` SQL twin of the union
+    * signature (j = 0..15). */
+  private val unionSigSql: String =
+    (0 until 16).map { i =>
+      val a = graft.operators.Dedup.minhashA(i)
+      val b = graft.operators.Dedup.minhashB(i)
+      s"MIN((h*$a + $b) % ${graft.operators.Dedup.MinhashP}) AS h$i"
+    }.mkString(",\n               ")
+
+  /** q79 — corpus-level set similarity via the typed MinhashUnion
+    * aggregator: each source's document signatures fold (elementwise
+    * min, map-side partial) into ONE signature equal to the
+    * signature of the union of the source's shingle sets; pairwise
+    * component agreement then estimates cross-source Jaccard without
+    * intersecting the underlying sets. */
+  private val q79 = QueryDef(
+    "q79_source_minhash_union",
+    (s, dir) => {
+      val shingled = table(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("source"), array_distinct(
+          graft.functions.TextExprs.word_shingles(col("toks"), 3)).as("sh"))
+      val sigs = shingled
+        .select(col("source"),
+          graft.functions.MinhashExprs.minhash_signature(
+            graft.functions.MinhashExprs.minhash_base_hashes(col("sh")), 16)
+            .as("sig"))
+        .groupBy(col("source"))
+        .agg(graft.functions.MinhashAgg.minhashUnion(16)(col("sig")).as("usig"))
+      val a = sigs.select(col("source").as("source_a"), col("usig").as("ua"))
+      val b = sigs.select(col("source").as("source_b"), col("usig").as("ub"))
+      a.join(b, col("source_a") < col("source_b"))
+        .withColumn("n_match",
+          aggregate(
+            zip_with(col("ua"), col("ub"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("est_jaccard",
+          col("n_match").cast(DoubleType) / lit(16.0))
+        .select(col("source_a"), col("source_b"), col("n_match"),
+          col("est_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT source, doc_id, $toksSql AS t FROM documents),
+      shing AS (SELECT source, list_distinct($shinglesSql) AS sh FROM toks),
+      hsrc AS (
+        SELECT source,
+               unnest(list_transform(sh,
+                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                        % ${graft.operators.Dedup.MinhashP})) AS h
+        FROM shing),
+      sig AS (
+        SELECT source, $unionSigSql
+        FROM hsrc GROUP BY source)
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(${(0 until 16).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_match,
+             CAST(${(0 until 16).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 16.0 AS est_jaccard
+      FROM sig a JOIN sig b ON a.source < b.source
+      ORDER BY source_a, source_b"""))
+
+  def all: Seq[QueryDef] = Seq(q73, q74, q75, q76, q77, q78, q79)
 }

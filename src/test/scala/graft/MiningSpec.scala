@@ -128,6 +128,30 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("MinhashUnion aggregator: group sketch equals the union-set signature") {
+    import graft.functions.{MinhashAgg, MinhashExprs, TextFunctions, TextExprs}
+    val docs = Seq(
+      (1L, "g", "alpha beta gamma delta epsilon zeta"),
+      (2L, "g", "gamma delta epsilon zeta eta theta"),
+      (3L, "g", "one two three four five six seven")
+    ).toDF("doc_id", "grp", "text")
+    val sh = docs.select($"grp", array_distinct(
+      TextExprs.word_shingles(TextFunctions.tokens($"text"), 3)).as("sh"))
+    val perDoc = sh.select($"grp",
+      MinhashExprs.minhash_signature(
+        MinhashExprs.minhash_base_hashes($"sh"), 16).as("sig"))
+    val grouped = perDoc.groupBy($"grp")
+      .agg(MinhashAgg.minhashUnion(16)($"sig").as("usig"))
+      .select("usig").as[Array[Long]].head()
+    // signature computed directly on the UNION of the shingle sets
+    val unionSig = sh.groupBy($"grp")
+      .agg(array_distinct(flatten(collect_list($"sh"))).as("all_sh"))
+      .select(MinhashExprs.minhash_signature(
+        MinhashExprs.minhash_base_hashes($"all_sh"), 16).as("sig"))
+      .as[Array[Long]].head()
+    assert(grouped.toSeq == unionSig.toSeq)
+  }
+
   test("bloomPrunedJoin equals the plain join and actually prunes the scan") {
     val fact = (1L to 5000L).map(i => (i, i % 100)).toDF("f_id", "f_key")
     val dim = Seq((3L, "a"), (7L, "b"), (11L, "c")).toDF("d_key", "d_name")
