@@ -225,4 +225,45 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
+
+  final case class HitterEstimate(shard: Int, token: String, est: Long)
+
+  /** Streaming heavy hitters with BOUNDED state: tokens hash-shard
+    * into `shards` groups, each group maintaining a Misra–Gries
+    * summary of `k` counters in `mapGroupsWithState` (per-shard state
+    * size is k entries FOREVER, no matter how many distinct tokens
+    * stream past — the streaming twin of [[graft.operators.Sketches
+    * .heavyHitters]]'s partition sketch). Every occurrence of a token
+    * lands in the same shard, so the MG guarantee applies per shard:
+    * any token with count ≥ N_shard/(k+1) since stream start is
+    * present, with `est` undercounting by at most N_shard/(k+1).
+    * Each trigger emits the full refreshed summary of the shards that
+    * saw data (Update-mode sink). Exact counts for the survivors
+    * come from a batch pass over the archived stream, exactly like
+    * the batch operator's verify stage. */
+  def heavyHittersStream(tokens: Dataset[String], k: Int = 64,
+                         shards: Int = 16): Dataset[HitterEstimate] = {
+    import tokens.sparkSession.implicits._
+
+    def update(shard: Int, rows: Iterator[String],
+               state: GroupState[Map[String, Long]]): Iterator[HitterEstimate] = {
+      var counters = state.getOption.getOrElse(Map.empty[String, Long])
+      rows.foreach { t =>
+        counters.get(t) match {
+          case Some(n) => counters = counters.updated(t, n + 1L)
+          case None if counters.size < k => counters = counters.updated(t, 1L)
+          case None =>
+            counters = counters.iterator
+              .map { case (key, n) => key -> (n - 1L) }
+              .filter(_._2 > 0L).toMap
+        }
+      }
+      state.update(counters)
+      counters.iterator.map { case (t, n) => HitterEstimate(shard, t, n) }
+    }
+
+    tokens.groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -111,6 +111,37 @@ class MultimodalStreamingSpec extends SparkSpec {
       Timestamp.valueOf("2024-01-01 00:00:00").getTime)
   }
 
+  test("streaming heavy hitters: bounded state, hot tokens survive batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.heavyHittersStream(mem.toDS(), k = 4, shards = 2)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    // batch 1: hot dominates, plus distinct noise exceeding k
+    mem.addData(Seq.fill(50)("hot") ++ (1 to 10).map(i => s"n$i"): _*)
+    q.processAllAvailable()
+    // batch 2: more noise and a second heavy token
+    mem.addData(Seq.fill(30)("warm") ++ (11 to 20).map(i => s"n$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    // last update per (shard, token): memory sink appends each trigger's
+    // refreshed estimates; take the final trigger's view per token
+    val rows = spark.table("hh").as[StreamingOps.HitterEstimate].collect()
+    val latest = rows.groupBy(r => (r.shard, r.token))
+      .map { case (_, g) => g.maxBy(_.est) }
+    val byToken = latest.map(r => r.token -> r.est).toMap
+    // MG undercount bound: est >= true - N_shard/(k+1); hot=50, warm=30
+    // vs ~20 noise occurrences per shard → both must survive with
+    // substantial counts
+    assert(byToken.contains("hot") && byToken("hot") >= 40L, byToken)
+    assert(byToken.contains("warm") && byToken("warm") >= 20L, byToken)
+    // bounded state: with k=4 counters per shard, most of the 20
+    // noise singletons must have been evicted from the live summaries
+    // (each trigger emits at most k tokens per shard, so across 2
+    // triggers × 2 shards most of the 20 singletons never surface)
+    val noiseEver = byToken.keySet.count(_.startsWith("n"))
+    assert(noiseEver < 16, s"evictions expected, emitted noise=$noiseEver")
+  }
+
   test("streaming dedup drops in-watermark duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
