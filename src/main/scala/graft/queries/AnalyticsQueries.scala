@@ -1,0 +1,426 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.functions.TextFunctions
+import graft.queries.ExtensionQueries.toksSql
+import graft.queries.QueryDef.{eventsTable, table}
+
+/** Round-3 third widening: corpus-governance analytics — rule-based
+  * quality gating (Gopher-style), calendar gap-fill, bigram
+  * association scoring, token-budget corpus mixing, histogramming,
+  * per-group deterministic reservoirs, percentile winsorization,
+  * ordered list serving aggregates, column profiling, and
+  * order-independent table checksums for migration validation. Every
+  * query is DuckDB-oracle-checked; doubles appear only as final
+  * divisions of exact integers/decimals so hashes are bit-stable.
+  */
+object AnalyticsQueries {
+
+  /** DuckDB twin of [[TextFunctions.punctRatio]]. */
+  private val punctRatioSql =
+    """CASE WHEN len(text) = 0 THEN 0.0
+           ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                / CAST(len(text) AS DOUBLE) END"""
+
+  /** q80 — Gopher-style rule-based quality gate: per-source counts of
+    * documents passing ALL of (token count in [10,200], mean token
+    * length in [3,10], ≥1 English stopword, punctuation ratio ≤ 0.1).
+    * Booleans from integer counts; the only double is the final pass
+    * rate — the rule report a curation pipeline runs before training.
+    */
+  private val q80 = QueryDef(
+    "q80_gopher_rules",
+    (s, dir) => {
+      val t = col("t")
+      val mtl = TextFunctions.meanTokenLenOf(t)
+      val pass = (size(t) >= 10 && size(t) <= 200) &&
+        (mtl >= 3.0 && mtl <= 10.0) &&
+        (TextFunctions.stopwordHitsOf(t, TextFunctions.StopwordsByLang.head._2) >= 1) &&
+        (TextFunctions.punctRatio(col("text")) <= 0.1)
+      table(s, dir, "documents")
+        .select(col("source"), col("text"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("source"), pass.cast(LongType).as("pass"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+        .withColumn("pass_rate",
+          col("n_pass").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH d AS (SELECT source, text, $toksSql AS t FROM documents),
+      r AS (
+        SELECT source,
+               CASE WHEN len(t) BETWEEN 10 AND 200
+                     AND (CASE WHEN len(t) = 0 THEN 0.0
+                               ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                                    / CAST(len(t) AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+                     AND len(list_filter(t, x -> list_contains(
+                           ['the','a','and','of','to','in','is','it','that','for'], x))) >= 1
+                     AND $punctRatioSql <= 0.1
+                    THEN 1 ELSE 0 END AS pass
+        FROM d)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(pass) AS BIGINT) AS n_pass,
+             CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS pass_rate
+      FROM r GROUP BY 1 ORDER BY source"""))
+
+  /** q81 — calendar-spine gap fill: daily event counts per type with
+    * EVERY day of the observed range present (missing days zero-
+    * filled via a generated date spine × distinct-types cross join —
+    * the dense matrix a dashboard or forecasting job needs; the spine
+    * is tiny and broadcast, so the fill adds no shuffle at scale). */
+  private val q81 = QueryDef(
+    "q81_daily_gap_fill",
+    (s, dir) => {
+      val e = eventsTable(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val days = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = e.select(col("event_type")).distinct()
+      val daily = e.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      broadcast(days).crossJoin(broadcast(types))
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+      days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+      t AS (SELECT DISTINCT event_type FROM e),
+      d AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2)
+      SELECT days.day, t.event_type,
+             COALESCE(n, CAST(0 AS BIGINT)) AS n_events
+      FROM days CROSS JOIN t
+      LEFT JOIN d ON d.day = days.day AND d.event_type = t.event_type
+      ORDER BY 1, 2"""))
+
+  /** q82 — bigram association strength: for each adjacent token pair,
+    * the PMI *ratio* `P(xy)/(P(x)·P(y)) = c_xy·N / (c_x·c_y)` (the
+    * log is monotone, so ranking by the ratio ranks by PMI while
+    * keeping the score a single exact-integer division — bit-stable
+    * across engines). Top 20 collocations with support ≥ 5. */
+  private val q82 = QueryDef(
+    "q82_bigram_pmi",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+      val cx = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = uni.agg(count(lit(1)).as("n_total"))
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(explode(TextFunctions.wordShinglesOf(col("t"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      big
+        .join(cx.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+        .join(cx.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_ratio",
+          (col("c_xy") * col("n_total")).cast(DoubleType) /
+            (col("c_x") * col("c_y")).cast(DoubleType))
+        .select(col("bigram"), col("c_xy"), col("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("bigram"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM toks),
+      cx AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_total FROM uni),
+      big AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2),
+      bc AS (
+        SELECT bigram, COUNT(*) AS c_xy,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2
+        FROM big GROUP BY 1 HAVING COUNT(*) >= 5)
+      SELECT bigram, c_xy,
+             CAST(c_xy * n_total AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS pmi_ratio
+      FROM bc JOIN cx a ON bc.w1 = a.w JOIN cx b ON bc.w2 = b.w, n
+      ORDER BY pmi_ratio DESC, bigram LIMIT 20"""))
+
+  /** q83 — token-budget corpus mixing: per-language token mass, its
+    * share of the corpus, and the deterministic sampling rate that
+    * levels every language to an equal token budget
+    * (`rate = min(1, (total/n_langs)/lang_tokens)`) — how a
+    * pretraining mix rebalances sources without materializing
+    * anything. */
+  private val q83 = QueryDef(
+    "q83_token_budget_mix",
+    (s, dir) => {
+      val perLang = table(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+        .groupBy(col("lang")).agg(sum(col("n_tok")).as("lang_tokens"))
+      val tot = perLang.agg(sum(col("lang_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_langs"))
+      perLang.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("lang_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+        .withColumn("sample_rate",
+          least(lit(1.0),
+            (col("total_tokens").cast(DoubleType) / col("n_langs").cast(DoubleType))
+              / col("lang_tokens").cast(DoubleType)))
+        .select(col("lang"), col("lang_tokens"), col("share"), col("sample_rate"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT lang, CAST(SUM(len($toksSql)) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM per)
+      SELECT lang, lang_tokens,
+             CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+             least(1.0, (CAST(total_tokens AS DOUBLE) / CAST(n_langs AS DOUBLE))
+                          / CAST(lang_tokens AS DOUBLE)) AS sample_rate
+      FROM per, tot ORDER BY lang"""))
+
+  /** q84 — fixed-width value histogram: order totals binned into 20
+    * equal-width buckets between the observed min/max (top edge
+    * clamped into the last bucket). The global bounds are one tiny
+    * broadcast row; binning is map-side arithmetic — no extra shuffle
+    * beyond the final 20-row aggregate. */
+  private val q84 = QueryDef(
+    "q84_value_histogram",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(lit(19L),
+            floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")) * 20)
+              .cast(LongType)))
+        .groupBy(col("bin"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("bin_lo",
+          col("bin").cast(DoubleType) * (col("hi") - col("lo")) / 20.0 + col("lo"))
+        .select(col("bin"), col("bin_lo"), col("n_orders"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+      binned AS (
+        SELECT least(CAST(19 AS BIGINT),
+                 CAST(floor((o_totalprice - lo) / (hi - lo) * 20) AS BIGINT)) AS bin,
+               lo, hi
+        FROM orders, b)
+      SELECT bin, CAST(bin AS DOUBLE) * (hi - lo) / 20.0 + lo AS bin_lo,
+             COUNT(*) AS n_orders
+      FROM binned GROUP BY bin, lo, hi ORDER BY bin"""))
+
+  /** q85 — deterministic per-group reservoir: 5 documents per source,
+    * chosen by ranking on an md5 of the key — a seeded, rerun-stable
+    * "random" sample (same property as [[graft.operators.Sampling]]'s
+    * hash gates, but with an exact per-group cardinality contract).
+    * The rank window partitions by source, so at scale each group
+    * sorts locally after one hash shuffle — no global sort. */
+  private val q85 = QueryDef(
+    "q85_group_reservoir",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 5 ORDER BY source, rk"""))
+
+  /** q86 — percentile winsorization: per market segment, clip account
+    * balances at the empirical P05/P95 *data values* (sorted-position
+    * bounds — integer positions `⌈0.05n⌉`/`⌊0.95n⌋`, no
+    * interpolation, so the bounds are actual 2-decimal inputs and the
+    * clipped sum stays exact in DECIMAL) and report the winsorized
+    * mean — the robust-statistics step before z-scoring features. */
+  private val q86 = QueryDef(
+    "q86_winsorize",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+          col("c_acctbal"))
+      val w = Window.partitionBy(col("segment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val ranked = c
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      val bounds = ranked
+        .withColumn("k_lo", greatest(lit(1L), expr("(n * 5 + 99) div 100")))
+        .withColumn("k_hi", greatest(lit(1L), expr("(n * 95) div 100")))
+        .groupBy(col("segment"))
+        .agg(min(when(col("rk") === col("k_lo"), col("c_acctbal"))).as("p05"),
+          min(when(col("rk") === col("k_hi"), col("c_acctbal"))).as("p95"))
+      c.join(bounds, Seq("segment"))
+        .withColumn("clipped",
+          least(greatest(col("c_acctbal"), col("p05")), col("p95"))
+            .cast(DecimalType(18, 2)))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+          (sum(col("clipped")).cast(DoubleType) / count(lit(1))).as("win_mean"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rk,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer),
+      bounds AS (
+        SELECT segment,
+               MIN(CASE WHEN rk = greatest(1, (n * 5 + 99) // 100)
+                        THEN c_acctbal END) AS p05,
+               MIN(CASE WHEN rk = greatest(1, (n * 95) // 100)
+                        THEN c_acctbal END) AS p95
+        FROM r GROUP BY 1),
+      clipped AS (
+        SELECT r.segment,
+               CAST(least(greatest(c_acctbal, p05), p95) AS DECIMAL(18,2)) AS v,
+               p05, p95
+        FROM r JOIN bounds ON r.segment = bounds.segment)
+      SELECT segment, COUNT(*) AS n_cust, MIN(p05) AS p05, MIN(p95) AS p95,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS win_mean
+      FROM clipped GROUP BY 1 ORDER BY segment"""))
+
+  /** q87 — ordered list serving aggregate: each source's top-5 tokens
+    * by frequency, materialized as ONE comma-joined string per source
+    * (the rank-ordered collect a feature store or API layer serves).
+    * Spark side sorts the collected (rank, token) structs so the
+    * order is deterministic regardless of partitioning. */
+  private val q87 = QueryDef(
+    "q87_top_tokens_list",
+    (s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("token"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .groupBy(col("source"))
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("rk"), col("token")))),
+            x => x.getField("token")), ",").as("top_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source, unnest($toksSql) AS token FROM documents),
+      c AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      r AS (
+        SELECT source, token, c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, token) AS rk
+        FROM c)
+      SELECT source, string_agg(token, ',' ORDER BY rk) AS top_tokens
+      FROM r WHERE rk <= 5 GROUP BY 1 ORDER BY source"""))
+
+  /** q88 — column profiling (the null/cardinality report a warehouse
+    * runs on every new feed): per profiled column of `orders`, row
+    * count, null count, and exact distinct count — three narrow
+    * single-column scans, each independently prunable to one column
+    * of the parquet file. */
+  private val q88 = QueryDef(
+    "q88_null_profile",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      def prof(c: String) = o.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+      prof("o_custkey")
+        .unionByName(prof("o_orderpriority"))
+        .unionByName(prof("o_orderstatus"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT o_custkey) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderstatus)
+      FROM orders
+      ORDER BY col_name"""))
+
+  /** q89 — order-independent table checksum for migration validation
+    * (the cheap "did the copy preserve every row" gate beside
+    * [[graft.operators.Reconcile.snapshotDiff]]'s full diff): each
+    * row hashes to a 60-bit integer (md5 prefix, decimals rendered at
+    * fixed scale, timestamps as epoch millis), folded with XOR — an
+    * associative/commutative fold, so any partitioning and any row
+    * order yields the same checksum, with no overflow.
+    */
+  private val q89 = QueryDef(
+    "q89_table_checksum",
+    (s, dir) => {
+      def rowHash(payload: org.apache.spark.sql.Column) =
+        conv(substring(md5(payload), 1, 15), 16, 10).cast(LongType)
+      val o = table(s, dir, "orders").select(
+        lit("orders").as("table_name"),
+        rowHash(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)),
+          unix_millis(col("o_orderdate").cast("timestamp")),
+          col("o_orderpriority"))).as("h"))
+      val c = table(s, dir, "customer").select(
+        lit("customer").as("table_name"),
+        rowHash(concat_ws("|",
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)),
+          col("c_mktsegment"))).as("h"))
+      o.unionByName(c)
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .orderBy(col("table_name"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT 'orders' AS table_name,
+               CAST('0x' || substr(md5(
+                 o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 epoch_ms(o_orderdate) || '|' || o_orderpriority), 1, 15) AS BIGINT) AS v
+        FROM orders
+        UNION ALL
+        SELECT 'customer',
+               CAST('0x' || substr(md5(
+                 c_custkey || '|' || c_name || '|' || c_nationkey || '|' ||
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 c_mktsegment), 1, 15) AS BIGINT)
+        FROM customer)
+      SELECT table_name, COUNT(*) AS n_rows, bit_xor(v) AS checksum
+      FROM h GROUP BY 1 ORDER BY table_name"""))
+
+  def all: Seq[QueryDef] =
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+}
