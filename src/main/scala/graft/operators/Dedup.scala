@@ -40,6 +40,26 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup for continuous ingestion: drop new-batch
+    * documents whose fingerprint already exists in the historical
+    * corpus (anti-join against the history's DISTINCT fingerprints),
+    * then keep one winner (min id) per fingerprint within the batch.
+    * Only 16-byte fingerprints shuffle — history text never moves,
+    * and at 100 TB the history side is typically a pre-materialized
+    * fingerprint table, which this accepts unchanged (any frame with
+    * `textCol`). */
+  def incrementalSurvivors(batch: DataFrame, history: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val seen = history.select(md5Fingerprint(col(textCol)).as("fp")).distinct()
+    val fresh = batch.withColumn("fp", md5Fingerprint(col(textCol)))
+      .join(seen, Seq("fp"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
+    fresh.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "fp")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Universal-hash family constants for minhash: family i maps a

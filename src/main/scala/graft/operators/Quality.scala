@@ -62,4 +62,19 @@ object Quality {
   /** Run a batch of checks and union the summaries. */
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _)
+
+  /** Piggyback metrics on a pass that is already happening (Spark's
+    * Observation API): returns the instrumented frame plus the handle
+    * whose `get` yields the metric values after the next action on
+    * the frame. At 100 TB this is how a load job reports row counts,
+    * null rates, and domain violations WITHOUT a second scan — the
+    * aggregates fold into the write pass itself. Metric columns must
+    * be aggregate expressions (e.g. `count(when(c.isNull, 1))`). */
+  def observed(df: DataFrame, name: String,
+               metrics: Map[String, Column]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "at least one metric column required")
+    val obs = org.apache.spark.sql.Observation(name)
+    val cols = metrics.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
 }

@@ -421,6 +421,79 @@ object AnalyticsQueries {
       SELECT table_name, COUNT(*) AS n_rows, bit_xor(v) AS checksum
       FROM h GROUP BY 1 ORDER BY table_name"""))
 
+  /** q90 — incremental dedup for continuous ingestion: a new batch
+    * (docs with `doc_id % 3 ≠ 0`) deduped against the historical
+    * corpus (the rest) by content fingerprint, then within-batch
+    * keep-min — only fingerprints shuffle, never history text
+    * ([[graft.operators.Dedup.incrementalSurvivors]]). */
+  private val q90 = QueryDef(
+    "q90_incremental_dedup",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Dedup.incrementalSurvivors(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+      fresh AS (
+        SELECT b.* FROM fp b
+        WHERE b.doc_id % 3 <> 0
+          AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)),
+      r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh)
+      SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** q91 — mergeable HLL sketch columns (Apache DataSketches via
+    * Spark's `hll_sketch_agg`/`hll_union_agg`): per-source distinct-
+    * token estimates, plus a corpus-level row computed by UNIONING
+    * the per-source sketches — the 100 TB pattern where partial
+    * sketches persist as binary columns and roll up without touching
+    * raw data again. Approximate ⇒ no SQL oracle (driver records the
+    * rows-only check); the 5%-of-exact and union=direct properties
+    * are asserted in AnalyticsSpec. */
+  private val q91 = QueryDef(
+    "q91_hll_sketch_union",
+    (s, dir) => {
+      val sk = table(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(token)").as("sk"))
+      val per = sk.select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+      val corpus = sk.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+        .select(lit("__corpus__").as("source"), col("est_distinct"))
+      per.unionByName(corpus).orderBy(col("source"))
+    },
+    None)
+
+  /** q92 — sketch percentiles (`approx_percentile`, the mergeable
+    * quantile-summary path beside q18's exact sort-based
+    * percentiles): per-status P50/P90 of order totals. The sketch's
+    * rank convention differs from any SQL discrete quantile by design
+    * ⇒ no SQL oracle (rows-only check); AnalyticsSpec asserts the
+    * estimates land within 0.5% of the exact percentiles. */
+  private val q92 = QueryDef(
+    "q92_approx_percentiles",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("p"))
+        .select(col("status"),
+          element_at(col("p"), 1).as("p50"),
+          element_at(col("p"), 2).as("p90"))
+        .orderBy(col("status")),
+    None)
+
   def all: Seq[QueryDef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

@@ -174,6 +174,27 @@ object LakeIO {
       .parquet(zones.gold(table))
   }
 
+  /** Retention vacuum for run-partitioned gold tables: keep the
+    * lexicographically-newest `keepLast` `load_id=` runs (load ids
+    * sort by name — use sortable ids like ISO dates), delete the
+    * rest. Returns the deleted run ids. Each run is one partition
+    * directory, so deletion is O(#runs) metadata work regardless of
+    * data volume. */
+  def vacuumGold(spark: SparkSession, zones: LakeZones, table: String,
+                 keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    import org.apache.hadoop.fs.Path
+    val target = new Path(zones.gold(table))
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(target)) return Seq.empty
+    val runs = fs.listStatus(target)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("load_id="))
+      .map(_.getPath).sortBy(_.getName)
+    val doomed = runs.dropRight(keepLast)
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(_.getName.stripPrefix("load_id=")).toSeq
+  }
+
   /** Plain full overwrite. NOT safe when `df` reads from the target
     * path — use [[replaceGold]] for read-modify-write cycles. */
   def overwriteGold(df: DataFrame, zones: LakeZones, table: String): Unit =

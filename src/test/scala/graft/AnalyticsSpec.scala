@@ -71,6 +71,92 @@ class AnalyticsSpec extends SparkSpec {
     } finally q.unpersist()
   }
 
+  test("q91 HLL sketches: within 5% of exact; union of sketches = sketch of union") {
+    val rows = SparkEntry.queries("q91_hll_sketch_union")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+    val exact = toks.groupBy($"source")
+      .agg(countDistinct($"token").as("n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (src, n) =>
+      val est = rows(src)
+      assert(math.abs(est - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$src: est $est vs exact $n")
+    }
+    // merging per-source sketches must equal sketching the whole corpus
+    val direct = toks.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(token))")).as[Long].head()
+    assert(rows("__corpus__") == direct,
+      "hll_union_agg of partials must reproduce the direct sketch")
+  }
+
+  test("q92 approx percentiles land within 0.5% of exact") {
+    val approx = SparkEntry.queries("q92_approx_percentiles")(spark, sf)
+      .as[(String, Double, Double)].collect()
+    val exact = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy($"o_orderstatus".as("status"))
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("p"))
+      .select($"status", element_at($"p", 1), element_at($"p", 2))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    approx.foreach { case (st, p50, p90) =>
+      val (e50, e90) = exact(st)
+      assert(math.abs(p50 - e50) / e50 < 0.005, s"$st p50 $p50 vs $e50")
+      assert(math.abs(p90 - e90) / e90 < 0.005, s"$st p90 $p90 vs $e90")
+    }
+  }
+
+  test("incremental dedup: survivors are exactly new-and-first fingerprints") {
+    import graft.operators.Dedup
+    val hist = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  TEXT "),  // normalizes to a history fingerprint → dropped
+      (11L, "gamma text"),    // new → kept
+      (12L, "gamma text"),    // batch-internal dup of 11 → dropped
+      (13L, "delta text")     // new → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalSurvivors(batch, hist)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+    // schema passes through unchanged (no helper columns leak)
+    assert(Dedup.incrementalSurvivors(batch, hist).columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
+  test("observed metrics ride the write pass — no second scan") {
+    import graft.operators.Quality
+    val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "v")
+    val (instrumented, obs) = Quality.observed(df, "load_metrics", Map(
+      "n_rows" -> count(lit(1)),
+      "n_null_v" -> count(when($"v".isNull, 1))))
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    instrumented.write.mode("overwrite").parquet(out)
+    val m = obs.get
+    assert(m("n_rows") == 3L && m("n_null_v") == 1L)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("vacuumGold keeps the newest runs and deletes the rest") {
+    import graft.sources.{LakeIO, LakeZones}
+    val lake = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val zones = LakeZones(lake)
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").zipWithIndex.foreach {
+      case (id, i) =>
+        LakeIO.appendGoldRun(Seq((i.toLong, id)).toDF("k", "v"), zones,
+          "runs", id)
+    }
+    val deleted = LakeIO.vacuumGold(spark, zones, "runs", keepLast = 2)
+    assert(deleted == Seq("2024-01-01"))
+    val left = LakeIO.readGold(spark, zones, "runs")
+    assert(left.select($"load_id").distinct().as[String].collect().sorted.toSeq
+      == Seq("2024-01-02", "2024-01-03"))
+    // idempotent and bounded below by keepLast
+    assert(LakeIO.vacuumGold(spark, zones, "runs", keepLast = 2).isEmpty)
+    // missing table is a no-op
+    assert(LakeIO.vacuumGold(spark, zones, "nope", keepLast = 1).isEmpty)
+  }
+
   test("q86 winsorize bounds clamp the clipped mean between p05 and p95") {
     val rows = SparkEntry.queries("q86_winsorize")(spark, sf)
       .as[(String, Long, Double, Double, Double)].collect()
