@@ -494,6 +494,80 @@ object AnalyticsQueries {
         .orderBy(col("status")),
     None)
 
+  /** q93 — forward-fill imputation (LOCF): per-user event stream with
+    * synthetic gaps (every 7th event's value nulled) repaired by
+    * carrying the last observed value forward — `last(_, ignoreNulls)`
+    * over a running row frame, one hash shuffle on user_id, values
+    * pass through unchanged (no arithmetic → bit-stable). */
+  private val q93 = QueryDef(
+    "q93_locf_impute",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTable(s, dir)
+        .withColumn("v",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("filled"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events)
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM e ORDER BY event_id"""))
+
+  /** q94 — last-touch attribution: each purchase attributes to the
+    * user's most recent PRIOR click — a conditional LOCF carry
+    * (`last(when(click, …), ignoreNulls)`) down the same per-user
+    * ordered stream, then filter to purchases. The single-stream twin
+    * of the as-of join (q23): no second relation, one shuffle. */
+  private val q94 = QueryDef(
+    "q94_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTable(s, dir)
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("click_id"),
+          unix_millis(col("click_ts")).as("click_ts_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events),
+      c AS (
+        SELECT event_id, user_id, event_type, ts,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        FROM e)
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, click_id,
+             epoch_ms(click_ts) AS click_ts_ms
+      FROM c WHERE event_type = 'purchase' ORDER BY event_id"""))
+
   def all: Seq[QueryDef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
+      q93, q94)
 }
