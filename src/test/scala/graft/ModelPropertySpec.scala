@@ -59,6 +59,56 @@ class ModelPropertySpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionize equals batch twin on random time-chunked arrivals") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    for (trial <- 1 to 3) {
+      // random events over 6 h for 3 users; integer-valued doubles so
+      // the streaming state's running double sum is order-exact
+      val events = (1 to 40).map { i =>
+        Event(i.toLong, new Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+          1L + rnd.nextInt(3), "e", (1 + rnd.nextInt(9)).toDouble)
+      }
+      // time-ordered chunks with random boundaries, shuffled inside
+      // each chunk (arbitrary intra-batch arrival order)
+      val sorted = events.sortBy(_.ts.getTime)
+      val nCuts = 1 + rnd.nextInt(4)
+      val cuts = (Seq(0, sorted.size) ++ (1 to nCuts).map(_ =>
+        rnd.nextInt(sorted.size))).distinct.sorted
+      val chunks = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(sorted.slice(a, b)) }.filter(_.nonEmpty)
+
+      val mem = MemoryStream[Event]
+      val name = s"sess_prop_$trial"
+      val q = StreamingOps.sessionize(mem.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      // sentinel per user closes every real session (10 h after max)
+      val flushTs = new Timestamp(base + 16 * 3600 * 1000L)
+      mem.addData((1L to 3L).map(u =>
+        Event(1000L + u, flushTs, u, "flush", 0.0)): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table(name).as[Session].collect()
+        .map(s => (s.user_id, s.session_start_ms, s.session_end_ms,
+          s.n_events, s.sum_value)).sorted.toSeq
+      val expected = graft.operators.EventWindows.sessionize(
+          events.toDF(), gapMinutes = 30)
+        .select($"user_id", $"session_start_ms", $"session_end_ms",
+          $"n_events", $"sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(got == expected, s"trial $trial chunks=${chunks.map(_.size)}")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("contiguous ids follow key order for random sizes and partitionings") {
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 4) {
