@@ -567,7 +567,31 @@ object AnalyticsQueries {
              epoch_ms(click_ts) AS click_ts_ms
       FROM c WHERE event_type = 'purchase' ORDER BY event_id"""))
 
+  /** q95 — token PageRank: the adjacency graph of adjacent-token
+    * pairs (edge weight = co-occurrence count, from the same bigram
+    * counting as q82) ranked by 5 rounds of weighted PageRank — the
+    * link-analysis centrality a crawl-curation pipeline computes over
+    * domains. Iterative doubles ⇒ no SQL oracle (rows-only check);
+    * AnalyticsSpec verifies the operator against an in-memory power
+    * iteration. */
+  private val q95 = QueryDef(
+    "q95_token_pagerank",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val edges = toks
+        .select(explode(TextFunctions.wordShinglesOf(col("t"), 2)).as("bigram"))
+        .groupBy(substring_index(col("bigram"), " ", 1).as("src"),
+          substring_index(col("bigram"), " ", -1).as("dst"))
+        .agg(count(lit(1)).cast(DoubleType).as("weight"))
+      graft.operators.LinkAnalysis.pageRank(edges, iters = 5)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+    None)
+
   def all: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94)
+      q93, q94, q95)
 }

@@ -39,6 +39,37 @@ object LakeIO {
       .schema(schema)
       .csv(path)
 
+  /** CSV read with a corrupt-record audit lane: PERMISSIVE mode
+    * captures rows that fail the imposed schema in a `_corrupt`
+    * column instead of silently nulling or dropping them (the
+    * reference's Copy activity would abort the whole file; a 100 TB
+    * ingest quarantines bad rows and loads the rest). Returns
+    * `(clean rows without the audit column, corrupt raw lines)` —
+    * both lazily derived from ONE annotated read, and the caller
+    * decides whether a non-empty quarantine fails the load.
+    * Spark requires the corrupt column cached/materialized derivation
+    * to come from the same scan — both frames share it. */
+  def readCsvAudited(spark: SparkSession, path: String,
+                     schema: StructType): (DataFrame, DataFrame) = {
+    val withAudit = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\\")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withAudit)
+      .csv(path)
+      // Spark forbids filtering on the corrupt column straight off the
+      // scan (it is only populated for rows the parser touches); a
+      // cache-free persist boundary makes both lanes well-defined
+      .localCheckpoint()
+    (raw.filter(col("_corrupt").isNull).drop("_corrupt"),
+      raw.filter(col("_corrupt").isNotNull).select(col("_corrupt")))
+  }
+
   /** S4 — JSON config document (whole array → rows,
     * `ds_config_json.json:10-17`). */
   def readJsonConfig(spark: SparkSession, path: String): DataFrame =

@@ -157,6 +157,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(LakeIO.vacuumGold(spark, zones, "nope", keepLast = 1).isEmpty)
   }
 
+  test("pageRank matches in-memory power iteration on a weighted digraph") {
+    import graft.operators.LinkAnalysis
+    // a -> b (2), a -> c (1), b -> c (1), c -> a (1): c collects mass
+    val edges = Seq(
+      ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+    val got = LinkAnalysis.pageRank(edges.toDF("src", "dst", "weight"),
+        iters = 5, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+
+    // reference power iteration
+    val nodes = Seq("a", "b", "c")
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> 1.0 / 3).toMap
+    for (_ <- 1 to 5) {
+      val in = nodes.map { v =>
+        v -> edges.filter(_._2 == v)
+          .map { case (s, _, w) => r(s) * w / outW(s) }.sum
+      }.toMap
+      r = nodes.map(v => v -> (0.15 / 3 + 0.85 * in(v))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-12, s"$v: ${got(v)} vs ${r(v)}")
+    }
+    // ranks form a distribution (no dangling nodes in this graph)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("audited CSV read quarantines malformed rows, loads the rest") {
+    import graft.sources.LakeIO
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.csv"),
+      ("id,qty\n" +            // header
+        "1,10\n" +             // clean
+        "2,notanumber\n" +     // type failure → quarantined
+        "3,30\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", IntegerType)))
+    val (clean, corrupt) = LakeIO.readCsvAudited(spark, s"$dir/in.csv", schema)
+    assert(clean.count() == 2)
+    assert(clean.columns.toSeq == Seq("id", "qty"))
+    val bad = corrupt.as[String].collect()
+    assert(bad.length == 1 && bad(0).contains("notanumber"))
+  }
+
   test("q86 winsorize bounds clamp the clipped mean between p05 and p95") {
     val rows = SparkEntry.queries("q86_winsorize")(spark, sf)
       .as[(String, Long, Double, Double, Double)].collect()
