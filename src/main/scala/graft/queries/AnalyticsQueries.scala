@@ -591,7 +591,163 @@ object AnalyticsQueries {
     },
     None)
 
+  /** q96 — temperature-scaled corpus mixing (τ = 0.5): languages
+    * reweighted by √share instead of share, the standard multilingual
+    * rebalancing. √n is a single IEEE operation (bit-exact on every
+    * engine) and normalization runs over INTEGERS — each weight is
+    * ⌊√n·10⁶⌋, summed exactly — so the final shares are one double
+    * division, never an order-sensitive float sum. */
+  private val q96 = QueryDef(
+    "q96_temperature_mix",
+    (s, dir) => {
+      val perLang = table(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tok"))
+        .groupBy(col("lang")).agg(sum(col("n_tok")).as("lang_tokens"))
+        .withColumn("w_int",
+          floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6).cast(LongType))
+      val tot = perLang.agg(sum(col("lang_tokens")).as("total_tokens"),
+        sum(col("w_int")).as("total_w"))
+      perLang.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("lang_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+        .withColumn("temp_weight",
+          col("w_int").cast(DoubleType) / col("total_w").cast(DoubleType))
+        .withColumn("boost", col("temp_weight") / col("share"))
+        .select(col("lang"), col("lang_tokens"), col("share"),
+          col("temp_weight"), col("boost"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT lang, CAST(SUM(len($toksSql)) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY 1),
+      w AS (
+        SELECT lang, lang_tokens,
+               CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_int
+        FROM per),
+      tot AS (SELECT SUM(lang_tokens) AS total_tokens, SUM(w_int) AS total_w FROM w)
+      SELECT lang, lang_tokens,
+             CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+             CAST(w_int AS DOUBLE) / CAST(total_w AS DOUBLE) AS temp_weight,
+             (CAST(w_int AS DOUBLE) / CAST(total_w AS DOUBLE))
+               / (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS boost
+      FROM w, tot ORDER BY lang"""))
+
+  /** q97 — train/eval split-leakage audit: near-dup clusters (q67's
+    * Jaccard pairs closed over [[graft.operators.Dedup
+    * .connectedComponents]]) that STRADDLE the deterministic 10%
+    * eval split — the contamination check a pipeline must run before
+    * trusting held-out metrics, because near-duplicates leak signal
+    * across the split that exact-match checks miss. */
+  private val q97 = QueryDef(
+    "q97_split_leakage",
+    (s, dir) => {
+      val docs = ExtensionQueries.augmentedDocs(s, dir)
+      val pairs = graft.operators.Dedup.ngramJaccard(docs, threshold = 0.3)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val split = docs.select(col("doc_id"),
+        when(graft.operators.Sampling.bucket(col("doc_id")) < 10, lit("eval"))
+          .otherwise(lit("train")).as("split"))
+      comps.join(split, comps("id") === split("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"))
+        .filter(col("n_eval") > 0 && col("n_train") > 0)
+        .orderBy(col("component"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
+      prepped AS (
+        SELECT doc_id AS id,
+               source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
+               list_distinct(${ExtensionQueries.shinglesSql}) AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      split AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 10
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM aug)
+      SELECT component, COUNT(*) AS cluster_size,
+             CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+      FROM comp JOIN split ON comp.id = split.doc_id
+      GROUP BY component
+      HAVING SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+      ORDER BY component"""))
+
+  /** q98 — keep-best dedup survivor policy: within each near-dup
+    * cluster keep the HIGHEST-quality document (tiebreak min id)
+    * instead of q67's canonical min-id — the curation-grade policy
+    * (near-dups differ in quality; keep-min throws the best copy
+    * away). Quality is the same pure-double formula both engines
+    * compute bit-identically (q40). */
+  private val q98 = QueryDef(
+    "q98_keep_best_dedup",
+    (s, dir) => {
+      val docs = ExtensionQueries.augmentedDocs(s, dir)
+      val pairs = graft.operators.Dedup.ngramJaccard(docs, threshold = 0.3)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      comps.join(scored, comps("id") === scored("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("doc_id").as("kept_id"), col("quality"))
+        .orderBy(col("component"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
+      prepped AS (
+        SELECT doc_id AS id,
+               source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
+               list_distinct(${ExtensionQueries.shinglesSql}) AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      q AS (SELECT doc_id, ${ExtensionQueries.qualitySql} AS quality FROM toks),
+      ranked AS (
+        SELECT comp.component, comp.id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY comp.component
+                                  ORDER BY q.quality DESC, comp.id) AS rk
+        FROM comp JOIN q ON comp.id = q.doc_id)
+      SELECT component, id AS kept_id, quality
+      FROM ranked WHERE rk = 1 ORDER BY component"""))
+
   def all: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95)
+      q93, q94, q95, q96, q97, q98)
 }

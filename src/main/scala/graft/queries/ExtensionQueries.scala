@@ -512,7 +512,7 @@ object ExtensionQueries {
     """CASE WHEN len(t) = 0 THEN 0.0
          ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END"""
 
-  private val qualitySql =
+  private[queries] val qualitySql =
     s"""least(length(text) / 500.0, 1.0) * 0.3
        + least((CASE WHEN len(t) = 0 THEN 0.0
                 ELSE CAST(len(list_filter(t, x -> x IN ($enListSql))) AS DOUBLE) / len(t) END) * 5.0, 1.0) * 0.3
