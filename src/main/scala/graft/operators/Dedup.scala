@@ -228,10 +228,44 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", blockCol: String = "source",
                    shingleSize: Int = 3, threshold: Double = 0.3,
-                   maxPostings: Option[Int] = None): DataFrame = {
+                   maxPostings: Option[Int] = None): DataFrame =
+    pairStats(docs,
+        concat_ws("#", col(blockCol), (length(col(textCol)) / 64).cast(LongType)),
+        idCol, textCol, shingleSize, maxPostings)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
+
+  /** Containment near-dup pairs: `|A∩B| / min(|A|,|B|) ≥ threshold` —
+    * catches a document EMBEDDED in a longer one (prefix/quote
+    * inclusion), which symmetric Jaccard misses because the union is
+    * dominated by the longer side. Blocks by `blockCol` alone (no
+    * length bucket — containment pairs differ in length by nature).
+    * Same inverted-index plan as [[ngramJaccard]]: one shuffle on
+    * (block, shingle-hash), pairs only where sets actually overlap. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", blockCol: String = "source",
+                       shingleSize: Int = 3, threshold: Double = 0.9,
+                       maxPostings: Option[Int] = None): DataFrame =
+    pairStats(docs, col(blockCol).cast(org.apache.spark.sql.types.StringType),
+        idCol, textCol, shingleSize, maxPostings)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        least(col("n_a"), col("n_b")).as("n_min"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_min").cast("double"))
+      .filter(col("containment") >= threshold)
+
+  /** Shared candidate-pair machinery: inverted-index self-pairing
+    * within a blocking key, returning per-pair distinct-shingle
+    * overlap counts `(id_a, id_b, n_a, n_b, n_inter)`. */
+  private def pairStats(docs: DataFrame, blk: Column, idCol: String,
+                        textCol: String, shingleSize: Int,
+                        maxPostings: Option[Int]): DataFrame = {
     val exploded = docs.select(
         col(idCol).cast(LongType).as("id"),
-        concat_ws("#", col(blockCol), (length(col(textCol)) / 64).cast(LongType)).as("blk"),
+        blk.as("blk"),
         tokens(col(textCol)).as("toks"))
       .select(col("id"), col("blk"),
         array_distinct(
@@ -261,11 +295,6 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-      .select(col("id_a"), col("id_b"), col("n_inter"),
-        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
-      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union").cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
   // --------------------------------------------- duplicate clustering

@@ -747,7 +747,96 @@ object AnalyticsQueries {
       SELECT component, id AS kept_id, quality
       FROM ranked WHERE rk = 1 ORDER BY component"""))
 
+  /** q99 — event-rate anomaly detection: per event type, daily counts
+    * over the ZERO-FILLED calendar spine (q81's grid — missing days
+    * are genuine 0-count observations) z-scored against the type's
+    * own history with EXACT integer moments (q68's discipline:
+    * `var = (n·Σx² − (Σx)²) / n²` from integer sums, one sqrt, one
+    * division — bit-stable), flagging |z| > 2 days. */
+  private val q99 = QueryDef(
+    "q99_rate_anomaly",
+    (s, dir) => {
+      val e = eventsTable(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val days = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = e.select(col("event_type")).distinct()
+      val daily = broadcast(days).crossJoin(broadcast(types))
+        .join(e.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n")),
+          Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("s1"),
+          sum(col("n_events") * col("n_events")).as("s2"))
+        .withColumn("mean", col("s1").cast(DoubleType) / col("n_days").cast(DoubleType))
+        .withColumn("std",
+          sqrt((col("n_days") * col("s2") - col("s1") * col("s1")).cast(DoubleType)
+            / (col("n_days") * col("n_days")).cast(DoubleType)))
+      daily.join(stats.select(col("event_type"), col("mean"), col("std")),
+          Seq("event_type"))
+        .withColumn("z", (col("n_events").cast(DoubleType) - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("event_type"), col("day"), col("n_events"), col("z"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+      days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+      t AS (SELECT DISTINCT event_type FROM e),
+      raw AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      daily AS (
+        SELECT days.day, t.event_type,
+               COALESCE(n, CAST(0 AS BIGINT)) AS n_events
+        FROM days CROSS JOIN t
+        LEFT JOIN raw ON raw.day = days.day AND raw.event_type = t.event_type),
+      stats AS (
+        SELECT event_type, COUNT(*) AS n_days,
+               SUM(n_events) AS s1, SUM(n_events * n_events) AS s2
+        FROM daily GROUP BY 1),
+      z AS (
+        SELECT d.event_type, d.day, d.n_events,
+               (CAST(d.n_events AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+               / sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                      / CAST(n_days * n_days AS DOUBLE)) AS z
+        FROM daily d JOIN stats s ON d.event_type = s.event_type)
+      SELECT event_type, day, n_events, z
+      FROM z WHERE abs(z) > 2.0 ORDER BY event_type, day"""))
+
+  /** q100 — containment dedup: documents EMBEDDED in a longer
+    * document (`|A∩B|/min(|A|,|B|) ≥ 0.9` over distinct word
+    * 3-shingles) — the asymmetric-overlap case symmetric Jaccard
+    * misses ([[graft.operators.Dedup.containmentPairs]], same
+    * inverted-index single-shuffle plan). */
+  private val q100 = QueryDef(
+    "q100_containment_dedup",
+    (s, dir) =>
+      graft.operators.Dedup.containmentPairs(
+          ExtensionQueries.augmentedDocs(s, dir), threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
+      prepped AS (
+        SELECT doc_id AS id, source AS blk,
+               list_distinct(${ExtensionQueries.shinglesSql}) AS sh
+        FROM toks)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+             CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS n_min,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)) AS containment
+      FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / least(len(a.sh), len(b.sh)) >= 0.9
+      ORDER BY id_a, id_b"""))
+
   def all: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95, q96, q97, q98)
+      q93, q94, q95, q96, q97, q98, q99, q100)
 }

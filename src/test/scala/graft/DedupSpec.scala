@@ -257,4 +257,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((6L, 8L)) || exact.contains((7L, 8L)))
     assert(capped.keySet.subsetOf(exact.keySet))
   }
+
+  test("containment catches an embedded doc that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, short, "s"),   // fully contained in 2
+      (2L, long, "s"),
+      (3L, "totally different words here now", "s"))
+      .toDF("doc_id", "text", "source")
+    val cont = Dedup.containmentPairs(docs, threshold = 0.9)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0) // every short-doc shingle is in the long doc
+    // symmetric Jaccard on the same pair is diluted by the long doc's
+    // union and misses it at any usable threshold — even with the
+    // length-bucket blocking removed it would score |A|/|B| ≈ 0.06
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.3)
+    assert(jac.count() == 0)
+  }
 }
