@@ -41,17 +41,21 @@ object Clustering {
 
   /** Nearest-centroid assignment by cosine (ties → smaller centroid
     * id): one broadcast join, one N-row shuffle, no window over the
-    * N×C cross product. Output: (n_id, n_v, cell). */
+    * N×C cross product. Output: (n_id, n_v, carry…, cell). `carry`
+    * names extra corpus columns to ride along (e.g. a true label for
+    * nearest-centroid classification) without a join back on id. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).cast(LongType).as("n_id"),
-      col(vecCol).as("n_v"))
+                  vecCol: String = "embedding",
+                  carry: Seq[String] = Nil): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("n_id") +:
+      col(vecCol).as("n_v") +: carry.map(col): _*)
+    val keys = col("n_id") +: col("n_v") +: carry.map(col)
     c.crossJoin(broadcast(centroids))
       .withColumn("cos_c", VectorFunctions.cosine(col("n_v"), col("c_v")))
-      .groupBy(col("n_id"), col("n_v"))
+      .groupBy(keys: _*)
       .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg"))).as("m"))
-      .select(col("n_id"), col("n_v"), (-col("m.neg")).as("cell"))
+      .select(keys :+ (-col("m.neg")).as("cell"): _*)
   }
 
   /** One Lloyd update step: exact per-dimension DECIMAL mean of every

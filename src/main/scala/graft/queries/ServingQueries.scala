@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.functions.TextFunctions
+import graft.operators.Clustering
+import graft.queries.ExtensionQueries.{cosSql, toksSql}
+import graft.queries.QueryDef.{eventsTable, table}
+
+/** Round-3 fourth widening: the retrieval / serving tier — keyword
+  * relevance search (integer-exact BM25), cumulative-distinct growth
+  * curves, time-weighted averages, Markov transition matrices, fuzzy
+  * string matching, RFM segmentation, and per-partition migration
+  * checksums. These are the read-side operations a warehouse serves
+  * after curation (reference serving surface: `sql_scripts/
+  * load_gold_data.sql`, `docs/technical_report.md` §serving), each
+  * re-expressed as a declarative Spark plan and DuckDB-oracle-checked.
+  *
+  * Bit-stability conventions follow [[QueryDef]]: ratios are scaled
+  * integers via integer division (`div` / `//`), money stays in
+  * DECIMAL until one final double division of exact inputs.
+  */
+object ServingQueries {
+
+  /** q101 — BM25 keyword retrieval, integer-exact. Classic BM25 with
+    * k1 = 6/5 and b = 3/4 has, per matched term,
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * which with avgdl = T/N (T corpus tokens, N docs) clears to the
+    * all-integer rational 44·tf·T / (20·T·tf + 6·T + 18·N·dl); the
+    * idf factor uses the probabilistic form (N − df + ½)/(df + ½) =
+    * (2N − 2df + 1)/(2df + 1). Both are floored at 10⁶ scale, so the
+    * score is a pure BIGINT — no floating point anywhere, identical
+    * in any engine. Plan shape: token filter BEFORE explode (only
+    * query-term hits shuffle), tiny df and corpus-stats frames
+    * broadcast — at 100 TB the shuffle carries only matching
+    * postings, never the corpus. */
+  private val bm25Terms = Seq("spark", "vector", "stream")
+
+  private val q101 = QueryDef(
+    "q101_bm25_topk",
+    (s, dir) => {
+      val termsArr = array(bm25Terms.map(lit): _*)
+      val stats = table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast(LongType).as("dl"), col("t"))
+      val corpus = stats.agg(count(lit(1)).as("n"), sum(col("dl")).as("tt"))
+      val tf = stats
+        .select(col("doc_id"), col("dl"),
+          explode(filter(col("t"), x => array_contains(termsArr, x))).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(corpus))
+        .withColumn("si",
+          expr("(1000000L * 44L * tf * tt) div (20L * tt * tf + 6L * tt + 18L * n * dl)"))
+        .withColumn("wi",
+          expr("(1000000L * (2L * n - 2L * df + 1L)) div (2L * df + 1L)"))
+        .withColumn("term_score", expr("(si * wi) div 1000000L"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      stats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+      corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS tt FROM stats),
+      tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl,
+                     unnest(list_filter(t, x -> list_contains(['spark','vector','stream'], x))) AS term
+              FROM stats)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT f.doc_id,
+               (((1000000 * 44 * f.tf * c.tt) // (20 * c.tt * f.tf + 6 * c.tt + 18 * c.n * f.dl))
+                * ((1000000 * (2 * c.n - 2 * d.df + 1)) // (2 * d.df + 1))) // 1000000 AS term_score
+        FROM tf f JOIN dfreq d USING (term) CROSS JOIN corpus c)
+      SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score, COUNT(*) AS n_terms
+      FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  /** q102 — cumulative-distinct growth curve (daily active-user
+    * accumulation) WITHOUT a distinct-over-expanding-window: first-seen
+    * day per user (one shuffle on user_id), then daily new-user counts
+    * and a running sum over the tiny per-day frame. The naive
+    * `COUNT(DISTINCT) OVER (ORDER BY day)` is O(days × users) state;
+    * this is the scalable first-seen reformulation. */
+  private val q102 = QueryDef(
+    "q102_cumulative_users",
+    (s, dir) => {
+      val firstSeen = eventsTable(s, dir)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      // post-agg frame is #days rows; the single-partition window is fine
+      firstSeen.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        FROM events GROUP BY 1),
+      d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+      SELECT day, new_users,
+             CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      FROM d ORDER BY day"""))
+
+  /** q103 — time-weighted average (TWAP-style): each event's value
+    * holds until the user's next event; the per-user mean weights each
+    * value by its holding duration. Exact DECIMAL×DECIMAL products
+    * (value cents × ms) summed exactly; the only double is the final
+    * division of two exact sums. One shuffle (user_id) serves both the
+    * lead() window and the aggregation. */
+  private val q103 = QueryDef(
+    "q103_twap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .withColumn("next_ms", lead(col("ts_ms"), 1).over(w))
+        .where(col("next_ms").isNotNull)
+        .withColumn("dur", (col("next_ms") - col("ts_ms")).cast(DecimalType(18, 0)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur")).cast(LongType).as("held_ms"),
+          sum(col("v") * col("dur")).as("wsum"))
+        .withColumn("twap", col("wsum").cast(DoubleType) / col("held_ms").cast(DoubleType))
+        .drop("wsum")
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events),
+      iv AS (
+        SELECT user_id, v,
+               CAST(LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms
+                    AS DECIMAL(18,0)) AS dur
+        FROM e)
+      SELECT user_id, COUNT(*) AS n_intervals,
+             CAST(SUM(dur) AS BIGINT) AS held_ms,
+             CAST(SUM(v * dur) AS DOUBLE) / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twap
+      FROM iv WHERE dur IS NOT NULL GROUP BY 1 ORDER BY user_id"""))
+
+  /** q104 — Markov transition matrix over the event stream: per-user
+    * consecutive event-type pairs (lag over (ts, event_id) total
+    * order), global transition counts and a 10⁶-scaled transition
+    * probability via integer division. The per-row lag and the
+    * count both ride the same user_id shuffle. */
+  private val q104 = QueryDef(
+    "q104_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val pairs = eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val wf = Window.partitionBy(col("from_type"))
+      pairs
+        .withColumn("from_total", sum(col("n_trans")).over(wf))
+        .withColumn("prob_ppm", expr("(1000000L * n_trans) div from_total"))
+        .drop("from_total")
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_type
+        FROM events),
+      p AS (
+        SELECT user_id, event_type AS to_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS from_type
+        FROM e),
+      c AS (
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n_trans,
+             CAST((1000000 * n_trans) // (SUM(n_trans) OVER (PARTITION BY from_type)) AS BIGINT) AS prob_ppm
+      FROM c ORDER BY from_type, to_type"""))
+
+  /** q105 — fuzzy string matching (blocked Levenshtein join): probe
+    * strings (misspelled catalog words) against the distinct token
+    * vocabulary of part names. Blocking — same first letter AND
+    * length within ±1 — bounds candidate pairs before the edit-
+    * distance kernel, the same block-then-verify shape as the dedup
+    * tier; both engines' `levenshtein` is the unit-cost edit
+    * distance, so the join is exactly reproducible. The vocabulary
+    * side is distinct-aggregated (tiny) and the probe side is a
+    * literal broadcast relation. */
+  private val fuzzyProbes =
+    Seq("wigdet", "bolte", "geer", "plat", "rng", "lrge", "blu", "anvill")
+
+  private val q105 = QueryDef(
+    "q105_fuzzy_match",
+    (s, dir) => {
+      val vocab = table(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .where(col("token") =!= "").distinct()
+      val probes = s.createDataFrame(fuzzyProbes.map(Tuple1(_)))
+        .toDF("probe")
+      vocab.crossJoin(broadcast(probes))
+        .where(substring(col("token"), 1, 1) === substring(col("probe"), 1, 1) &&
+          abs(length(col("token")) - length(col("probe"))) <= 1)
+        .withColumn("dist", levenshtein(col("probe"), col("token")).cast(LongType))
+        .where(col("dist") <= 2)
+        .select(col("probe"), col("token"), col("dist"))
+        .orderBy(col("probe"), col("token"))
+    },
+    Some(s"""
+      WITH vocab AS (
+        SELECT DISTINCT token FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+        WHERE token <> ''),
+      probes AS (SELECT unnest([${fuzzyProbes.map("'" + _ + "'").mkString(",")}]) AS probe)
+      SELECT probe, token, CAST(levenshtein(probe, token) AS BIGINT) AS dist
+      FROM vocab CROSS JOIN probes
+      WHERE substr(token, 1, 1) = substr(probe, 1, 1)
+        AND abs(len(token) - len(probe)) <= 1
+        AND levenshtein(probe, token) <= 2
+      ORDER BY probe, token"""))
+
+  /** q106 — RFM segmentation (recency / frequency / monetary
+    * quintiles per customer), the classic serving-mart scoring query.
+    * Metrics aggregate exactly (dates, counts, DECIMAL money); the
+    * quintiles are NTILE(5) over total orders (metric, custkey) so
+    * ties break deterministically. The ntile runs on the POST-
+    * aggregation frame (one row per customer); at 100 TB-scale
+    * customer counts the same scores come from rank over a range-
+    * partitioned sort (Spark's global orderBy) against broadcast
+    * quintile boundaries — the metric aggregation, which carries all
+    * the data volume, is unchanged. */
+  private val q106 = QueryDef(
+    "q106_rfm_segments",
+    (s, dir) => {
+      val m = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m_dec"))
+      def quintile(order: org.apache.spark.sql.Column*) =
+        ntile(5).over(Window.orderBy(order: _*)).cast(LongType)
+      m.withColumn("r_q", quintile(col("last_ms").desc, col("o_custkey")))
+        .withColumn("f_q", quintile(col("frequency").desc, col("o_custkey")))
+        .withColumn("m_q", quintile(col("m_dec").desc, col("o_custkey")))
+        .select(col("o_custkey"), col("last_ms"), col("frequency"),
+          col("m_dec").cast(DoubleType).as("monetary"),
+          col("r_q"), col("f_q"), col("m_q"),
+          concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT o_custkey, MAX(epoch_ms(o_orderdate)) AS last_ms,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec
+        FROM orders GROUP BY 1),
+      q AS (
+        SELECT o_custkey, last_ms, frequency, CAST(m_dec AS DOUBLE) AS monetary,
+               CAST(NTILE(5) OVER (ORDER BY last_ms DESC, o_custkey) AS BIGINT) AS r_q,
+               CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+               CAST(NTILE(5) OVER (ORDER BY m_dec DESC, o_custkey) AS BIGINT) AS m_q
+        FROM m)
+      SELECT o_custkey, last_ms, frequency, monetary, r_q, f_q, m_q,
+             CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+      FROM q ORDER BY o_custkey"""))
+
+  /** q107 — per-partition migration checksums: q89's order-
+    * independent 60-bit XOR row hash, bucketed by ship-date day. A
+    * whole-table checksum says "something diverged"; the per-day
+    * fold says WHERE — the migration-validation query that lets a
+    * cutover re-copy one partition instead of the table. XOR is
+    * commutative so the fold is partitioning- and retry-proof. */
+  private val q107 = QueryDef(
+    "q107_partition_checksums",
+    (s, dir) => {
+      val h = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(18, 2)),
+        col("l_extendedprice").cast(DecimalType(18, 2)),
+        col("l_discount").cast(DecimalType(18, 2)),
+        col("l_returnflag"), col("l_linestatus"),
+        unix_millis(col("l_shipdate").cast("timestamp")))), 1, 15), 16, 10)
+        .cast(LongType)
+      table(s, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ship_day"), h.as("h"))
+        .groupBy(col("ship_day"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .orderBy(col("ship_day"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST(l_shipdate AS DATE) AS ship_day,
+               CAST('0x' || substr(md5(
+                 l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' ||
+                 l_linenumber || '|' ||
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+                 l_returnflag || '|' || l_linestatus || '|' ||
+                 epoch_ms(l_shipdate)), 1, 15) AS BIGINT) AS v
+        FROM lineitem)
+      SELECT ship_day, COUNT(*) AS n_rows, bit_xor(v) AS checksum
+      FROM h GROUP BY 1 ORDER BY ship_day"""))
+
+  /** q108 — nearest-centroid classification (Rocchio): per-label
+    * centroids from exact DECIMAL per-dimension sums (cosine is
+    * scale-invariant, so the sum IS the centroid — no division, no
+    * rounding divergence), then every vector assigned to its argmax-
+    * cosine label via the broadcast assignment kernel
+    * ([[graft.operators.Clustering.assignCells]] carrying the true
+    * label), emitted as a confusion matrix. The label centroids are
+    * k×d (tiny, broadcast); the corpus shuffles once. */
+  private val q108 = QueryDef(
+    "q108_centroid_classify",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cents = e
+        .select(col("label").cast(LongType).as("c_id"),
+          posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select(col("c_id"), col("pos0"),
+          col("x").cast(DoubleType).cast(DecimalType(20, 7)).as("xd"))
+        .groupBy(col("c_id"), col("pos0"))
+        .agg(sum(col("xd")).cast(DoubleType).as("sv"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos0"), col("sv")))).as("ps"))
+        .select(col("c_id"), transform(col("ps"), p => p.getField("sv")).as("c_v"))
+      Clustering.assignCells(
+        e.withColumn("true_label", col("label").cast(LongType)), cents,
+        carry = Seq("true_label"))
+        .groupBy(col("true_label"), col("cell").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    },
+    Some(s"""
+      WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS c_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,7)) AS xd
+        FROM embeddings),
+      sums AS (
+        SELECT c_id, pos, CAST(SUM(xd) AS DOUBLE) AS sv
+        FROM ex GROUP BY 1, 2),
+      cents AS (
+        SELECT c_id, array_agg(sv ORDER BY pos) AS v FROM sums GROUP BY 1),
+      corpus AS (
+        SELECT vec_id AS n_id, CAST(label AS BIGINT) AS true_label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT a.n_id, a.true_label, b.c_id, $cosSql AS cos
+        FROM corpus a CROSS JOIN cents b),
+      best AS (
+        SELECT n_id, true_label, c_id AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY cos DESC, c_id) AS rn
+        FROM scored)
+      SELECT true_label, pred_label, COUNT(*) AS n
+      FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY true_label, pred_label"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q101, q102, q103, q104, q105, q106, q107, q108)
+}
+

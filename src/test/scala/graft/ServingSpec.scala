@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior + scale-shape assertions for the serving tier
+  * (q101–q108): oracle hash-parity is the driver's job; here we pin
+  * semantic properties (BM25 monotonicity, TWAP on a hand-computed
+  * timeline, transition rows summing to ~1, classifier diagonal
+  * dominance) and the plan shapes that survive 100 TB (broadcast
+  * stats/probe sides, checksum partitioning-independence). */
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q101 BM25: scores positive, ranked desc, df/corpus sides broadcast") {
+    val q = SparkEntry.queries("q101_bm25_topk")(spark, sf)
+    val plan = finalPlan(q)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+    val rows = q.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "top-k must be ranked by score desc")
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 3), "matched-term count in [1,3]")
+  }
+
+  test("q101 BM25 saturates: more hits never scores lower, all else equal") {
+    // single-term corpus with equal doc lengths: tf 1 vs 3 vs 5 — the
+    // saturating tf part must be strictly increasing and bounded
+    val docs = Seq(
+      (1L, "spark x x x x"), (2L, "spark spark spark x x"),
+      (3L, "spark spark spark spark spark")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tmp_bm25")
+    val t = graft.functions.TextFunctions.tokens(col("text"))
+    val stats = docs.select(col("doc_id"), size(t).cast("long").as("dl"), t.as("tk"))
+      .withColumn("tf", size(filter(col("tk"), x => x === "spark")))
+    val byDoc = stats.crossJoin(
+        stats.agg(count(lit(1)).as("n"), sum(col("dl")).as("tt")))
+      .withColumn("si",
+        expr("(1000000L * 44L * tf * tt) div (20L * tt * tf + 6L * tt + 18L * n * dl)"))
+      .select(col("doc_id"), col("si")).as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) < byDoc(2L) && byDoc(2L) < byDoc(3L))
+    assert(byDoc(3L) <= 2200000L, "tf part is bounded by (k1+1) = 11/5 scaled")
+  }
+
+  test("q103 TWAP matches a hand-computed holding timeline") {
+    // user 1: value 10.00 held 2000ms, then 20.00 held 1000ms
+    //   twap = (10*2000 + 20*1000) / 3000 = 40000/3000 = 13.333…
+    val e = Seq(
+      (1L, 1L, 0L, 10.0), (2L, 1L, 2000L, 20.0), (3L, 1L, 3000L, 30.0)
+    ).toDF("event_id", "user_id", "ts_ms", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val iv = e.select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("next_ms", lead(col("ts_ms"), 1).over(w))
+      .where(col("next_ms").isNotNull)
+      .withColumn("dur", (col("next_ms") - col("ts_ms")).cast("decimal(18,0)"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("dur")).cast("long").as("held_ms"),
+        sum(col("v") * col("dur")).as("wsum"))
+      .withColumn("twap", col("wsum").cast("double") / col("held_ms").cast("double"))
+      .select(col("held_ms"), col("twap")).as[(Long, Double)].head()
+    assert(iv._1 == 3000L)
+    assert(math.abs(iv._2 - 40000.0 / 3000.0) < 1e-12)
+  }
+
+  test("q104 transition probabilities per from_type sum to ≤ 1e6 (floor) and > 1e6 - fanout") {
+    val q = SparkEntry.queries("q104_markov_transitions")(spark, sf)
+    val sums = q.groupBy($"from_type")
+      .agg(sum($"prob_ppm").as("s"), count(lit(1)).as("k"))
+      .as[(String, Long, Long)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (ft, s, k) =>
+      assert(s <= 1000000L, s"$ft: floored shares cannot exceed 1e6")
+      assert(s > 1000000L - k, s"$ft: floor loses < 1 ppm per row")
+    }
+  }
+
+  test("q105 fuzzy match finds the planted misspellings via blocking") {
+    val got = SparkEntry.queries("q105_fuzzy_match")(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> r._2).toSet
+    val expected = Set("wigdet" -> "widget", "bolte" -> "bolt", "geer" -> "gear",
+      "plat" -> "plate", "rng" -> "ring", "lrge" -> "large", "blu" -> "blue",
+      "anvill" -> "anvil")
+    assert(expected.subsetOf(got), s"missing: ${expected -- got}")
+    // blocking is sound here: every match shares first letter, |len diff| ≤ 1
+    got.foreach { case (p, t) =>
+      assert(p.head == t.head && math.abs(p.length - t.length) <= 1)
+    }
+  }
+
+  test("q106 RFM: every quintile holds n/5 ± 1 customers; segment echoes scores") {
+    val q = SparkEntry.queries("q106_rfm_segments")(spark, sf).cache()
+    val n = q.count()
+    for (c <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = q.groupBy(col(c)).count().as[(Long, Long)].collect().toMap
+      assert(sizes.keySet == (1L to 5L).toSet, s"$c must cover 1..5")
+      assert(sizes.values.forall(v => math.abs(v - n / 5.0) <= 1), s"$c sizes: $sizes")
+    }
+    val bad = q.where(col("segment") =!=
+      concat(col("r_q"), col("f_q"), col("m_q"))).count()
+    assert(bad == 0)
+    q.unpersist()
+  }
+
+  test("q107 per-day checksums are partitioning-independent and roll up to the table") {
+    val q = SparkEntry.queries("q107_partition_checksums")(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .repartition(17, $"l_returnflag")   // deliberately scrambled layout
+    val h = li.select(
+      to_date($"l_shipdate").as("ship_day"),
+      conv(substring(md5(concat_ws("|",
+        $"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+        $"l_quantity".cast("decimal(18,2)"),
+        $"l_extendedprice".cast("decimal(18,2)"),
+        $"l_discount".cast("decimal(18,2)"),
+        $"l_returnflag", $"l_linestatus",
+        unix_millis($"l_shipdate".cast("timestamp")))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .groupBy($"ship_day")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("cs"))
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(q.nonEmpty && q.forall { case (d, n, cs) => h(d) == ((n, cs)) })
+    assert(q.map(_._2).sum == li.count(), "day partition counts roll up")
+  }
+
+  test("q108 classifier: exact row cover, diagonal dominance, centroids broadcast") {
+    val q = SparkEntry.queries("q108_centroid_classify")(spark, sf)
+    val plan = finalPlan(q)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val rows = q.as[(Long, Long, Long)].collect()
+    val total = rows.map(_._3).sum
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count(),
+      "every vector classified exactly once")
+    // nearest-own-label-centroid should beat chance by a wide margin
+    val correct = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(correct.toDouble / total > 0.2, s"accuracy $correct/$total vs 0.1 chance")
+  }
+}
