@@ -266,4 +266,57 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  final case class PatternMatch(user_id: Long, trigger_ms: Long,
+                                target_ms: Long)
+
+  final case class TriggerState(ts: Long, event_id: Long)
+
+  /** Streaming sequence-pattern detection (CEP-style "A then B within
+    * T"): per user, remember the LATEST unconsumed `triggerType`
+    * event; when a `targetType` event lands within `withinMs` of it,
+    * emit a match and consume the trigger (one match per trigger).
+    * A target past the window expires the stale trigger instead —
+    * so state is ONE (ts, id) pair per user, bounded forever.
+    *
+    * Irrelevant event types are filtered BEFORE the keyed shuffle, so
+    * at scale the state shuffle carries only trigger/target rows.
+    * Within a batch events process in (ts, event_id) order; as with
+    * [[sessionize]], cross-batch ordering is the visible horizon
+    * (process-in-arrival-order), the standard Append-mode contract.
+    */
+  def patternDetect(events: Dataset[Event], triggerType: String,
+                    targetType: String,
+                    withinMs: Long): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[TriggerState]): Iterator[PatternMatch] = {
+      var trig = state.getOption
+      val out = List.newBuilder[PatternMatch]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        if (e.event_type == triggerType) {
+          trig = Some(TriggerState(t, e.event_id))
+        } else {
+          trig match {
+            case Some(tr) if t - tr.ts >= 0 && t - tr.ts <= withinMs =>
+              out += PatternMatch(userId, tr.ts, t)
+              trig = None
+            case Some(tr) if t - tr.ts > withinMs =>
+              trig = None // stale trigger can never match again
+            case _ => () // target before any trigger: no match
+          }
+        }
+      }
+      trig.fold(state.remove())(state.update)
+      out.result().iterator
+    }
+
+    events
+      .filter(e => e.event_type == triggerType || e.event_type == targetType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

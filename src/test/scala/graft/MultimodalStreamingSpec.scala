@@ -362,4 +362,36 @@ class MultimodalStreamingSpec extends SparkSpec {
       Timestamp.valueOf("2024-01-01 06:00:00").getTime)
     assert(emitted(1).n_events == 1L)
   }
+
+  test("pattern detect: trigger→target within window, across batches, bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, mmss: String, u: Long, t: String) =
+      Event(id, Timestamp.valueOf(s"2024-01-01 00:$mmss"), u, t, 0.0)
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.patternDetect(mem.toDS(), "click", "purchase",
+        withinMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("pat").outputMode("append").start()
+    // batch 1: u1 click→purchase in-window; u2 click only (state carries);
+    // u3 purchase with no trigger; "view" noise must be pre-filtered
+    mem.addData(
+      ev(1, "00:00", 1, "click"), ev(2, "01:00", 1, "view"),
+      ev(3, "05:00", 1, "purchase"),
+      ev(4, "07:00", 2, "click"),
+      ev(5, "02:00", 3, "purchase"))
+    q.processAllAvailable()
+    // batch 2: u2's purchase lands cross-batch but in-window (12:00-07:00
+    // = 5 min); a second u2 purchase finds its trigger CONSUMED → no match;
+    // u1's new click then an out-of-window purchase → expired, no match
+    mem.addData(
+      ev(6, "12:00", 2, "purchase"), ev(7, "13:00", 2, "purchase"),
+      ev(8, "20:00", 1, "click"), ev(9, "35:00", 1, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pat").as[StreamingOps.PatternMatch].collect()
+      .map(m => (m.user_id, m.trigger_ms, m.target_ms)).toSet
+    def ms(mmss: String) = Timestamp.valueOf(s"2024-01-01 00:$mmss").getTime
+    assert(got == Set(
+      (1L, ms("00:00"), ms("05:00")),
+      (2L, ms("07:00"), ms("12:00"))), s"got $got")
+  }
 }

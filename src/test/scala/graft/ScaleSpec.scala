@@ -210,4 +210,39 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       plan.take(800))
   }
+
+  test("stats index skips files outside the predicate range; result is exact") {
+    import graft.sources.StatsIndex
+    val dir = Files.createTempDirectory("graft_stats").toString
+    // range-partitioned sort ⇒ disjoint per-file shipdate envelopes
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartitionByRange(8, $"l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+
+    val idx = StatsIndex.build(spark, dir, Seq("l_shipdate")).cache()
+    val nFiles = idx.count()
+    assert(nFiles >= 8, s"expected >= 8 data files, got $nFiles")
+    assert(idx.agg(sum($"n_rows")).as[Long].head() ==
+      spark.read.parquet(dir).count())
+
+    val lo = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-08-31 23:59:59")
+    val cand = StatsIndex.candidateFiles(idx, "l_shipdate", lo, hi)
+    assert(cand.nonEmpty && cand.size < nFiles,
+      s"pruning must drop files: ${cand.size}/$nFiles survived")
+
+    val pruned = StatsIndex.prunedRead(spark, dir, idx, "l_shipdate", lo, hi)
+    val full = spark.read.parquet(dir)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" <= hi)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.agg(sum($"l_orderkey")).as[Long].head() ==
+      full.agg(sum($"l_orderkey")).as[Long].head())
+
+    // an empty-envelope probe keeps the schema and proves zero rows
+    val none = StatsIndex.prunedRead(spark, dir, idx, "l_shipdate",
+      java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1990-01-02 00:00:00"))
+    assert(none.schema == full.schema && none.count() == 0)
+    idx.unpersist()
+  }
 }
