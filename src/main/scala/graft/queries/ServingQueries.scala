@@ -365,7 +365,110 @@ object ServingQueries {
       SELECT true_label, pred_label, COUNT(*) AS n
       FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY true_label, pred_label"""))
 
+  /** q109 — log₂-bucketed inter-event gap histogram: per-user event
+    * gaps land in power-of-two latency buckets, the classic latency-
+    * distribution report. The bucket is the BINARY DIGIT COUNT of the
+    * gap (`length(bin(gap))` = ⌊log₂⌋+1) — pure integer arithmetic,
+    * immune to the float `log2` boundary rounding that differs
+    * between engines. Gap computation rides one user_id shuffle; the
+    * histogram is a ~40-row aggregate. */
+  private val q109 = QueryDef(
+    "q109_gap_histogram",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .where(col("gap_ms").isNotNull && col("gap_ms") > 0)
+        .withColumn("bucket", length(bin(col("gap_ms"))).cast(LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_ms")).as("min_gap_ms"), max(col("gap_ms")).as("max_gap_ms"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+        FROM events),
+      g AS (
+        SELECT ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id) AS gap_ms
+        FROM e)
+      SELECT CAST(len(bin(gap_ms)) AS BIGINT) AS bucket, COUNT(*) AS n_gaps,
+             MIN(gap_ms) AS min_gap_ms, MAX(gap_ms) AS max_gap_ms
+      FROM g WHERE gap_ms IS NOT NULL AND gap_ms > 0
+      GROUP BY 1 ORDER BY bucket"""))
+
+  /** q110 — peak concurrency via sweep line: each event opens a
+    * 10-minute half-open presence interval [ts, ts+10m); interval
+    * boundaries become +1/−1 deltas, a running sum per event_type
+    * over (t, delta) order is the live concurrency, and the per-day
+    * max is the peak. Ends sort before starts at the same instant
+    * (delta −1 < +1), giving exact half-open semantics; tied same-
+    * sign boundaries yield the same prefix-value multiset under any
+    * tie order, so the MAX is deterministic. The sweep partitions by
+    * event_type; at higher key cardinality the same plan range-
+    * partitions time with a carry-in correction per split. */
+  private val q110 = QueryDef(
+    "q110_peak_concurrency",
+    (s, dir) => {
+      val e = eventsTable(s, dir)
+        .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val bounds = e.select(col("event_type"), col("ts_ms").as("t"), lit(1L).as("delta"))
+        .unionAll(e.select(col("event_type"), (col("ts_ms") + 600000L).as("t"),
+          lit(-1L).as("delta")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("live", sum(col("delta")).over(w))
+        .withColumn("day", to_date(timestamp_millis(col("t"))))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("live")).as("peak"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+      b AS (
+        SELECT event_type, ts_ms AS t, 1 AS delta FROM e
+        UNION ALL
+        SELECT event_type, ts_ms + 600000, -1 FROM e),
+      r AS (
+        SELECT event_type,
+               CAST(epoch_ms(t) AS DATE) AS day,
+               SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM b)
+      SELECT event_type, day, CAST(MAX(live) AS BIGINT) AS peak
+      FROM r GROUP BY 1, 2 ORDER BY event_type, day"""))
+
+  /** q111 — Benford first-digit audit: the distribution of leading
+    * significant digits of order totals, the classic anomaly /
+    * fabrication screen a migration validator runs over money
+    * columns. The digit comes from the DECIMAL's decimal-string
+    * rendering (values ≥ 1 here) — no float log₁₀; shares are
+    * 10⁶-scaled integer divisions. */
+  private val q111 = QueryDef(
+    "q111_benford_digits",
+    (s, dir) => {
+      val d = table(s, dir, "orders")
+        .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      d.crossJoin(broadcast(d.agg(sum(col("n")).as("total"))))
+        .withColumn("share_ppm", expr("(1000000L * n) div total"))
+        .select(col("digit"), col("n"), col("share_ppm"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT digit, n, CAST((1000000 * n) // (SELECT SUM(n) FROM d) AS BIGINT) AS share_ppm
+      FROM d ORDER BY digit"""))
+
   val all: Seq[QueryDef] =
-    Seq(q101, q102, q103, q104, q105, q106, q107, q108)
+    Seq(q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
 }
 

@@ -135,6 +135,53 @@ class ServingSpec extends SparkSpec {
     assert(q.map(_._2).sum == li.count(), "day partition counts roll up")
   }
 
+  test("q109 buckets bound their gaps by consecutive powers of two") {
+    val rows = SparkEntry.queries("q109_gap_histogram")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, n, lo, hi) =>
+      assert(n > 0)
+      assert(lo >= (1L << (bucket - 1)) && hi < (1L << bucket),
+        s"bucket $bucket must hold gaps in [2^${bucket - 1}, 2^$bucket): [$lo, $hi]")
+    }
+  }
+
+  test("q110 sweep line counts overlapping intervals exactly (hand case)") {
+    // three intervals of 10 min starting 0, 5m, 9m: all three live at 9m;
+    // a fourth at 30m never overlaps → its own peak segment of 1
+    val e = Seq(0L, 300000L, 540000L, 1800000L).zipWithIndex
+      .map { case (t, i) => (i.toLong, "x", t) }
+      .toDF("event_id", "event_type", "ts_ms")
+    val b = e.select(col("event_type"), col("ts_ms").as("t"), lit(1L).as("delta"))
+      .unionAll(e.select(col("event_type"), (col("ts_ms") + 600000L).as("t"),
+        lit(-1L).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val peak = b.withColumn("live", sum(col("delta")).over(w))
+      .agg(max(col("live"))).as[Long].head()
+    assert(peak == 3L)
+    // half-open semantics: an interval ending exactly when another starts
+    // does NOT overlap it — ends (-1) sort before starts (+1)
+    val e2 = Seq((1L, "y", 0L), (2L, "y", 600000L)).toDF("event_id", "event_type", "ts_ms")
+    val b2 = e2.select(col("event_type"), col("ts_ms").as("t"), lit(1L).as("delta"))
+      .unionAll(e2.select(col("event_type"), (col("ts_ms") + 600000L).as("t"),
+        lit(-1L).as("delta")))
+    val peak2 = b2.withColumn("live", sum(col("delta")).over(w))
+      .agg(max(col("live"))).as[Long].head()
+    assert(peak2 == 1L)
+  }
+
+  test("q111 Benford audit covers all orders; shares floor-sum to ≤ 1e6") {
+    val rows = SparkEntry.queries("q111_benford_digits")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_._2).sum == total, "every order has exactly one leading digit")
+    assert(rows.forall(r => r._1.length == 1 && r._1.head.isDigit && r._1 != "0"))
+    val s = rows.map(_._3).sum
+    assert(s <= 1000000L && s > 1000000L - rows.length)
+  }
+
   test("q108 classifier: exact row cover, diagonal dominance, centroids broadcast") {
     val q = SparkEntry.queries("q108_centroid_classify")(spark, sf)
     val plan = finalPlan(q)
