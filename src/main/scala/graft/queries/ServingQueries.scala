@@ -468,7 +468,91 @@ object ServingQueries {
       SELECT digit, n, CAST((1000000 * n) // (SELECT SUM(n) FROM d) AS BIGINT) AS share_ppm
       FROM d ORDER BY digit"""))
 
+  /** q112 — sequential-pattern reach ("A then B", any distance): how
+    * many users ever did type A strictly before type B. The naive
+    * form self-joins events (O(events²) per user); the scalable
+    * reformulation aggregates to per-(user, type) [first, last]
+    * INTERVALS first — "A then B exists" ⟺ first(A) < last(B) — so
+    * the self-join is |types|² per user (≤ 25 rows here), bounded by
+    * type cardinality no matter how many events a user has. */
+  private val q112 = QueryDef(
+    "q112_seq_pair_reach",
+    (s, dir) => {
+      val span = eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms"))
+      span.as("a")
+        .join(span.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.first_ms") < col("b.last_ms"))
+        .groupBy(col("a.event_type").as("from_type"),
+          col("b.event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id, event_type,
+               MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS first_ms,
+               MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS last_ms
+        FROM events GROUP BY 1, 2)
+      SELECT a.event_type AS from_type, b.event_type AS to_type,
+             COUNT(*) AS n_users
+      FROM s a JOIN s b ON a.user_id = b.user_id AND a.first_ms < b.last_ms
+      GROUP BY 1, 2 ORDER BY from_type, to_type"""))
+
+  /** q113 — cross-source quantile calibration (quantile
+    * normalization): map each source's n_chars distribution onto the
+    * GLOBAL distribution so scores are comparable across sources —
+    * the rank-based calibration a curation pipeline applies before
+    * mixing heterogeneous quality signals. Per-source ranks are a
+    * keyed window; the global rank comes from
+    * [[graft.operators.Ids.addContiguousIds]] (range-partitioned
+    * zipWithIndex — NO single-partition window), and the mapped
+    * position 1 + ⌊(r−1)(N−1)/(Nₛ−1)⌋ is pure integer arithmetic, so
+    * the calibrated value is exact on any engine. */
+  private val q113 = QueryDef(
+    "q113_quantile_calibrate",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ns = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val ranked = d.withColumn("r", row_number().over(wSrc).cast(LongType))
+        .join(broadcast(ns), "source").where(col("ns") > 1)
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("ng"))))
+        .withColumn("p", expr("1L + ((r - 1L) * (ng - 1L)) div (ns - 1L)"))
+      val g = graft.operators.Ids.addContiguousIds(
+        d.select(col("n_chars").as("g_chars"), col("doc_id").as("g_doc")),
+        Seq(col("g_chars"), col("g_doc")), "p")
+        .select(col("p"), col("g_chars"))
+      ranked.join(g, "p")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("g_chars").as("calibrated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      ns AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY 1),
+      r AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id) AS BIGINT) AS r
+        FROM d),
+      g AS (
+        SELECT n_chars AS g_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS p
+        FROM d),
+      ng AS (SELECT COUNT(*) AS ng FROM d)
+      SELECT r.doc_id, r.source, r.n_chars, g.g_chars AS calibrated
+      FROM r JOIN ns USING (source) CROSS JOIN ng
+      JOIN g ON g.p = 1 + ((r.r - 1) * (ng.ng - 1)) // (ns.ns - 1)
+      WHERE ns.ns > 1
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
+    Seq(q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
+      q112, q113)
 }
 

@@ -182,6 +182,41 @@ class ServingSpec extends SparkSpec {
     assert(s <= 1000000L && s > 1000000L - rows.length)
   }
 
+  test("q112 interval reformulation equals the naive event self-join") {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_type", $"ts".cast("long").as("t"), $"event_id")
+    // ground truth, O(events²) per user — viable only at test scale
+    val naive = e.as("a").join(e.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.t" < $"b.t")
+      .select($"a.user_id", $"a.event_type".as("ft"), $"b.event_type".as("tt"))
+      .distinct()
+      .groupBy($"ft", $"tt").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val got = SparkEntry.queries("q112_seq_pair_reach")(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == naive, s"diff: ${(got.toSet diff naive.toSet) ++ (naive.toSet diff got.toSet)}")
+  }
+
+  test("q113 calibration preserves rank order and pins the extremes per source") {
+    val rows = SparkEntry.queries("q113_quantile_calibrate")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    val global = rows.map(_._3).sorted
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val byRank = docs.sortBy(d => (d._3, d._1)) // (n_chars, doc_id) source order
+      // monotone: calibrated never decreases along the source ranking
+      assert(byRank.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"$src: calibration must be monotone in rank")
+      // endpoints map to the global min / max exactly
+      assert(byRank.head._4 == global.head && byRank.last._4 == global.last,
+        s"$src: extremes must pin to the global extremes")
+      // every calibrated value is an actually-occurring global value
+      val gset = global.toSet
+      assert(byRank.forall(d => gset.contains(d._4)))
+    }
+  }
+
   test("q108 classifier: exact row cover, diagonal dominance, centroids broadcast") {
     val q = SparkEntry.queries("q108_centroid_classify")(spark, sf)
     val plan = finalPlan(q)
