@@ -92,6 +92,25 @@ object LakeIO {
     (if (compress) w.option("compression", "gzip") else w).json(path)
   }
 
+  /** Raw media ingestion — Spark's `binaryFile` source: each file
+    * becomes one row of (path, modificationTime, length, content),
+    * the entry point of the multimodal lane
+    * ([[graft.operators.Multimodal]] takes it from here). Media
+    * files don't split, so parallelism = file count; set
+    * `pathGlobFilter` to the media extension and keep
+    * `maxBytesPerPartition` defaults — small-file pressure is
+    * handled downstream by packing into parquet binary columns
+    * ([[graft.operators.Multimodal.packMedia]] layout), not by the
+    * scan. `maxFileBytes` guards against a stray multi-GB object
+    * poisoning an executor. */
+  def readBinaryMedia(spark: SparkSession, path: String,
+                      glob: String = "*",
+                      maxFileBytes: Long = 256L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .filter(col("length") <= maxFileBytes)
+
   /** ORC source/sink — the other columnar lake format (Hive/Trino
     * interop); same pushdown + pruning behavior as parquet. */
   def readOrc(spark: SparkSession, path: String): DataFrame =

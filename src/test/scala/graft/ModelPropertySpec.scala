@@ -109,6 +109,63 @@ class ModelPropertySpec extends SparkSpec {
     }
   }
 
+  test("streaming pattern detect equals an ordered fold on random chunked arrivals") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.{Event, PatternMatch}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val withinMs = 10 * 60 * 1000L
+    val types = Vector("click", "purchase", "view")
+
+    // the operator's contract, as a per-user ordered fold
+    def ref(events: Seq[Event]): Set[(Long, Long, Long)] =
+      events.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        var trig = Option.empty[Long]
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        es.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val t = e.ts.getTime
+          if (e.event_type == "click") trig = Some(t)
+          else if (e.event_type == "purchase") trig match {
+            case Some(a) if t - a <= withinMs => out += ((u, a, t)); trig = None
+            case Some(_) => trig = None
+            case None => ()
+          }
+        }
+        out.result()
+      }.toSet
+
+    for (trial <- 1 to 3) {
+      // unique timestamps so chunking at a time boundary is unambiguous
+      val offsets = rnd.shuffle((1 to 3600).toList).take(50)
+      val events = offsets.zipWithIndex.map { case (sec, i) =>
+        Event(i.toLong, new Timestamp(base + sec * 1000L),
+          1L + rnd.nextInt(3), types(rnd.nextInt(3)), 0.0)
+      }
+      val sorted = events.sortBy(_.ts.getTime)
+      val nCuts = 1 + rnd.nextInt(4)
+      val cuts = (Seq(0, sorted.size) ++ (1 to nCuts).map(_ =>
+        rnd.nextInt(sorted.size))).distinct.sorted
+      val chunks = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(sorted.slice(a, b)) }.filter(_.nonEmpty)
+
+      val mem = MemoryStream[Event]
+      val name = s"pat_prop_$trial"
+      val q = StreamingOps.patternDetect(mem.toDS(), "click", "purchase", withinMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+
+      val got = spark.table(name).as[PatternMatch].collect()
+        .map(m => (m.user_id, m.trigger_ms, m.target_ms)).toSet
+      assert(got == ref(events), s"trial $trial chunks=${chunks.map(_.size)}")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("contiguous ids follow key order for random sizes and partitionings") {
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 4) {

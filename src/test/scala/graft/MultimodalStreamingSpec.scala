@@ -363,6 +363,31 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(emitted(1).n_events == 1L)
   }
 
+  test("binaryFile source: glob + size guard, content flows into feature extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.img", Array.tabulate(64)(_.toByte))
+    put("b.img", Array.tabulate(512)(i => (i % 7).toByte))
+    put("huge.img", Array.fill(2048)(1.toByte)) // over the size guard
+    put("notes.txt", "not media".getBytes)      // filtered by glob
+
+    val media = graft.sources.LakeIO.readBinaryMedia(spark, dir.toString,
+      glob = "*.img", maxFileBytes = 1024)
+    val rows = media.orderBy("path").collect()
+    assert(rows.length == 2, "glob keeps .img; size guard drops the 2 KB file")
+    assert(rows.forall(_.getAs[Array[Byte]]("content").nonEmpty))
+
+    // path → id, then the standard partition-wise feature pass
+    val withIds = media
+      .withColumn("doc_id", xxhash64(col("path")))
+      .withColumnRenamed("content", "media")
+    val feats = Multimodal.extractFeatures(withIds).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(_.getAs[scala.collection.Seq[Float]]("features").length == 16))
+    assert(feats.map(_.getAs[Long]("size_bytes")).sorted.toSeq == Seq(64L, 512L))
+  }
+
   test("pattern detect: trigger→target within window, across batches, bounded") {
     implicit val sqlCtx = spark.sqlContext
     def ev(id: Long, mmss: String, u: Long, t: String) =
