@@ -172,11 +172,17 @@ object Dedup {
 
   def simhash32(text: Column): Column = simhash32Of(tokens(text))
 
+  /** Per-doc staged SimHash signatures from an arbitrary staged token
+    * expression — word tokens for text, hex-byte shingles for binary
+    * media ([[Multimodal.binaryNearDup]]), any array<string> works. */
+  def simhashSigsOf(docs: DataFrame, idCol: String, toks: Column): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("id"), toks.as("toks"))
+      .select(col("id"), graft.functions.TextExprs.simhash_32(col("toks")).as("sig"))
+
   /** Per-doc staged SimHash signatures (native single-pass md5). */
   def simhashSigs(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).cast(LongType).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), graft.functions.TextExprs.simhash_32(col("toks")).as("sig"))
+    simhashSigsOf(docs, idCol, tokens(col(textCol)))
 
   /** SimHash near-dup pairs: candidates share at least one of four
     * 8-bit sub-bands (pigeonhole: hamming ≤ 3 ⇒ some band equal),
@@ -184,8 +190,11 @@ object Dedup {
     * from band posting lists (groupBy + collect_list), so the
     * signature pipeline runs once — not once per self-join side. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigs(docs, idCol, textCol)
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashSigs(docs, idCol, textCol), maxHamming)
+
+  /** Band-block + hamming-verify over precomputed (id, sig) rows. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(k =>
         concat_ws(":", lit(k), shiftright(col("sig"), k * 8) % 256)): _*)).as("band"))

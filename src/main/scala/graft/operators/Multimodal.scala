@@ -122,6 +122,26 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual near-dup over binary media columns — the image/audio
+    * dedup lane: byte-level SimHash (hex-pair shingles over the raw
+    * bytes stand in for decoded-frame features; a production pHash
+    * would decode via [[decodeMedia]] first and feed frame features
+    * into the SAME signature/banding machinery) banded and
+    * hamming-verified exactly like text SimHash
+    * ([[Dedup.simhashPairsFromSigs]]). Blobs that differ by a few
+    * bytes land within `maxHamming`; unrelated blobs don't. Scale
+    * shape: one scan computes every signature (no shuffle), then the
+    * band posting-list join — identical cost profile to q32 at
+    * corpus scale. */
+  def binaryNearDup(df: DataFrame, idCol: String = "doc_id",
+                    mediaCol: String = "media", shingleHexChars: Int = 16,
+                    maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      Dedup.simhashSigsOf(df, idCol,
+        graft.functions.TextFunctions.charShingles(
+          lower(hex(col(mediaCol))), shingleHexChars)),
+      maxHamming)
+
   /** Partition-wise feature extraction over the media column: one
     * pass per partition, rows streamed through an iterator (the batch
     * shape a Python `mapInPandas`/Arrow pipeline would use — here a

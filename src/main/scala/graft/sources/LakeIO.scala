@@ -330,6 +330,19 @@ object LakeIO {
   def readGold(spark: SparkSession, zones: LakeZones, table: String): DataFrame =
     spark.read.parquet(zones.gold(table))
 
+  /** Time travel over a run-partitioned gold table: the table state
+    * as of `loadId` INCLUSIVE — every `load_id=` run up to and
+    * including it (ids sort by name: use sortable ids, which
+    * [[appendGoldRun]] callers and the streaming sinks do). The
+    * filter is on a partition column, so pruning resolves it at
+    * file-listing time — reproducing "the training set as of run N"
+    * costs exactly the bytes of those runs, independent of how many
+    * runs landed since. Runs deleted by [[vacuumGold]] are gone —
+    * retention bounds how far back travel reaches. */
+  def readGoldAsOf(spark: SparkSession, zones: LakeZones, table: String,
+                   loadId: String): DataFrame =
+    readGold(spark, zones, table).filter(col("load_id") <= lit(loadId))
+
   /** Register every table directory of a zone as `<zone>_<table>`
     * views so the whole lake is `spark.sql`-addressable (the SQL
     * serving surface of the reference's Azure SQL tier, SURVEY §1.1,

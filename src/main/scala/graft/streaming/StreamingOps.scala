@@ -62,6 +62,42 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming incremental aggregate maintenance (a materialized view
+    * kept fresh by the stream): each micro-batch writes its PARTIAL
+    * aggregate (count + exact DECIMAL sum per key) as its own
+    * `load_id=batch-…` partition via [[LakeIO.appendGoldRun]]'s
+    * dynamic overwrite — a replayed batch (at-least-once delivery
+    * after recovery) REPLACES its previous partials instead of
+    * double-counting, so the view is exactly-once without any
+    * read-modify-write of live state. Readers roll the partials up
+    * with [[readAggView]] (the q60 partial-merge algebra: counts and
+    * sums are associative). View state lives in the lake — restart-
+    * safe, [[LakeIO.vacuumGold]]-compactable, and time-travelable
+    * via [[LakeIO.readGoldAsOf]]. At scale each batch shuffles only
+    * its own keys; the view read aggregates #batches × #keys partial
+    * rows, collapsed periodically by [[LakeIO.compactGold]]. */
+  def aggSink(stream: DataFrame, zones: LakeZones, table: String,
+              keyCols: Seq[String], valueCol: String,
+              checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = df.toDF().groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n_partial"),
+            sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_partial"))
+        LakeIO.appendGoldRun(partial, zones, table, f"batch-$batchId%012d")
+      }
+      .start()
+
+  /** Current state of an [[aggSink]] view: one small rollup over the
+    * partial-aggregate partitions (sum of counts, sum of sums). */
+  def readAggView(spark: SparkSession, zones: LakeZones, table: String,
+                  keyCols: Seq[String]): DataFrame =
+    LakeIO.readGold(spark, zones, table)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_partial")).as("n"),
+        sum(col("sum_partial")).cast(DecimalType(18, 2)).as("total"))
+
   /** Streaming SCD2 dimension maintenance: each micro-batch of
     * change events merges into the lake dimension with the BATCH
     * [[graft.operators.Scd2.merge]] (same hash-diff semantics, same

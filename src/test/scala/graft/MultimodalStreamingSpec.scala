@@ -419,4 +419,73 @@ class MultimodalStreamingSpec extends SparkSpec {
       (1L, ms("00:00"), ms("05:00")),
       (2L, ms("07:00"), ms("12:00"))), s"got $got")
   }
+
+  test("binary near-dup pairs corrupted copies, not unrelated blobs") {
+    val base = graft.queries.QueryDef.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(40)
+    // plant: id+100000 = same payload with one byte flipped mid-way
+    val corrupted = base.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(substring(col("text"), 1, 20), lit("#"),
+        substring(col("text"), 22, 1000000)).as("text"))
+    val packed = Multimodal.packMedia(base.unionByName(corrupted), "doc_id", "text")
+    val pairs = Multimodal.binaryNearDup(packed, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = base.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    // a 32-bit simhash is an approximate signature: a one-byte flip
+    // lands within hamming 3 for MOST blobs, not all (majority votes
+    // near the margin can flip extra bits) — assert recall, and that
+    // non-planted word-soup collisions stay a minority
+    val recall = (planted & pairs).size.toDouble / planted.size
+    assert(recall >= 0.6, s"recall $recall; found ${(planted & pairs).size}/${planted.size}")
+    assert((pairs -- planted).size <= planted.size / 2,
+      s"too many non-planted pairs: ${(pairs -- planted).size}")
+    // identical payloads sit at hamming 0
+    val dup = Multimodal.packMedia(
+      base.limit(1).unionByName(base.limit(1)
+        .select((col("doc_id") + 7L).as("doc_id"), col("text"))),
+      "doc_id", "text")
+    val h = Multimodal.binaryNearDup(dup).select("hamming").as[Long].head()
+    assert(h == 0L)
+  }
+
+  test("streaming agg sink maintains an exactly-once materialized view") {
+    import graft.sources.{LakeIO, LakeZones}
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_aggmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_aggck").toString
+    val zones = LakeZones(lake)
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.aggSink(mem.toDF(), zones, "clicks_mv",
+      Seq("event_type"), "value", ckpt)
+    mem.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.5),
+      Event(2, Timestamp.valueOf("2024-01-01 00:01:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(3, Timestamp.valueOf("2024-01-01 00:02:00"), 1, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val view = StreamingOps.readAggView(spark, zones, "clicks_mv", Seq("event_type"))
+      .select(col("event_type"), col("n"), col("total").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(view == Map("click" -> ((2L, "4.50")), "view" -> ((1L, "2.00"))))
+    // a replayed batch replaces its own partials — totals unchanged
+    val replay = Seq(("click", 1L, BigDecimal("3.00"))).toDF(
+      "event_type", "n_partial", "sum_partial")
+      .select(col("event_type"), col("n_partial"),
+        col("sum_partial").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+    LakeIO.appendGoldRun(replay, zones, "clicks_mv", "batch-000000000001")
+    val again = StreamingOps.readAggView(spark, zones, "clicks_mv", Seq("event_type"))
+      .filter(col("event_type") === "click")
+      .select(col("n")).as[Long].head()
+    assert(again == 2L)
+    // time travel: the view as of batch 0 excludes batch 1's partials
+    val asOf = LakeIO.readGoldAsOf(spark, zones, "clicks_mv", "batch-000000000000")
+      .groupBy(col("event_type")).agg(sum(col("n_partial")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(asOf == Map("click" -> 1L, "view" -> 1L))
+  }
 }
