@@ -245,4 +245,25 @@ class ScaleSpec extends SparkSpec {
     assert(none.schema == full.schema && none.count() == 0)
     idx.unpersist()
   }
+
+  test("dim filter prunes fact partitions at runtime (dynamic partition pruning)") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_year", year($"o_orderdate"))
+    o.write.partitionBy("o_year").mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // a tiny dim whose FILTER (not a literal on the fact) selects one year:
+    // the partition filter is only knowable at runtime, the DPP case.
+    // The dim must be a real scan — a LocalRelation would constant-fold
+    // the filter away and DPP would see no selective predicate.
+    (1995 to 2001).map(y => (y, if (y == 1997) "keep" else "drop"))
+      .toDF("d_year", "flag").write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val j = fact.join(dim.filter($"flag" === "keep"), fact("o_year") === $"d_year")
+    val expected = o.filter($"o_year" === 1997).count()
+    assert(j.count() == expected && expected > 0)
+    val scan = j.queryExecution.executedPlan.toString
+    assert(scan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning partition filter:\n${scan.take(1200)}")
+  }
 }
