@@ -354,19 +354,20 @@ object Dedup {
       val jump = labels.select(col("lbl").as("jid"), col("id"))
         .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")), "jid")
         .select(col("id"), col("jlbl"))
+      // fold the convergence flag into the checkpointed pass: the
+      // probe then scans cached blocks instead of re-joining old vs
+      // new labels (one fewer job per round)
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"),
             least(coalesce(col("nlbl"), col("lbl")),
               coalesce(col("jlbl"), col("lbl")))).as("lbl"))
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("old")).as("chg"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select(col("id"), col("lbl"))
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")
