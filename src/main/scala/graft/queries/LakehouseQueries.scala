@@ -125,5 +125,69 @@ object LakehouseQueries {
       FROM documents
       ORDER BY priority, doc_id LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116)
+  /** q117 — semi-structured props through Spark 4's VARIANT type:
+    * `parse_json` once into a variant, typed `variant_get` extraction
+    * (the modern replacement for per-field `get_json_object` string
+    * re-parsing, q25) — at scale the parse cost is paid once per row
+    * and every field access is a binary-encoded path read, not a JSON
+    * re-scan. Aggregates the extracted key into deciles with exact
+    * DECIMAL sums. */
+  private val q117 = QueryDef(
+    "q117_variant_props",
+    (s, dir) => {
+      eventsTable(s, dir)
+        .select(
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          col("value"))
+        .select(expr("k div 10").as("k_decile"),
+          col("value").cast(Dec).as("v"))
+        .groupBy(col("k_decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast(DoubleType).as("sum_value"))
+        .orderBy(col("k_decile"))
+    },
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY k_decile"""))
+
+  /** q118 — the JDE Julian decode (reference
+    * `adf/dataflow/DF_Clean_JDE.json:70`) registered as a SQL UDF
+    * (`CREATE FUNCTION … RETURN`, Spark 4 SQL scalar functions) and
+    * exercised from the pure-SQL serving surface: the same lpad-robust
+    * expression [[graft.functions.JdeFunctions.julianToDate]] compiles
+    * to, but addressable by name from any SQL client of the lake.
+    * SQL UDFs inline into the plan at analysis time — codegen sees
+    * the expression, not a black-box call. */
+  private val q118 = QueryDef(
+    "q118_sql_udf_decode",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("v_orders118")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_jde_decode(j BIGINT)
+        RETURNS DATE
+        RETURN date_add(
+          to_date(concat(cast(1900
+            + cast(substring(lpad(cast(j as string), 6, '0'), 1, 1) as int) * 100
+            + cast(substring(lpad(cast(j as string), 6, '0'), 2, 2) as int) as string),
+            '-01-01')),
+          cast(substring(lpad(cast(j as string), 6, '0'), 4, 3) as int) - 1)""")
+      s.sql("""
+        SELECT CAST(year(d) AS BIGINT) AS o_year,
+               COUNT(*) AS n,
+               MIN(d) AS first_day,
+               MAX(d) AS last_day
+        FROM (SELECT graft_jde_decode(CAST((year(o_orderdate) - 1900) * 1000
+                       + dayofyear(o_orderdate) AS BIGINT)) AS d
+              FROM v_orders118)
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n,
+             MIN(CAST(o_orderdate AS DATE)) AS first_day,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q117, q118)
 }

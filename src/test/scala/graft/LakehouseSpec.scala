@@ -69,4 +69,39 @@ class LakehouseSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(again == got, "weighted sample must be rerun-stable")
   }
+
+  test("q117 variant extraction agrees with string-path JSON extraction") {
+    val viaVariant = SparkEntry.queries("q117_variant_props")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaString = graft.queries.QueryDef.eventsTable(spark, sf)
+      .selectExpr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10 AS k_decile",
+        "CAST(value AS DECIMAL(18,2)) AS v")
+      .groupBy("k_decile")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"v").cast("double").as("sum_value"))
+      .orderBy("k_decile")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaVariant == viaString)
+  }
+
+  test("q118 SQL UDF inlines into the plan (no black-box UDF call)") {
+    val q = SparkEntry.queries("q118_sql_udf_decode")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"SQL UDF must inline as expressions:\n${plan.take(600)}")
+    // decode(encode(date)) round-trips: per-year bounds match the raw column
+    val got = q.as[(Long, Long, java.sql.Date, java.sql.Date)].collect().toSeq
+    val raw = graft.queries.QueryDef.table(spark, sf, "orders")
+      .selectExpr("CAST(year(o_orderdate) AS BIGINT) AS y",
+        "CAST(o_orderdate AS DATE) AS d")
+      .groupBy("y")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min($"d").as("f"),
+        org.apache.spark.sql.functions.max($"d").as("l"))
+      .orderBy("y")
+      .as[(Long, Long, java.sql.Date, java.sql.Date)].collect().toSeq
+    assert(got == raw)
+  }
 }
