@@ -189,5 +189,43 @@ object LakehouseQueries {
              MAX(CAST(o_orderdate AS DATE)) AS last_day
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q117, q118)
+  /** q119 — recursive CTE (Spark 4 `WITH RECURSIVE`): level-order
+    * walk of a hierarchy — parent(k) = k div 2 over the supplier
+    * keys, a binary heap tree — counting nodes per depth. The
+    * hierarchical-traversal surface (org charts, BOM explosions,
+    * escalation chains) that window functions cannot express; each
+    * recursion level is one join against the previous frontier, so
+    * the plan is depth × (join + union), never a cross product.
+    * (Spark's recursion supports UNION ALL bodies — acyclic
+    * structures; cyclic closure runs through
+    * [[graft.operators.Dedup.connectedComponents]] instead.) */
+  private val q119 = QueryDef(
+    "q119_recursive_hierarchy",
+    (s, dir) => {
+      table(s, dir, "supplier").createOrReplaceTempView("v_supplier119")
+      s.sql("""
+        WITH RECURSIVE walk(key, depth) AS (
+          SELECT CAST(s_suppkey AS BIGINT), CAST(0 AS BIGINT)
+          FROM v_supplier119 WHERE s_suppkey = 1
+          UNION ALL
+          SELECT CAST(sp.s_suppkey AS BIGINT), w.depth + 1
+          FROM v_supplier119 sp JOIN walk w
+            ON sp.s_suppkey div 2 = w.key AND sp.s_suppkey > 1)
+        SELECT depth, COUNT(*) AS n,
+               MIN(key) AS min_key, MAX(key) AS max_key
+        FROM walk GROUP BY depth ORDER BY depth""")
+    },
+    Some("""
+      WITH RECURSIVE walk(key, depth) AS (
+        SELECT CAST(s_suppkey AS BIGINT), CAST(0 AS BIGINT)
+        FROM supplier WHERE s_suppkey = 1
+        UNION ALL
+        SELECT CAST(sp.s_suppkey AS BIGINT), w.depth + 1
+        FROM supplier sp JOIN walk w
+          ON sp.s_suppkey // 2 = w.key AND sp.s_suppkey > 1)
+      SELECT depth, COUNT(*) AS n,
+             MIN(key) AS min_key, MAX(key) AS max_key
+      FROM walk GROUP BY depth ORDER BY depth"""))
+
+  val all: Seq[QueryDef] = Seq(q114, q115, q116, q117, q118, q119)
 }

@@ -262,6 +262,57 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** State record for [[runningUserStats]] (public so the encoder
+    * codegen can construct it — private nested types force an
+    * interpreted fallback). */
+  final case class StatsState(n: Long, sum: Double)
+
+  /** Per-user running stats processor for [[runningUserStats]] —
+    * Spark 4's `transformWithState` arbitrary-state API (the
+    * successor of `mapGroupsWithState`): typed `ValueState` in the
+    * RocksDB state store, explicit TTL surface, timers available.
+    * State is one (n, sum) pair per user forever — bounded. */
+  private class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserStats] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[StatsState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[StatsState]("agg",
+        org.apache.spark.sql.Encoders.product[StatsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      val prev = if (state.exists()) state.get() else StatsState(0L, 0.0)
+      var n = prev.n
+      var s = prev.sum
+      rows.foreach { e => n += 1; s += e.value }
+      state.update(StatsState(n, s))
+      Iterator.single(UserStats(key, n, s))
+    }
+  }
+
+  /** Running per-user feature freshness (event count + value sum)
+    * via `transformWithState` — each trigger emits the refreshed
+    * stats of the users that saw data (Update-mode sink). Requires
+    * the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is what
+    * a 100 TB deployment runs anyway: state lives off-heap/on-disk
+    * with changelog checkpointing, not in executor heap. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   final case class HitterEstimate(shard: Int, token: String, est: Long)
 
   /** Streaming heavy hitters with BOUNDED state: tokens hash-shard

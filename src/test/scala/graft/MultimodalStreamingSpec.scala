@@ -488,4 +488,37 @@ class MultimodalStreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(asOf == Map("click" -> 1L, "view" -> 1L))
   }
+
+  test("transformWithState running stats accumulate across batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = StreamingOps.runningUserStats(mem.toDS())
+        .writeStream.format("memory").queryName("tws_stats")
+        .outputMode("update").start()
+      mem.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "a", 1.5),
+        Event(2, Timestamp.valueOf("2024-01-01 00:01:00"), 1, "a", 2.0),
+        Event(3, Timestamp.valueOf("2024-01-01 00:02:00"), 2, "a", 4.0))
+      q.processAllAvailable()
+      mem.addData(
+        Event(4, Timestamp.valueOf("2024-01-01 00:03:00"), 1, "a", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      // Update mode: last emission per user wins
+      val last = spark.table("tws_stats").as[StreamingOps.UserStats].collect()
+        .groupBy(_.user_id).view
+        .mapValues(rs => rs.maxBy(_.n_events)).toMap
+      assert(last(1L).n_events == 3L && math.abs(last(1L).sum_value - 6.5) < 1e-9)
+      assert(last(2L).n_events == 1L && math.abs(last(2L).sum_value - 4.0) < 1e-9)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
