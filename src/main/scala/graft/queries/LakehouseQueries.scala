@@ -227,5 +227,93 @@ object LakehouseQueries {
              MIN(key) AS min_key, MAX(key) AS max_key
       FROM walk GROUP BY depth ORDER BY depth"""))
 
-  val all: Seq[QueryDef] = Seq(q114, q115, q116, q117, q118, q119)
+  /** q120 — null-safe equi join (`<=>` / IS NOT DISTINCT FROM): both
+    * sides carry a NULLABLE bucket key (every 7th key nulled), and the
+    * null groups must MATCH each other — the semantics a plain `=`
+    * join silently drops. Null-safe equality stays a hash join key in
+    * Catalyst (null hashes to a regular bucket), so the plan is the
+    * same shuffled hash/SMJ as the non-null case — no fallback to a
+    * nested loop. */
+  private val q120 = QueryDef(
+    "q120_null_safe_join",
+    (s, dir) => {
+      val ck = when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_custkey") % 5).cast(LongType)
+      val ok = when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 5).cast(LongType)
+      val cust = table(s, dir, "customer")
+        .groupBy(ck.as("k")).agg(count(lit(1)).as("n_cust"))
+      val ord = table(s, dir, "orders")
+        .groupBy(ok.as("k")).agg(count(lit(1)).as("n_ord"))
+      cust.join(ord, cust("k") <=> ord("k"))
+        .select(cust("k").as("bucket"), col("n_cust"), col("n_ord"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE c_custkey % 5 END AS k,
+               COUNT(*) AS n_cust
+        FROM customer GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 5 END AS k,
+               COUNT(*) AS n_ord
+        FROM orders GROUP BY 1)
+      SELECT c.k AS bucket, n_cust, n_ord
+      FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+      ORDER BY bucket"""))
+
+  /** q121 — collation-aware grouping (Spark 4 `STRING COLLATE
+    * UTF8_LCASE`): case-insensitive grouping expressed as a COLUMN
+    * TYPE, not an expression rewrite — comparisons, joins, and
+    * aggregations all inherit the collation. The oracle lowers
+    * explicitly (DuckDB's equivalent rewrite); the grouped counts
+    * must agree. Mixed case is synthesized (every 3rd doc's source
+    * uppercased) since the fixture is single-case. */
+  private val q121 = QueryDef(
+    "q121_collated_group",
+    (s, dir) => {
+      table(s, dir, "documents").createOrReplaceTempView("v_docs121")
+      s.sql("""
+        SELECT lower(cs) AS source_ci, COUNT(*) AS n
+        FROM (SELECT CAST(CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                               ELSE source END
+                     AS STRING COLLATE UTF8_LCASE) AS cs
+              FROM v_docs121)
+        GROUP BY cs ORDER BY source_ci""")
+    },
+    Some("""
+      SELECT lower(CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                        ELSE source END) AS source_ci,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1 ORDER BY source_ci"""))
+
+  /** q122 — error-safe expression surface (`try_divide`/`try_cast`):
+    * malformed values and zero denominators become NULL instead of
+    * failing the job — on a 100 TB batch, one poisoned row must not
+    * kill a 6-hour stage. Counts the rows each guard absorbs. */
+  private val q122 = QueryDef(
+    "q122_try_safety",
+    (s, dir) => {
+      table(s, dir, "orders")
+        .select(
+          expr("try_divide(o_totalprice, o_orderkey % 3)").as("d"),
+          expr("try_cast(o_orderpriority AS INT)").as("p"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pn"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_div_absorbed"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_cast_absorbed"),
+          sum(coalesce(col("pn"), lit(0L))).as("priority_digit_sum"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_absorbed,
+             CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INT) IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_absorbed,
+             CAST(SUM(COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT), 0)) AS BIGINT) AS priority_digit_sum
+      FROM orders"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

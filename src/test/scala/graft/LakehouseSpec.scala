@@ -70,6 +70,18 @@ class LakehouseSpec extends SparkSpec {
     assert(again == got, "weighted sample must be rerun-stable")
   }
 
+  test("q120 null-safe join stays a hash-family join and matches null groups") {
+    val q = SparkEntry.queries("q120_null_safe_join")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"<=> must remain an equi-join key:\n${plan.take(600)}")
+    // the NULL bucket must appear and carry both sides' counts
+    val nullRow = rows.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "NULL<=>NULL group must match")
+    assert(nullRow.get.getLong(1) > 0 && nullRow.get.getLong(2) > 0)
+  }
+
   test("q117 variant extraction agrees with string-path JSON extraction") {
     val viaVariant = SparkEntry.queries("q117_variant_props")(spark, sf)
       .as[(Long, Long, Double)].collect().toSeq
