@@ -202,7 +202,10 @@ object LakehouseQueries {
   private val q119 = QueryDef(
     "q119_recursive_hierarchy",
     (s, dir) => {
-      table(s, dir, "supplier").createOrReplaceTempView("v_supplier119")
+      // each recursion level re-reads the joined relation; checkpoint
+      // the (tiny) key set once so levels read cached blocks, not files
+      table(s, dir, "supplier").select("s_suppkey")
+        .localCheckpoint().createOrReplaceTempView("v_supplier119")
       s.sql("""
         WITH RECURSIVE walk(key, depth) AS (
           SELECT CAST(s_suppkey AS BIGINT), CAST(0 AS BIGINT)

@@ -188,6 +188,25 @@ object StreamingOps {
     keys.foldLeft(joined)((df, k) => df.drop(r(k)))
   }
 
+  /** Watermarked gap sessionization via the BUILT-IN `session_window`
+    * (the declarative twin of [[sessionize]]'s arbitrary-state
+    * processor, and the streaming face of the batch q49): Spark
+    * maintains and merges session state internally, closing a session
+    * once the watermark passes its end. Prefer this when per-session
+    * output is plain aggregates; drop to [[sessionize]] /
+    * `transformWithState` only for custom emission logic. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+
   /** Watermarked tumbling-window aggregate (append-mode safe). */
   def tumbling(events: DataFrame, width: String = "1 hour",
                watermark: String = "2 hours"): DataFrame =

@@ -489,6 +489,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(asOf == Map("click" -> 1L, "view" -> 1L))
   }
 
+  test("built-in session_window stream closes sessions past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionWindows(mem.toDF(), gap = "30 minutes",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("sw_sess")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 9, "a", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 00:10:00"), 9, "a", 2.5))
+    q.processAllAvailable()
+    // watermark far past the session end → the session is final and emitted
+    mem.addData(Event(3, Timestamp.valueOf("2024-01-01 10:00:00"), 9, "a", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sw_sess")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 1, s"exactly the closed session: ${rows.toSeq}")
+    val (u, start, end, n, sum) = rows.head
+    assert(u == 9L && n == 2L && math.abs(sum - 3.5) < 1e-9)
+    assert(start == Timestamp.valueOf("2024-01-01 00:00:00").getTime)
+    assert(end == Timestamp.valueOf("2024-01-01 00:40:00").getTime) // last + gap
+  }
+
   test("transformWithState running stats accumulate across batches (RocksDB)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
