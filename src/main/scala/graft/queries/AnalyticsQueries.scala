@@ -115,7 +115,7 @@ object AnalyticsQueries {
       val cx = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val n = uni.agg(count(lit(1)).as("n_total"))
       val big = toks.filter(size(col("t")) >= 2)
-        .select(explode(TextFunctions.wordShinglesOf(col("t"), 2)).as("bigram"))
+        .select(explode(graft.functions.TextExprs.word_shingles(col("t"), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= 5)
         .withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -581,7 +581,7 @@ object AnalyticsQueries {
         .select(TextFunctions.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
       val edges = toks
-        .select(explode(TextFunctions.wordShinglesOf(col("t"), 2)).as("bigram"))
+        .select(explode(graft.functions.TextExprs.word_shingles(col("t"), 2)).as("bigram"))
         .groupBy(substring_index(col("bigram"), " ", 1).as("src"),
           substring_index(col("bigram"), " ", -1).as("dst"))
         .agg(count(lit(1)).cast(DoubleType).as("weight"))
