@@ -162,4 +162,86 @@ object TextAnalysis {
       .select(col("_grp").as(groupCol), col("rk").cast(LongType).as("rk"),
         col("term"), col("score"))
   }
+
+  /** Greedy leftmost-first merge of adjacent symbol pair (a, b) in a
+    * symbol array — the BPE rewrite step, as a pure fold (no UDF):
+    * state carries (output, held symbol); a held `a` followed by `b`
+    * emits the merged token, anything else flushes the held symbol. */
+  private def mergePair(syms: org.apache.spark.sql.Column, a: String,
+                        b: String): org.apache.spark.sql.Column = {
+    val (qa, qb) = (lit(a), lit(b))
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("carry")),
+      (acc, x) =>
+        when(acc.getField("carry").isNull,
+          struct(acc.getField("out").as("out"), x.as("carry")))
+          .when(acc.getField("carry") === qa && x === qb,
+            struct(concat(acc.getField("out"), array(concat(qa, qb))).as("out"),
+              lit(null).cast("string").as("carry")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(acc.getField("carry"))).as("out"),
+              x.as("carry"))),
+      acc => when(acc.getField("carry").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("carry")))))
+  }
+
+  /** Distributed BPE vocabulary induction (the tokenizer-training
+    * core of an LLM data pipeline): words become character-symbol
+    * sequences weighted by corpus frequency; each round counts
+    * adjacent symbol pairs corpus-wide, merges the most frequent pair
+    * (ties broken lexicographically — fully deterministic), and
+    * rewrites the word table. Returns the learned merge rules
+    * `(rank, pair_a, pair_b, merged, weight)` in merge order.
+    *
+    * Scale shape: all per-round work runs on the DISTINCT-WORD table
+    * (bounded by vocabulary, not corpus bytes — the corpus is scanned
+    * exactly once to build it); each round is one pair-explode
+    * aggregate plus a fold rewrite over that table, checkpointed so
+    * the plan stays O(1) in rounds. Only the single argmax row comes
+    * to the driver per round — the same bounded-collect discipline as
+    * [[Clustering.kmeans]]'s centroid refresh. Stops early when no
+    * pair reaches `minPairFreq`. */
+  def bpeTrain(docs: DataFrame, textCol: String = "text",
+               nMerges: Int = 10, minPairFreq: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> struct(syms[i - 1] AS a, syms[i] AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption.filter(_._3 >= minPairFreq) match {
+        case Some((a, b, c)) =>
+          merges += ((round.toLong, a, b, c))
+          words = words
+            .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+            .localCheckpoint()
+          round += 1
+        case None => exhausted = true
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "pair_a", "pair_b", "weight")
+      .select(col("rank"), col("pair_a"), col("pair_b"),
+        concat(col("pair_a"), col("pair_b")).as("merged"), col("weight"))
+  }
 }

@@ -317,6 +317,19 @@ object LakehouseQueries {
              CAST(SUM(COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT), 0)) AS BIGINT) AS priority_digit_sum
       FROM orders"""))
 
+  /** q123 — BPE vocabulary induction over the corpus
+    * ([[graft.operators.TextAnalysis.bpeTrain]]): the learned merge
+    * rules in merge order. No SQL oracle — the per-round corpus-wide
+    * argmax + rewrite is iterative, not relational; `BpeSpec` proves
+    * the distributed trainer equals the sequential textbook algorithm
+    * on this same fixture. */
+  private val q123 = QueryDef(
+    "q123_bpe_merges",
+    (s, dir) => graft.operators.TextAnalysis
+      .bpeTrain(table(s, dir, "documents"), nMerges = 10)
+      .orderBy(col("rank")),
+    None)
+
   val all: Seq[QueryDef] =
-    Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

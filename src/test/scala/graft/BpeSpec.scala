@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** BPE vocabulary induction: the distributed trainer must reproduce
+  * the classic sequential algorithm exactly (greedy leftmost merges,
+  * most-frequent pair per round, lexicographic tie-break). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference implementation (the textbook algorithm). */
+  private def referenceBpe(words: Map[String, Long], nMerges: Int,
+                           minFreq: Long): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.size < nMerges && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= minFreq =>
+          out += ((a, b, c))
+          vocab = vocab.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += a + b; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> f
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        case _ => continue = false
+      }
+    }
+    out.toSeq
+  }
+
+  test("classic corpus: merges match the textbook sequence") {
+    // the canonical BPE example: {low:5, lower:2, newest:6, widest:3}
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.map(w => (w)).toDF("text")
+    val got = TextAnalysis.bpeTrain(df, nMerges = 6, minPairFreq = 2)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map(r => (r._2, r._3, r._5))
+    val want = referenceBpe(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      nMerges = 6, minFreq = 2)
+    assert(got == want, s"got $got\nwant $want")
+    // the famous first merges: (e,s) 9 then (es,t) 9
+    assert(got.take(2) == Seq(("e", "s", 9L), ("es", "t", 9L)))
+  }
+
+  test("fixture corpus: distributed == sequential reference") {
+    val docs = graft.queries.QueryDef
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val got = TextAnalysis.bpeTrain(docs, nMerges = 8)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map(r => (r._2, r._3, r._5))
+    val wordFreq = docs
+      .selectExpr("explode(filter(split(lower(text), ' '), x -> x <> '')) AS w")
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val want = referenceBpe(wordFreq, nMerges = 8, minFreq = 2)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.size == 8)
+  }
+
+  test("merge rewrite is greedy leftmost and non-overlapping") {
+    // "aaa" with merge (a,a): leftmost pair merges, third 'a' survives
+    val df = Seq("aaa aaa aaa").toDF("text")
+    val got = TextAnalysis.bpeTrain(df, nMerges = 1, minPairFreq = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // two adjacent (a,a) pairs per word, counted per occurrence slot
+    assert(got.map(r => (r._2, r._3)) == Seq(("a", "a")))
+  }
+}
