@@ -244,4 +244,40 @@ object TextAnalysis {
       .select(col("rank"), col("pair_a"), col("pair_b"),
         concat(col("pair_a"), col("pair_b")).as("merged"), col("weight"))
   }
+
+  /** Apply learned BPE merge rules (in rank order) to tokenize the
+    * corpus — the encode half of the tokenizer: each document gets
+    * its whitespace-word count, its subword count under the rules,
+    * and its character mass. Encoding runs on the DISTINCT-WORD
+    * table (|rules| chained fold rewrites over vocabulary rows, one
+    * per rule — rank order is the BPE contract), then joins back to
+    * the corpus on the word key: the per-document cost is one
+    * explode + one broadcastable join, never per-document merge
+    * loops. */
+  def bpeEncode(docs: DataFrame, rules: Seq[(String, String)],
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w")).distinct()
+      .select(col("w"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+    val encoded = rules.zipWithIndex.foldLeft(words) {
+      case (acc, ((a, b), i)) =>
+        val step = acc.select(col("w"), mergePair(col("syms"), a, b).as("syms"))
+        // checkpoint every few rules so the nested-fold plan (and its
+        // codegen) stays bounded in |rules|
+        if ((i + 1) % 4 == 0) step.localCheckpoint() else step
+    }
+    val perWord = encoded
+      .select(col("w"), size(col("syms")).cast("long").as("n_subwords"),
+        length(col("w")).cast("long").as("n_chars"))
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(perWord, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+  }
 }

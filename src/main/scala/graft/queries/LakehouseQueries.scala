@@ -330,6 +330,32 @@ object LakehouseQueries {
       .orderBy(col("rank")),
     None)
 
+  /** q124 — tokenizer encode statistics: the corpus re-tokenized
+    * under the q123-learned merges, compression summarized per
+    * source (chars per subword, ×10⁶ integer). Train-then-encode is
+    * THE tokenizer lifecycle of an LLM data pipeline; `BpeSpec`
+    * proves both halves equal the sequential algorithm. */
+  private val q124 = QueryDef(
+    "q124_bpe_encode_stats",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val rules = graft.operators.TextAnalysis
+        .bpeTrain(docs, nMerges = 10)
+        .orderBy(col("rank"))
+        .select("pair_a", "pair_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.TextAnalysis.bpeEncode(docs, rules)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("words"),
+          sum(col("n_subwords")).as("subwords"),
+          sum(col("n_chars")).as("chars"))
+        .withColumn("chars_per_subword_e6",
+          expr("(chars * 1000000L) div subwords"))
+        .orderBy(col("source"))
+    },
+    None)
+
   val all: Seq[QueryDef] =
-    Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -77,6 +77,43 @@ class BpeSpec extends SparkSpec {
     assert(got.size == 8)
   }
 
+  test("encode: subword counts match sequential application of the rules") {
+    val docs = graft.queries.QueryDef
+      .table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    val rules = TextAnalysis.bpeTrain(docs, nMerges = 6)
+      .orderBy("rank").select("pair_a", "pair_b")
+      .as[(String, String)].collect().toSeq
+    val got = TextAnalysis.bpeEncode(docs, rules)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    def encodeWord(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      rules.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val raw = docs.selectExpr("doc_id",
+        "filter(split(lower(text), ' '), x -> x <> '') AS t")
+      .as[(Long, Seq[String])].collect()
+    raw.foreach { case (id, toks) =>
+      val want = (toks.size.toLong,
+        toks.map(encodeWord).map(_.toLong).sum,
+        toks.map(_.length.toLong).sum)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // merges actually compress: strictly fewer subwords than chars
+    assert(got.values.forall { case (_, sub, chars) => sub < chars })
+  }
+
   test("merge rewrite is greedy leftmost and non-overlapping") {
     // "aaa" with merge (a,a): leftmost pair merges, third 'a' survives
     val df = Seq("aaa aaa aaa").toDF("text")
