@@ -356,6 +356,62 @@ object LakehouseQueries {
     },
     None)
 
+  /** q125 — context-window chunking with overlap (the RAG /
+    * pretraining chunking stage): each document splits into
+    * 128-token windows at stride 96; per source, the chunk count and
+    * the token-duplication mass the overlap costs (×10⁶ integer —
+    * the storage bill of the chosen stride at 100 TB). Window starts
+    * come from `sequence` + `slice` on the STAGED token array (one
+    * explode, no self-join); every slice length is re-measured, so
+    * the figure is exact, not the closed-form estimate. */
+  private val q125 = QueryDef(
+    "q125_chunk_windows",
+    (s, dir) => {
+      val w = 128
+      val st = 96
+      val toks = table(s, dir, "documents")
+        .select(col("source"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .select(col("source"), col("t"), size(col("t")).cast(LongType).as("n"))
+        .filter(col("n") > 0)
+      val k = when(col("n") <= w, lit(1L))
+        .otherwise(lit(1L) + expr(s"(n - $w + $st - 1) div $st"))
+      toks
+        .select(col("source"), col("t"), col("n"), k.as("k"))
+        .select(col("source"), col("n"),
+          explode(expr(s"transform(sequence(0, k - 1), i -> size(slice(t, int(i) * $st + 1, $w)))"))
+            .as("chunk_len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_len")).as("chunk_tokens"),
+          sum(when(col("chunk_len") < w, 1L).otherwise(0L)).as("n_partial"))
+        .join(toks.groupBy(col("source")).agg(sum(col("n")).as("doc_tokens")), "source")
+        .withColumn("dup_e6", expr("(chunk_tokens * 1000000L) div doc_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      sized AS (
+        SELECT source, t, CAST(len(t) AS BIGINT) AS n FROM toks WHERE len(t) > 0),
+      chunks AS (
+        SELECT source, n,
+               CAST(len(t[(i * 96 + 1):(i * 96 + 128)]) AS BIGINT) AS chunk_len
+        FROM sized,
+             UNNEST(generate_series(0,
+               CASE WHEN n <= 128 THEN 0
+                    ELSE (n - 128 + 95) // 96 END)) AS g(i)),
+      agg AS (
+        SELECT source, COUNT(*) AS n_chunks,
+               CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens,
+               CAST(SUM(CASE WHEN chunk_len < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+        FROM chunks GROUP BY 1),
+      dt AS (SELECT source, CAST(SUM(n) AS BIGINT) AS doc_tokens FROM sized GROUP BY 1)
+      SELECT a.source, n_chunks, chunk_tokens, n_partial, doc_tokens,
+             CAST((chunk_tokens * 1000000) // doc_tokens AS BIGINT) AS dup_e6
+      FROM agg a JOIN dt USING (source) ORDER BY source"""))
+
   val all: Seq[QueryDef] =
-    Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
+      q125)
 }
