@@ -114,6 +114,27 @@ class BpeSpec extends SparkSpec {
     assert(got.values.forall { case (_, sub, chars) => sub < chars })
   }
 
+  test("random corpora: distributed trainer equals the reference (seeded)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 4) {
+      val alphabet = "abcd"
+      val nWords = 5 + rnd.nextInt(10)
+      val words = (1 to nWords).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val freqs = words.map(w => w -> (1L + rnd.nextInt(8))).toMap
+      val corpus = freqs.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      val df = corpus.map(w => (w)).toDF("text")
+      val got = TextAnalysis.bpeTrain(df, nMerges = 5, minPairFreq = 1)
+        .orderBy("rank")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+        .map(r => (r._2, r._3, r._5))
+      val want = referenceBpe(freqs, nMerges = 5, minFreq = 1)
+      assert(got == want, s"corpus $freqs:\ngot $got\nwant $want")
+    }
+  }
+
   test("merge rewrite is greedy leftmost and non-overlapping") {
     // "aaa" with merge (a,a): leftmost pair merges, third 'a' survives
     val df = Seq("aaa aaa aaa").toDF("text")
