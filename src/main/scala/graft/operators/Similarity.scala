@@ -141,6 +141,70 @@ object Similarity {
         col("n_id"), col("cos"))
   }
 
+  /** Persist an IVF index to the lake: corpus vectors land
+    * hive-partitioned BY CELL (`cell=<id>/` directories) next to
+    * their codebook. At 100 TB this is the disk-resident ANN design:
+    * the index is built once (one broadcast-argmax pass over the
+    * corpus, the same single shuffle as [[ivfTopKWith]]'s assignment)
+    * and every later search reads ONLY its probed cells' directories
+    * — partition pruning turns nProbe into a file-listing filter, so
+    * serving cost scales with cells touched, not corpus size. Both
+    * tables publish atomically ([[graft.sources.LakeIO.replaceGold]]).
+    */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame,
+                    zones: graft.sources.LakeZones, name: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val cents = centroids.select(
+      col("c_id").cast(LongType).as("c_id"), col("c_v"))
+    val assigned = Clustering.assignCells(corpus, cents, idCol, vecCol)
+    graft.sources.LakeIO.replaceGold(
+      assigned.select(col("n_id"), col("n_v"), col("cell")),
+      zones, s"${name}_cells", partitionCols = Seq("cell"))
+    graft.sources.LakeIO.replaceGold(cents, zones, s"${name}_codebook")
+  }
+
+  /** Search a [[buildIvfIndex]] lake index: the (tiny) codebook ranks
+    * nProbe cells per query; the probed cell set — bounded by the
+    * codebook size — prunes the index scan down to those partition
+    * directories before a single vector is read. Results are
+    * identical to [[ivfTopKWith]] with the same codebook (asserted in
+    * SimilaritySpec). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     zones: graft.sources.LakeZones, name: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(
+      graft.sources.LakeIO.readGold(spark, zones, s"${name}_codebook"))
+    val q = queries.select(col(idCol).cast(LongType).as("q_id"),
+      col(vecCol).as("q_v"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("c_id"))
+    val probes = q.crossJoin(cents)
+      .withColumn("cos_c", cosine(col("q_v"), col("c_v")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
+    // cells to touch: bounded by the codebook, so a driver-side
+    // collect is safe — and it is what lets the filter prune the
+    // partitioned scan at file-listing time
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = graft.sources.LakeIO.readGold(spark, zones, s"${name}_cells")
+      .filter(col("cell").isin(cells: _*))
+    val scored = broadcast(probes)
+      .join(idx, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_v"), col("n_v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("n_id"), col("cos"))
+  }
+
   /** Recall@k of an approximate result against the exact baseline —
     * the evaluation harness for the ANN tier. */
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {

@@ -94,4 +94,31 @@ class SimilaritySpec extends SparkSpec {
     val recall = Similarity.recallAtK(exact, ivf)
     assert(recall >= 0.4, s"trained-codebook ivf recall $recall")
   }
+
+  test("persisted IVF index: pruned search equals the in-memory plan") {
+    import graft.sources.LakeZones
+    val lake = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val zones = LakeZones(lake)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".cast("long").as("c_id"), $"embedding".as("c_v"))
+    Similarity.buildIvfIndex(e, cents, zones, "ann")
+    // the index landed partitioned by cell
+    val cellDirs = new java.io.File(s"$lake/gold/ann_cells")
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, "index must be hive-partitioned by cell")
+
+    val q = e.filter($"vec_id" % 100 === 0)
+    val fromIndex = Similarity.searchIvfIndex(spark, zones, "ann", q,
+      k = 5, nProbe = 2)
+    val inMemory = Similarity.ivfTopKWith(e, q, cents, k = 5, nProbe = 2)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"rank", $"n_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+    assert(norm(fromIndex) == norm(inMemory))
+    // the probed-cell filter reaches the scan as a partition filter
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe filter must prune partitions:\n${plan.take(800)}")
+  }
 }
