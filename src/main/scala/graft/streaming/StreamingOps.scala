@@ -98,6 +98,34 @@ object StreamingOps {
       .agg(sum(col("n_partial")).as("n"),
         sum(col("sum_partial")).cast(DecimalType(18, 2)).as("total"))
 
+  /** Streaming ANN enrichment: each micro-batch of embedding rows is
+    * searched against a PERSISTED IVF index
+    * ([[graft.operators.Similarity.buildIvfIndex]]) and the top-k
+    * neighbors land in `outTable` as that batch's own run partition
+    * (idempotent on replay, like every foreachBatch sink here). The
+    * per-batch search prunes the index scan to the probed cells —
+    * real-time retrieval whose cost scales with the batch's probe
+    * set, not the corpus. Index rebuilds publish atomically and are
+    * picked up by the next batch (the static side re-plans per
+    * micro-batch). */
+  def annEnrich(stream: DataFrame, zones: LakeZones, indexName: String,
+                outTable: String, k: Int, nProbe: Int,
+                checkpointDir: String,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val batch = df.toDF()
+        if (!batch.isEmpty) {
+          val hits = graft.operators.Similarity.searchIvfIndex(
+            batch.sparkSession, zones, indexName, batch, k, nProbe,
+            idCol, vecCol)
+          LakeIO.appendGoldRun(hits, zones, outTable, f"batch-$batchId%012d")
+        }
+      }
+      .start()
+
   /** Streaming SCD2 dimension maintenance: each micro-batch of
     * change events merges into the lake dimension with the BATCH
     * [[graft.operators.Scd2.merge]] (same hash-diff semantics, same

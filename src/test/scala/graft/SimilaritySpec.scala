@@ -120,5 +120,22 @@ class SimilaritySpec extends SparkSpec {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"probe filter must prune partitions:\n${plan.take(800)}")
+
+    // streaming enrichment against the same index: per-batch top-k
+    // lands as a run partition and equals the in-memory search
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annck").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val sq = graft.streaming.StreamingOps.annEnrich(
+      stream, zones, "ann", "ann_hits", k = 5, nProbe = 2, ckpt)
+    val qRows = q.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    mem.addData(qRows.toIndexedSeq: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = graft.sources.LakeIO.readGold(spark, zones, "ann_hits")
+    assert(norm(streamed) == norm(inMemory))
   }
 }
