@@ -398,8 +398,22 @@ object ExtensionQueries {
       SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, cos
       FROM ranked WHERE rn <= 5 ORDER BY q_id, rank"""))
 
-  /** ANN scale path — no SQL-oracle (LSH recall is evaluated against
-    * the exact baseline in ScalaTest); driver records rows>0. */
+  /** Per-table SRP bucket in DuckDB SQL: table `t` folds hyperplanes
+    * [t·nBits, (t+1)·nBits) exactly like `Similarity.srpTopK`, with
+    * the same `t << 32` disambiguator — the hyperplanes are
+    * md5-derived constants, so the oracle inlines the identical
+    * numbers and the sign bits agree bit-for-bit. */
+  private def srpTableBucketSql(t: Int, nBits: Int): String =
+    (0 until nBits).map { b =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(t * nBits + b)}) >= 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ") + s" + CAST(${t.toLong << 32} AS BIGINT)"
+
+  /** ANN scale path (multi-table SRP-LSH). The deterministic
+    * hyperplanes make even the LSH path SQL-oracle-checkable:
+    * identical buckets, identical candidate union, identical cosine
+    * ranking. Recall quality is additionally evaluated against the
+    * exact baseline in SimilaritySpec. */
   private val q36 = QueryDef(
     "q36_knn_srp_lsh",
     (s, dir) => {
@@ -407,7 +421,29 @@ object ExtensionQueries {
       Similarity.srpTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5, nBits = 4)
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bl AS (
+        SELECT vec_id, u.bkt
+        FROM (SELECT vec_id, v,
+                     [${(0 until 4).map(t => srpTableBucketSql(t, 4)).mkString(",\n                      ")}] AS bkts
+              FROM e),
+             UNNEST(bkts) AS u(bkt)),
+      q AS (SELECT vec_id AS q_id, bkt FROM bl WHERE vec_id % 200 = 0),
+      cand AS (
+        SELECT DISTINCT q.q_id, c.vec_id AS n_id
+        FROM q JOIN bl c ON q.bkt = c.bkt AND q.q_id <> c.vec_id),
+      scored AS (
+        SELECT cand.q_id, cand.n_id, $cosSql AS cos
+        FROM cand
+        JOIN e a ON a.vec_id = cand.q_id
+        JOIN e b ON b.vec_id = cand.n_id),
+      ranked AS (
+        SELECT q_id, n_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+        FROM scored)
+      SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, cos
+      FROM ranked WHERE rn <= 5 ORDER BY q_id, rank"""))
 
   /** q37 — IVF cell-probe ANN (deterministic coarse quantizer, so the
     * full index build + probe is SQL-oracle-checkable, unlike q36's
