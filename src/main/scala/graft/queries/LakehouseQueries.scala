@@ -111,8 +111,7 @@ object LakehouseQueries {
     (s, dir) => {
       table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast(LongType)).as("h"))
+          graft.operators.Dedup.hexHash(col("doc_id").cast("string")).as("h"))
         .withColumn("priority", expr("h div greatest(n_chars, 1L)"))
         .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
         .orderBy(col("priority"), col("doc_id"))
@@ -250,7 +249,9 @@ object LakehouseQueries {
         .groupBy(ok.as("k")).agg(count(lit(1)).as("n_ord"))
       cust.join(ord, cust("k") <=> ord("k"))
         .select(cust("k").as("bucket"), col("n_cust"), col("n_ord"))
-        .orderBy(col("bucket"))
+        // NULLS LAST to match DuckDB's ASC default (Spark's is NULLS
+        // FIRST) — the one registered query with a nullable sort key
+        .orderBy(col("bucket").asc_nulls_last)
     },
     Some("""
       WITH c AS (

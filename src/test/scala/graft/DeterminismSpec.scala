@@ -16,8 +16,11 @@ class DeterminismSpec extends SparkSpec {
   test("every registered query returns identical rows on a second run") {
     val bad = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // UNSORTED comparison on purpose: every query is contractually
+      // fully ordered, so row-order instability (tie-breaks that
+      // depend on partitioning) must trip this too
       def rows(): Seq[String] =
-        fn(spark, sf).collect().map(_.toString).sorted.toSeq
+        fn(spark, sf).collect().map(_.toString).toSeq
       val a = rows()
       val b = rows()
       if (a != b) bad += name

@@ -116,10 +116,12 @@ class SimilaritySpec extends SparkSpec {
       df.select($"q_id", $"rank", $"n_id").as[(Long, Long, Long)]
         .collect().toSeq.sorted
     assert(norm(fromIndex) == norm(inMemory))
-    // the probed-cell filter reaches the scan as a partition filter
+    // the probed-cell filter reaches the scan INSIDE the partition
+    // filter list (an empty 'PartitionFilters: []' must not pass)
     val plan = fromIndex.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"probe filter must prune partitions:\n${plan.take(800)}")
+    val partFilter = """PartitionFilters: \[[^\]]*cell[^\]]*(IN|isin|=)""".r
+    assert(partFilter.findFirstIn(plan).isDefined,
+      s"probe filter must appear in PartitionFilters:\n${plan.take(1200)}")
 
     // streaming enrichment against the same index: per-batch top-k
     // lands as a run partition and equals the in-memory search
