@@ -24,7 +24,8 @@ import graft.functions.VectorFunctions
   *    centroids are exact and order-independent — bit-identical
   *    across partitionings, retries, and engines (the property the
   *    DuckDB oracle gate checks);
-  *  - iteration would `localCheckpoint` between rounds exactly like
+  *  - iteration truncates lineage via [[Checkpoints]] between rounds
+  *    exactly like
   *    [[Dedup.connectedComponents]]; one verified round is exposed as
   *    q73 (further rounds are the same plan re-applied).
   */
@@ -73,7 +74,7 @@ object Clustering {
   /** Iterated Lloyd's algorithm: `rounds` × (assign → exact-mean
     * update), re-assembling the per-dimension means into centroid
     * vectors between rounds. The centroid relation is tiny (k rows),
-    * so each round `localCheckpoint`s it — the lineage (and plan
+    * so each round truncates it via [[Checkpoints]] — the lineage (and plan
     * size) stays constant in rounds, the same discipline as
     * [[Dedup.connectedComponents]]. Empty cells drop out naturally
     * (no member rows → no updated centroid). Output: (c_id, c_v)
@@ -85,13 +86,12 @@ object Clustering {
     var cents = seeds
     for (_ <- 0 until rounds) {
       val assigned = assignCells(corpus, cents, idCol, vecCol)
-      cents = centroidUpdate(assigned)
+      cents = Checkpoints.truncate(centroidUpdate(assigned)
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
           .as("ps"))
         .select(col("cell").as("c_id"),
-          transform(col("ps"), p => p.getField("centroid")).as("c_v"))
-        .localCheckpoint()
+          transform(col("ps"), p => p.getField("centroid")).as("c_v")))
     }
     cents
   }

@@ -321,7 +321,9 @@ object Dedup {
     * operator viable on deep accidental chains at 100 TB, not just on
     * the shallow clusters near-dup data produces. Each round is two
     * shuffle joins + one aggregate; labels and the edge list are
-    * `localCheckpoint`ed so the plan does not grow with rounds. (The
+    * lineage-truncated via [[Checkpoints]] (localCheckpoint locally,
+    * reliable checkpoint on a cluster) so the plan does not grow with
+    * rounds. (The
     * large-star/small-star formulation — Kiveris et al., "Connected
     * Components in MapReduce and Beyond" — is the same primitives
     * with edge rewriting; unnecessary here.)
@@ -331,17 +333,15 @@ object Dedup {
                           maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).cast(LongType).as("src"),
       col(bCol).cast(LongType).as("dst"))
-    val edges = fwd
+    val edges = Checkpoints.truncate(fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // seed with one propagation folded in: lbl₀ = min(id, direct
     // neighbors) — the same aggregation that extracts the vertex set,
     // one fewer iteration for free
-    var labels = edges.groupBy(col("src"))
+    var labels = Checkpoints.truncate(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("_m"))
-      .select(col("src").as("id"), least(col("src"), col("_m")).as("lbl"))
-      .localCheckpoint()
+      .select(col("src").as("id"), least(col("src"), col("_m")).as("lbl")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -357,15 +357,14 @@ object Dedup {
       // fold the convergence flag into the checkpointed pass: the
       // probe then scans cached blocks instead of re-joining old vs
       // new labels (one fewer job per round)
-      val next = labels
+      val next = Checkpoints.truncate(labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"),
             least(coalesce(col("nlbl"), col("lbl")),
               coalesce(col("jlbl"), col("lbl")))).as("lbl"))
-        .select(col("id"), col("lbl"), (col("lbl") =!= col("old")).as("chg"))
-        .localCheckpoint()
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("old")).as("chg")))
       converged = next.filter(col("chg")).isEmpty
       labels = next.select(col("id"), col("lbl"))
       i += 1

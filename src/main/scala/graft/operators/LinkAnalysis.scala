@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.DoubleType
   * Scale design: each iteration is ONE shuffle (contributions grouped
   * by destination); the rank vector is re-partitioned by node once and
   * the edge list joins it on the source key. Iterations are chained
-  * through `localCheckpoint` so the plan (and its lineage) stays O(1)
+  * through [[Checkpoints]] so the plan (and its lineage) stays O(1)
   * across rounds instead of O(3^n) — same discipline as
   * [[Clustering.kmeans]] and [[Dedup.connectedComponents]].
   */
@@ -33,12 +33,11 @@ object LinkAnalysis {
 
     // normalize out-weights once: P(u→v) = w_uv / Σ_v w_uv
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
-    val p = e.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), (col("w") / col("w_out")).as("p"))
-      .localCheckpoint()
+    val p = Checkpoints.truncate(e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("w_out")).as("p")))
 
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val nodes = Checkpoints.truncate(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
     val n = nodes.count().toDouble
 
     var rank = nodes.withColumn("rank", lit(1.0 / n))
@@ -46,11 +45,10 @@ object LinkAnalysis {
       val contrib = p.join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("rank")).as("in_mass"))
-      rank = nodes.join(contrib, Seq("node"), "left")
+      rank = Checkpoints.truncate(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank")))
     }
     rank
   }

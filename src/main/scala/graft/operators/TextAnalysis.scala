@@ -189,35 +189,84 @@ object TextAnalysis {
 
   /** Distributed BPE vocabulary induction (the tokenizer-training
     * core of an LLM data pipeline): words become character-symbol
-    * sequences weighted by corpus frequency; each round counts
-    * adjacent symbol pairs corpus-wide, merges the most frequent pair
-    * (ties broken lexicographically — fully deterministic), and
-    * rewrites the word table. Returns the learned merge rules
-    * `(rank, pair_a, pair_b, merged, weight)` in merge order.
+    * sequences weighted by corpus frequency; rounds count adjacent
+    * symbol pairs corpus-wide, merge the most frequent pairs (ties
+    * broken lexicographically — fully deterministic), and rewrite the
+    * word table. Returns the learned merge rules
+    * `(rank, pair_a, pair_b, merged, weight)` in merge order —
+    * EXACTLY the sequence the textbook one-merge-at-a-time algorithm
+    * would learn (BpeSpec proves the equivalence property).
+    *
+    * Batched rounds (the vocab-scale trick): instead of one driver
+    * round-trip per merge, each round counts pairs ONCE and applies
+    * up to `maxBatch` merges from that one count table. The batch is
+    * chosen so it is provably identical to running the merges
+    * sequentially:
+    *
+    *  1. sort pairs by (count desc, a, b) and take the longest PREFIX
+    *     whose pairs are mutually non-interfering — no symbol of a
+    *     later pair equals a symbol OR the merged token of an earlier
+    *     pair. Interference-free means applying the earlier merges
+    *     cannot change a later pair's count, so the stale count table
+    *     is still exact for every accepted pair.
+    *  2. truncate the prefix until its last count STRICTLY exceeds
+    *     the first non-accepted count. Any pair a sequential run
+    *     could newly prefer mid-batch (a pair touching an accepted
+    *     symbol, or a pair created by an accepted merge — each
+    *     occurrence of a created pair consumes an occurrence of a
+    *     touching pair, so its count is bounded by one) sorts at or
+    *     after that boundary, so the strict gap guarantees every
+    *     accepted pair beats it, ties included.
+    *  3. a batch that truncates to nothing falls back to the single
+    *     top pair — one merge IS the sequential step.
+    *
+    * Round count drops well below the merge count (large batches
+    * whenever the count distribution spreads) while staying
+    * bit-identical to sequential BPE — BpeSpec proves equality for a
+    * full 1000-merge vocabulary.
+    *
+    * `exact = false` trades the prefix-stop for a maximal independent
+    * SET: conflicting pairs are skipped, not batch-ending, and ties
+    * are not truncated, so every round fills up to `maxBatch` merges
+    * and round count is ~`nMerges / maxBatch` (plus the early rounds
+    * where the symbol universe itself is small). The learned rules
+    * are still a deterministic, valid BPE vocabulary — each accepted
+    * pair was frequent and is applied greedily in rank order — but
+    * merge ORDER may diverge from sequential where a skipped pair's
+    * count would not have dropped. That is the standard
+    * production-tokenizer trade (sample-free, full-corpus, bounded
+    * rounds); use the default for oracle parity.
     *
     * Scale shape: all per-round work runs on the DISTINCT-WORD table
     * (bounded by vocabulary, not corpus bytes — the corpus is scanned
     * exactly once to build it); each round is one pair-explode
-    * aggregate plus a fold rewrite over that table, checkpointed so
-    * the plan stays O(1) in rounds. Only the single argmax row comes
-    * to the driver per round — the same bounded-collect discipline as
-    * [[Clustering.kmeans]]'s centroid refresh. Stops early when no
-    * pair reaches `minPairFreq`. */
+    * aggregate plus chained fold rewrites over that table, truncated
+    * via [[Checkpoints]] so the plan stays O(1) in rounds. Only
+    * `maxBatch+1` argmax rows come to the driver per round — the same
+    * bounded-collect discipline as [[Clustering.kmeans]]'s centroid
+    * refresh. Stops early when no pair reaches `minPairFreq`. */
+  /** Pair-count rounds (= driver round-trips) taken by the most
+    * recent [[bpeTrain]] call on this JVM — the observability seam
+    * BpeSpec's bounded-rounds property reads. Test-only. */
+  @volatile private[graft] var lastTrainRounds: Int = 0
+
   def bpeTrain(docs: DataFrame, textCol: String = "text",
-               nMerges: Int = 10, minPairFreq: Long = 2L): DataFrame = {
+               nMerges: Int = 10, minPairFreq: Long = 2L,
+               maxBatch: Int = 256, exact: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs
+    var words = Checkpoints.truncate(docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("syms"))
-      .localCheckpoint()
+          .as("syms")))
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-    var round = 1
     var exhausted = false
-    while (round <= nMerges && !exhausted) {
+    var rounds = 0
+    while (merges.size < nMerges && !exhausted) {
+      rounds += 1
+      val capacity = math.min(maxBatch, nMerges - merges.size)
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -225,20 +274,53 @@ object TextAnalysis {
              i -> struct(syms[i - 1] AS a, syms[i] AS b))""")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("c"))
+        .filter(col("c") >= minPairFreq)
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(if (exact) maxBatch + 1 else 4 * maxBatch)
         .as[(String, String, Long)]
         .collect()
-      top.headOption.filter(_._3 >= minPairFreq) match {
-        case Some((a, b, c)) =>
-          merges += ((round.toLong, a, b, c))
-          words = words
-            .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
-            .localCheckpoint()
-          round += 1
-        case None => exhausted = true
+      if (top.isEmpty) exhausted = true
+      else {
+        // interference-free pairs in sort order (taboo = accepted
+        // symbols and their merged tokens); exact mode must stop at
+        // the first conflict, fast mode skips it and keeps scanning
+        val taboo = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        var k = 0
+        while (!stop && k < top.length && prefix.size < maxBatch) {
+          val (a, b, c) = top(k)
+          if (taboo(a) || taboo(b)) { if (exact) stop = true else k += 1 }
+          else { prefix += ((a, b, c)); taboo ++= Seq(a, b, a + b); k += 1 }
+        }
+        // the first non-accepted count in sort order, if any pair was
+        // left behind (conflict, capacity, or the limit+1 sentinel)
+        val nextCount: Option[Long] =
+          if (k < top.length) Some(top(k)._3) else None
+        var batch = prefix.take(capacity)
+        if (exact) {
+          val boundary = if (batch.size < prefix.size) Some(prefix(batch.size)._3)
+            else nextCount
+          boundary.foreach { nc =>
+            while (batch.size > 1 && batch.last._3 == nc) batch = batch.dropRight(1)
+          }
+        }
+        if (batch.isEmpty) batch = prefix.take(1)
+        batch.foreach { case (a, b, c) =>
+          merges += ((merges.size + 1L, a, b, c))
+        }
+        // chained greedy rewrites — identical to applying the merges
+        // one at a time; chunked so no single expression tree nests
+        // more than a handful of fold states
+        batch.grouped(8).foreach { chunk =>
+          val rewritten = chunk.foldLeft(words) { case (acc, (a, b, _)) =>
+            acc.select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+          }
+          words = Checkpoints.truncate(rewritten)
+        }
       }
     }
+    lastTrainRounds = rounds
     merges.toSeq
       .toDF("rank", "pair_a", "pair_b", "weight")
       .select(col("rank"), col("pair_a"), col("pair_b"),
@@ -267,17 +349,26 @@ object TextAnalysis {
         val step = acc.select(col("w"), mergePair(col("syms"), a, b).as("syms"))
         // checkpoint every few rules so the nested-fold plan (and its
         // codegen) stays bounded in |rules|
-        if ((i + 1) % 4 == 0) step.localCheckpoint() else step
+        if ((i + 1) % 4 == 0) Checkpoints.truncate(step) else step
     }
     val perWord = encoded
       .select(col("w"), size(col("syms")).cast("long").as("n_subwords"),
         length(col("w")).cast("long").as("n_chars"))
-    docs
+    val stats = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .join(perWord, "w")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_subwords")).as("n_subwords"),
-        sum(col("n_chars")).as("n_chars"))
+      .agg(count(lit(1)).as("_nw"),
+        sum(col("n_subwords")).as("_ns"),
+        sum(col("n_chars")).as("_nc"))
+    // a document whose text tokenizes to nothing produces no exploded
+    // rows — join the stats back onto the full doc list so it still
+    // appears, with zero counts, instead of silently vanishing
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nw"), lit(0L)).as("n_words"),
+        coalesce(col("_ns"), lit(0L)).as("n_subwords"),
+        coalesce(col("_nc"), lit(0L)).as("n_chars"))
   }
 }

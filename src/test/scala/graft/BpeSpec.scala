@@ -135,6 +135,68 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocab-scale: 1000 merges equal the reference in far fewer rounds") {
+    // spread word frequencies so pair counts rarely tie — the realistic
+    // regime where the disjoint-prefix batching pays off
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val words = (1 to 2500).map { _ =>
+      val len = 3 + rnd.nextInt(7)
+      (1 to len).map(_ => alphabet(rnd.nextInt(26))).mkString
+    }.distinct
+    val freqs = words.zipWithIndex
+      .map { case (w, i) => w -> (1L + (i.toLong * 7919) % 997) }.toMap
+    // one row per word with the word repeated freq times — the same
+    // corpus as freq-many one-word rows, far fewer DataFrame rows
+    val df = freqs.toSeq.sortBy(_._1)
+      .map { case (w, f) => (w + " ") * f.toInt }.toDF("text")
+    val got = TextAnalysis.bpeTrain(df, nMerges = 1000, minPairFreq = 1)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map(r => (r._2, r._3, r._5))
+    val want = referenceBpe(freqs, nMerges = 1000, minFreq = 1)
+    assert(got.size == 1000)
+    assert(got == want,
+      s"first divergence at ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+    // the sequential path would be exactly 1000 driver round-trips;
+    // provably-exact batching must still collapse that substantially
+    // (the strict-prefix rule caps what exactness allows)
+    assert(TextAnalysis.lastTrainRounds <= 500,
+      s"rounds=${TextAnalysis.lastTrainRounds}")
+
+    // fast mode (independent-set batching): bounded rounds at vocab
+    // scale, deterministic, and structurally a valid BPE vocabulary
+    val fast = TextAnalysis.bpeTrain(df, nMerges = 1000, minPairFreq = 1,
+        exact = false)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val fastRounds = TextAnalysis.lastTrainRounds
+    assert(fast.size == 1000)
+    assert(fast.map(_._1) == (1L to 1000L))
+    assert(fastRounds <= 60, s"fast rounds=$fastRounds")
+    // every merged token decomposes into its two parts
+    assert(fast.forall(r => r._2 + r._3 == r._4))
+    // deterministic: a second run learns the identical rule sequence
+    val fast2 = TextAnalysis.bpeTrain(df, nMerges = 1000, minPairFreq = 1,
+        exact = false)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(fast == fast2)
+  }
+
+  test("encode: token-less documents appear with zero counts") {
+    val docs = Seq((1L, "aa ab"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, Seq(("a", "a")))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    // "aa" merges to one subword, "ab" stays two
+    assert(got(1L) == ((2L, 3L, 4L)))
+  }
+
   test("merge rewrite is greedy leftmost and non-overlapping") {
     // "aaa" with merge (a,a): leftmost pair merges, third 'a' survives
     val df = Seq("aaa aaa aaa").toDF("text")

@@ -266,4 +266,41 @@ class ScaleSpec extends SparkSpec {
     assert(scan.toLowerCase.contains("dynamicpruning"),
       s"fact scan must carry a dynamic pruning partition filter:\n${scan.take(1200)}")
   }
+
+  test("iterative operators: identical results and constant-size plans in both checkpoint modes") {
+    import graft.operators.{Checkpoints, Dedup}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (8L, 5L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+
+    def planLines(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+
+    val local = Dedup.connectedComponents(pairs)
+    val localRows = local.as[(Long, Long)].collect().sorted.toSeq
+    // lineage is truncated: the returned plan reads checkpointed data,
+    // not the whole iteration history
+    assert(planLines(local) < 10, local.queryExecution.optimizedPlan.toString)
+
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Checkpoints.ReliableConf, "true")
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      val rel = Dedup.connectedComponents(pairs)
+      assert(rel.as[(Long, Long)].collect().sorted.toSeq == localRows)
+      assert(planLines(rel) < 10, rel.queryExecution.optimizedPlan.toString)
+      // blocks actually went to the reliable checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"expected checkpoint files under $dir")
+      // the trainer honors the same policy end-to-end
+      val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+      val merges = graft.operators.TextAnalysis
+        .bpeTrain(docs.toDF("text"), nMerges = 4)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      assert(merges.take(2).map(r => (r._2, r._3)) == Seq(("e", "s"), ("es", "t")))
+    } finally {
+      spark.conf.set(Checkpoints.ReliableConf, "false")
+    }
+  }
 }
