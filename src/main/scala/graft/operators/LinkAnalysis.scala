@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Iterative link analysis over an edge list — the centrality tier a
   * web-scale curation pipeline uses to weight sources (e.g. ranking
@@ -51,5 +51,51 @@ object LinkAnalysis {
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank")))
     }
     rank
+  }
+
+  /** Weighted PageRank in FIXED-POINT INTEGER arithmetic: ranks are
+    * maintained as `⌊rank · scale⌋` BIGINTs and every update is an
+    * integer multiply + integer division — no floats anywhere, so the
+    * result is bit-identical across engines, partitionings, and
+    * retries (the property that earns q95 a DuckDB oracle; the float
+    * [[pageRank]] above remains the production variant).
+    *
+    * Update rule (all `div` = floor division on non-negative values,
+    * identical in Spark `div` and DuckDB `//`):
+    * {{{
+    *   contrib(u→v) = (w_uv · r_u) div W_u
+    *   r'_v = ((dampDen−dampNum)·scale) div (dampDen·n)
+    *        + (dampNum · Σ contrib) div dampDen
+    * }}}
+    * Each division truncates at most 1/scale of rank mass, so values
+    * track the float iteration to ~|V|/scale absolute error.
+    *
+    * Overflow bound: `max(w_uv) · scale < 2⁶³` (w_uv · r_u ≤ w_uv ·
+    * scale). At the default scale=10⁹ that allows edge weights to
+    * ~9·10⁹ — lower `scale` if the graph is heavier. */
+  def pageRankExact(edges: DataFrame, iters: Int = 5,
+                    scale: Long = 1000000000L,
+                    dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast(LongType).as("w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val p = Checkpoints.truncate(e.join(outW, Seq("src")))
+    val nodes = Checkpoints.truncate(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val n = nodes.count()
+    val baseTerm = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var rank = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = p.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("(w * r) div w_out").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      rank = Checkpoints.truncate(nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseTerm) +
+            expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen")).as("r")))
+    }
+    rank.select(col("node"), col("r").as("rank_scaled"))
   }
 }

@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Scan-side join pruning for the 100 TB fact table.
   *
@@ -15,26 +18,41 @@ import org.apache.spark.sql.functions._
   * pruning also applies to broadcast-ineligible joins the optimizer
   * won't rewrite.
   *
+  * The filter never leaves the plan: the build side is a scalar
+  * subquery over Catalyst's own `BloomFilterAggregate`, and the probe
+  * is the codegen'd `BloomFilterMightContain` predicate on the
+  * `xxhash64` of the key — the exact expression pair Spark's
+  * `InjectRuntimeFilter` rule plants, here placed deliberately. No
+  * driver-side `df.stat.bloomFilter` action, no interpreted UDF in
+  * the scan path.
+  *
   * Semantics are EXACT: the Bloom pass only discards guaranteed
   * non-matches (no false negatives), and the real join afterwards
   * removes the ≤ fpp false positives — so the result equals the plain
-  * join, which is exactly what the q77 oracle checks.
+  * join, which is exactly what the q77 oracle checks. (A NULL fact
+  * key hashes to the xxhash64 seed and may pass the filter; the equi
+  * join then drops it, same as before.)
   */
 object Pruning {
 
   /** `fact ⋈ dim` with a Bloom-filter pre-filter on the fact side.
-    * `dim` is scanned once to build the filter (a driver-side
-    * aggregate of ~bits/8 bytes, then a task-broadcast literal) and
+    * `dim` is scanned once to build the filter (an in-plan aggregate
+    * producing one binary scalar, broadcast as a subquery result) and
     * once inside the join. */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedKeys: Long = 1000000L,
                       fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val bfBc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bfBc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedKeys, fpp)
+    val bfAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col(dimKey))),
+      ColumnBridge.expression(lit(expectedKeys)),
+      ColumnBridge.expression(lit(numBits))).toAggregateExpression()
+    val bf = dim.agg(ColumnBridge.column(bfAgg).as("bf")).scalar()
+    fact.filter(ColumnBridge.column(BloomFilterMightContain(
+        ColumnBridge.expression(bf),
+        ColumnBridge.expression(xxhash64(col(factKey))))))
       .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -457,42 +457,75 @@ object AnalyticsQueries {
     * token estimates, plus a corpus-level row computed by UNIONING
     * the per-source sketches — the 100 TB pattern where partial
     * sketches persist as binary columns and roll up without touching
-    * raw data again. Approximate ⇒ no SQL oracle (driver records the
-    * rows-only check); the 5%-of-exact and union=direct properties
-    * are asserted in AnalyticsSpec. */
+    * raw data again. The engine-specific estimates are hashed as
+    * WITHIN-BOUND FLAGS next to the exact distinct counts: DuckDB
+    * recomputes the exact side independently and asserts the flags by
+    * emitting literal TRUE — a cross-engine bound check. The
+    * union=direct sketch identity stays in AnalyticsSpec. */
   private val q91 = QueryDef(
     "q91_hll_sketch_union",
     (s, dir) => {
-      val sk = table(s, dir, "documents")
+      val toks = table(s, dir, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sk = toks
         .groupBy(col("source"))
-        .agg(expr("hll_sketch_agg(token)").as("sk"))
-      val per = sk.select(col("source"),
-        expr("hll_sketch_estimate(sk)").as("est_distinct"))
+        .agg(expr("hll_sketch_agg(token)").as("sk"),
+          countDistinct(col("token")).as("exact_distinct"))
+      val per = sk.select(col("source"), col("exact_distinct"),
+        expr("hll_sketch_estimate(sk)").as("est"))
       val corpus = sk.agg(
-        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
-        .select(lit("__corpus__").as("source"), col("est_distinct"))
-      per.unionByName(corpus).orderBy(col("source"))
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .crossJoin(broadcast(
+          toks.agg(countDistinct(col("token")).as("exact_distinct"))))
+        .select(lit("__corpus__").as("source"), col("exact_distinct"), col("est"))
+      per.unionByName(corpus)
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            greatest(lit(1L), expr("(exact_distinct * 5) div 100")))
+            .as("sketch_ok"))
+        .orderBy(col("source"))
     },
-    None)
+    Some(s"""
+      WITH toks AS (
+        SELECT source, unnest($toksSql) AS token FROM documents),
+      per AS (
+        SELECT source, COUNT(DISTINCT token) AS exact_distinct
+        FROM toks GROUP BY 1
+        UNION ALL
+        SELECT '__corpus__', COUNT(DISTINCT token) FROM toks)
+      SELECT source, exact_distinct, TRUE AS sketch_ok
+      FROM per ORDER BY source"""))
 
   /** q92 — sketch percentiles (`approx_percentile`, the mergeable
     * quantile-summary path beside q18's exact sort-based
     * percentiles): per-status P50/P90 of order totals. The sketch's
-    * rank convention differs from any SQL discrete quantile by design
-    * ⇒ no SQL oracle (rows-only check); AnalyticsSpec asserts the
-    * estimates land within 0.5% of the exact percentiles. */
+    * rank convention is engine-specific, so the estimates are hashed
+    * as WITHIN-BOUND FLAGS next to the exact interpolated percentiles
+    * (both engines cast the DECIMAL to DOUBLE and interpolate the
+    * same way; rounded to 4 decimals for hash stability): DuckDB
+    * recomputes the exact side and asserts the flags by emitting
+    * literal TRUE — a cross-engine bound check. */
   private val q92 = QueryDef(
     "q92_approx_percentiles",
     (s, dir) =>
       table(s, dir, "orders")
         .groupBy(col("o_orderstatus").as("status"))
-        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("p"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("p"),
+          expr("percentile(CAST(o_totalprice AS DOUBLE), array(0.5, 0.9))").as("e"))
         .select(col("status"),
-          element_at(col("p"), 1).as("p50"),
-          element_at(col("p"), 2).as("p90"))
+          round(element_at(col("e"), 1), 4).as("p50_exact"),
+          round(element_at(col("e"), 2), 4).as("p90_exact"),
+          ((abs(element_at(col("p"), 1).cast(DoubleType) - element_at(col("e"), 1)) <=
+            element_at(col("e"), 1) * 0.005) &&
+           (abs(element_at(col("p"), 2).cast(DoubleType) - element_at(col("e"), 2)) <=
+            element_at(col("e"), 2) * 0.005)).as("approx_ok"))
         .orderBy(col("status")),
-    None)
+    Some("""
+      SELECT o_orderstatus AS status,
+             ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50_exact,
+             ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90_exact,
+             TRUE AS approx_ok
+      FROM orders GROUP BY 1 ORDER BY 1"""))
 
   /** q93 — forward-fill imputation (LOCF): per-user event stream with
     * synthetic gaps (every 7th event's value nulled) repaired by
@@ -569,11 +602,12 @@ object AnalyticsQueries {
 
   /** q95 — token PageRank: the adjacency graph of adjacent-token
     * pairs (edge weight = co-occurrence count, from the same bigram
-    * counting as q82) ranked by 5 rounds of weighted PageRank — the
-    * link-analysis centrality a crawl-curation pipeline computes over
-    * domains. Iterative doubles ⇒ no SQL oracle (rows-only check);
-    * AnalyticsSpec verifies the operator against an in-memory power
-    * iteration. */
+    * counting as q82) ranked by 5 rounds of weighted PageRank in
+    * FIXED-POINT INTEGER arithmetic ([[LinkAnalysis.pageRankExact]])
+    * — the link-analysis centrality a crawl-curation pipeline
+    * computes over domains, made bit-exact so the 5-round iteration
+    * unrolls into a DuckDB CTE chain and hash-matches. AnalyticsSpec
+    * verifies both variants against an in-memory power iteration. */
   private val q95 = QueryDef(
     "q95_token_pagerank",
     (s, dir) => {
@@ -584,12 +618,52 @@ object AnalyticsQueries {
         .select(explode(graft.functions.TextExprs.word_shingles(col("t"), 2)).as("bigram"))
         .groupBy(substring_index(col("bigram"), " ", 1).as("src"),
           substring_index(col("bigram"), " ", -1).as("dst"))
-        .agg(count(lit(1)).cast(DoubleType).as("weight"))
-      graft.operators.LinkAnalysis.pageRank(edges, iters = 5)
-        .orderBy(col("rank").desc, col("node"))
+        .agg(count(lit(1)).cast(LongType).as("weight"))
+      graft.operators.LinkAnalysis.pageRankExact(edges, iters = 5)
+        .orderBy(col("rank_scaled").desc, col("node"))
         .limit(20)
     },
-    None)
+    Some {
+      // the 5 fixed iterations unroll into plain CTEs r1..r5 — every
+      // step is integer multiply + floor division, mirroring
+      // pageRankExact's update rule exactly
+      val S = 1000000000L
+      val iterCtes = (1 to 5).map { k =>
+        s"""r$k AS (
+          SELECT nodes.node,
+                 (CAST(15 AS BIGINT) * $S) // (100 * nn.n)
+                 + (85 * COALESCE(m.im, 0)) // 100 AS r
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (
+            SELECT p.dst AS node,
+                   CAST(SUM((p.w * pr.r) // p.w_out) AS BIGINT) AS im
+            FROM p JOIN r${k - 1} pr ON p.src = pr.node
+            GROUP BY 1) m
+          ON nodes.node = m.node)"""
+      }.mkString(",\n")
+      s"""
+      WITH toks AS (
+        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+      big AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks),
+      e AS (
+        SELECT string_split(bigram, ' ')[1] AS src,
+               string_split(bigram, ' ')[2] AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM big GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM e GROUP BY 1),
+      p AS (SELECT e.src, e.dst, e.w, ow.w_out FROM e JOIN ow ON e.src = ow.src),
+      nodes AS (
+        SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      r0 AS (SELECT node, $S // nn.n AS r FROM nodes CROSS JOIN nn),
+      $iterCtes
+      SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r5
+      ORDER BY rank_scaled DESC, node LIMIT 20"""
+    })
 
   /** q96 — temperature-scaled corpus mixing (τ = 0.5): languages
     * reweighted by √share instead of share, the standard multilingual

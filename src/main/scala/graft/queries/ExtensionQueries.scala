@@ -172,18 +172,32 @@ object ExtensionQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, seq ORDER BY user_id, session_start_ms"""))
 
-  /** q24 — approximate distinct (HLL sketch) per event type: no exact
-    * SQL twin (sketch estimates are engine-specific), so rows-only;
-    * the accuracy bound vs exact countDistinct is asserted in
-    * EventWindowsSpec. */
+  /** q24 — approximate distinct (HLL sketch) per event type. The
+    * sketch estimate itself is engine-specific, so it is hashed as a
+    * WITHIN-BOUND FLAG instead of a value: the output carries the
+    * exact distinct count (which DuckDB recomputes independently) and
+    * `approx_ok` = |approx − exact| ≤ 5%·exact, which the oracle
+    * asserts by emitting literal TRUE — a cross-engine bound check,
+    * not a rows-only wave-through. EventWindowsSpec asserts the raw
+    * estimate quality besides. */
   private val q24 = QueryDef(
     "q24_approx_distinct",
     (s, dir) => eventsTable(s, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1L), expr("(exact_users * 5) div 100")))
+          .as("approx_ok"))
       .orderBy(col("event_type")),
-    None)
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             COUNT(*) AS n_events,
+             TRUE AS approx_ok
+      FROM events GROUP BY 1 ORDER BY 1"""))
 
   /** q25 — JSON property extraction from the events `props` column
     * (semi-structured surface: get_json_object path queries). */

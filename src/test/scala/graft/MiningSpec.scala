@@ -160,6 +160,12 @@ class MiningSpec extends SparkSpec {
     val plain = fact.join(dim, $"f_key" === $"d_key")
     assert(pruned.select("f_id", "f_key", "d_key", "d_name").collect().toSet ==
       plain.select("f_id", "f_key", "d_key", "d_name").collect().toSet)
+    // the filter lives IN the plan: a might_contain predicate over a
+    // bloom_filter_agg scalar subquery, no interpreted UDF in the scan
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), planStr.take(800))
+    assert(!planStr.contains("UDF") && !planStr.contains("BatchEvalPython"),
+      planStr.take(800))
     // the Bloom pre-filter must drop the vast majority of the 5000
     // fact rows before the join (3 hot keys → 150 matches; allow fpp slack)
     val bf = dim.stat.bloomFilter("d_key", 100L, 0.01)
