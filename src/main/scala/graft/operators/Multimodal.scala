@@ -6,13 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (SURVEY.md §7.5): media as opaque
   * `binary` columns with typed metadata, partition-wise feature
-  * extraction, and a clearly-stubbed decode seam.
+  * extraction, and a decode seam.
   *
   * The Spark-side mechanics — schema, batch iteration shape,
-  * deterministic partitioning — are real and tested; the actual
-  * image/audio decode is NOT (no codec libs in this environment) and
-  * is stubbed behind [[decodeMedia]]. At scale the extraction runs
-  * one partition per task with zero shuffle; budget
+  * deterministic partitioning — are real and tested. IMAGE decode is
+  * real too: [[decodeMedia]] routes `image/...` mime types through `javax.imageio`
+  * (pure JVM, ships with the JDK). Audio/video codecs are absent from
+  * this environment, so those mime types take the deterministic
+  * byte-statistics fallback behind the same seam. At scale the
+  * extraction runs one partition per task with zero shuffle; budget
   * `spark.sql.files.maxPartitionBytes` so a partition of blobs fits
   * executor memory.
   */
@@ -37,12 +39,44 @@ object Multimodal {
         length(encode(col(payloadCol), "UTF-8")).cast(LongType).as("size_bytes"),
         md5(encode(col(payloadCol), "UTF-8")).as("checksum_md5")).as("media_meta"))
 
-  /** REAL DECODE SEAM — intentionally unimplemented: decoding
-    * image/audio/video requires codec libraries absent from this
-    * environment. Callers use [[fakeDecodeFeatures]] (deterministic
-    * byte statistics with the same signature/shape) until a codec is
-    * wired here. */
-  def decodeMedia(mimeType: String, bytes: Array[Byte]): Array[Float] = ???
+  /** Decode seam. Image mime types decode FOR REAL through `javax.imageio`
+    * (pure JVM — PNG/BMP/GIF/JPEG readers ship with the JDK, no new
+    * dependencies) into a 16-dim feature vector
+    * ([[imageFeatures]]). Audio/video mime types, and image subtypes
+    * ImageIO has no reader for, fall back to the deterministic
+    * [[fakeDecodeFeatures]] byte statistics — same 16-float shape, so
+    * downstream schema/partitioning is identical either way and a
+    * richer codec slots in here without touching callers. */
+  def decodeMedia(mimeType: String, bytes: Array[Byte]): Array[Float] =
+    if (mimeType != null && mimeType.startsWith("image/")) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) fakeDecodeFeatures(bytes) else imageFeatures(img)
+    } else fakeDecodeFeatures(bytes)
+
+  /** Deterministic 16-dim image features from a decoded frame:
+    * `[width, height, mean R, mean G, mean B, 11-bucket luminance
+    * histogram (L1-normalized)]`. Channel sums are exact integer
+    * accumulations; the only float ops are the final divisions, so
+    * the vector is bit-reproducible across partitionings and JVMs. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val hist = new Array[Long](11)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      sr += r; sg += g; sb += b
+      // integer ITU-R 601 luma approximation, bucketed 0..10
+      hist(((r * 299 + g * 587 + b * 114) / 1000) * 11 / 256) += 1
+      i += 1
+    }
+    val n = px.length.toFloat
+    Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n) ++
+      hist.map(_ / n)
+  }
 
   /** Deterministic stand-in for decode+featurize: an `nBuckets`-dim
     * byte-histogram (L1-normalized) — same output shape a real
@@ -161,6 +195,31 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         Row(id, fakeDecodeFeatures(bytes, nBuckets).toSeq, bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Like [[extractFeatures]] but through the REAL decode seam: the
+    * mime type rides in from the metadata struct and image payloads
+    * decode with `javax.imageio`; everything else takes the
+    * deterministic fallback. Same partition-iterator shape — one pass,
+    * zero shuffle, 16-float features either way. */
+  def extractDecodedFeatures(df: DataFrame, idCol: String = "doc_id",
+                             mediaCol: String = "media",
+                             mimeCol: String = "media_meta.mime_type"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("size_bytes", LongType, nullable = false)))
+    val input = df.select(col(idCol).cast(LongType), col(mediaCol),
+      expr(mimeCol).cast(StringType))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(id, decodeMedia(r.getString(2), bytes).toSeq, bytes.length.toLong)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -25,6 +25,17 @@ final case class LakeZones(root: String) {
   def gold(table: String): String = s"$root/gold/$table"
 }
 
+/** JDBC connection descriptor for the serving tier (credentials and
+  * dialect-specific options ride in `props`). */
+final case class JdbcTarget(url: String, driver: String,
+                            props: Map[String, String] = Map.empty)
+
+/** Range partitioning for parallel JDBC reads: Spark issues
+  * `numPartitions` queries, each bounded on `column` — without it a
+  * JDBC read is a single cursor. */
+final case class JdbcRangePartitioning(column: String, lower: Long,
+                                       upper: Long, numPartitions: Int)
+
 object LakeIO {
 
   /** S1 — CSV source with the reference's dialect (header, `"` quote,
@@ -342,6 +353,56 @@ object LakeIO {
   def readGoldAsOf(spark: SparkSession, zones: LakeZones, table: String,
                    loadId: String): DataFrame =
     readGold(spark, zones, table).filter(col("load_id") <= lit(loadId))
+
+  // ---------------------------------------------- JDBC serving seam
+
+  /** Generic JDBC serving tier — the literal form of S5: the
+    * reference serves Gold from a SQL database
+    * (`/root/reference/adf/dataset/ds_gold_sql.json:12-21`, consumed
+    * by `adf/dataflow/DF_SCD2_Customer.json:32-43`). The lake-native
+    * gold read stays the default; this seam is for the user who
+    * really does keep a warehouse in front — any JDBC-speaking
+    * database slots in via a [[JdbcTarget]] descriptor (spec'd
+    * against embedded Derby, which ships with Spark).
+    *
+    * Scale notes: a plain JDBC read is ONE partition (a single
+    * cursor) — fine for dims, wrong for facts; pass `partitioning`
+    * (column, lower, upper, n) so Spark issues n range-bounded
+    * queries in parallel. Writes batch inserts (`batchsize`) and
+    * should land in a staging table for anything transactional — the
+    * database, not Spark, owns atomicity on that side. */
+  def readJdbc(spark: SparkSession, target: JdbcTarget, table: String,
+               partitioning: Option[JdbcRangePartitioning] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", target.url)
+      .option("driver", target.driver)
+      .option("dbtable", table)
+      .options(target.props)
+    partitioning.fold(base) { p =>
+      base.option("partitionColumn", p.column)
+        .option("lowerBound", p.lower.toString)
+        .option("upperBound", p.upper.toString)
+        .option("numPartitions", p.numPartitions.toString)
+    }.load()
+  }
+
+  /** Append/overwrite `df` into a JDBC table (batched inserts). */
+  def writeJdbc(df: DataFrame, target: JdbcTarget, table: String,
+                mode: String = "append", batchSize: Int = 10000): Unit =
+    df.write.format("jdbc")
+      .option("url", target.url)
+      .option("driver", target.driver)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .options(target.props)
+      .mode(mode)
+      .save()
+
+  /** Publish a gold table to the JDBC serving tier (truncate-load —
+    * the reference's gold SQL tables are rebuilt per run). */
+  def publishGoldJdbc(spark: SparkSession, zones: LakeZones, table: String,
+                      target: JdbcTarget): Unit =
+    writeJdbc(readGold(spark, zones, table), target, table, mode = "overwrite")
 
   /** Register every table directory of a zone as `<zone>_<table>`
     * views so the whole lake is `spark.sql`-addressable (the SQL

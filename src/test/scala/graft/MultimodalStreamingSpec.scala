@@ -64,10 +64,37 @@ class MultimodalStreamingSpec extends SparkSpec {
       resized(1).getAs[Array[Byte]]("resized").toSeq)
   }
 
-  test("decode seam is a stub by contract") {
-    intercept[NotImplementedError] {
-      Multimodal.decodeMedia("image/png", Array[Byte](1, 2, 3))
+  test("decode seam decodes a generated PNG and BMP end to end") {
+    import java.awt.image.BufferedImage
+    def imageBytes(format: String, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 6) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos))
+      bos.toByteArray
     }
+    val red = imageBytes("png", 0xff0000)
+    val blue = imageBytes("bmp", 0x0000ff)
+    val docs = Seq(
+      (1L, red, "image/png"),
+      (2L, blue, "image/bmp"),
+      (3L, "plain text bytes".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "media", "mime")
+      .withColumn("media_meta", struct($"mime".as("mime_type")))
+    val feats = Multimodal.extractDecodedFeatures(docs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // real decode: dimensions and solid-color channel means come back
+    assert(feats(1L).take(5) == Seq(8f, 6f, 255f, 0f, 0f), feats(1L))
+    assert(feats(2L).take(5) == Seq(8f, 6f, 0f, 0f, 255f), feats(2L))
+    // solid color → a single luminance bucket holds all the mass
+    assert(feats(1L).drop(5).count(_ > 0f) == 1)
+    // non-image mime takes the documented byte-statistics fallback
+    assert(feats(3L).toArray.toSeq ==
+      Multimodal.fakeDecodeFeatures("plain text bytes".getBytes("UTF-8")).toSeq)
+    assert(feats.values.forall(_.size == 16))
+    // corrupt image bytes fall back instead of crashing the task
+    assert(Multimodal.decodeMedia("image/png", Array[Byte](1, 2, 3)).length == 16)
   }
 
   test("streaming tumbling window matches the batch operator") {
