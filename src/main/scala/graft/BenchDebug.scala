@@ -15,8 +15,23 @@ object BenchDebug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-job wall times, to see where a query's seconds actually go
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, (System.nanoTime(),
+          Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, desc) = starts.getOrDefault(j.jobId, (0L, ""))
+        jobLog.put(j.jobId, (System.nanoTime() - t0, desc))
+      }
+    })
     val rt = Runtime.getRuntime
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = args.toSet
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       (1 to 2).foreach { i =>
         val heap0 = (rt.totalMemory - rt.freeMemory) / 1e6
         val t0 = System.nanoTime()
@@ -24,6 +39,15 @@ object BenchDebug {
         val dt = (System.nanoTime() - t0) / 1e9
         val heap1 = (rt.totalMemory - rt.freeMemory) / 1e6
         println(f"[bd] $name%-28s run$i $dt%7.2fs rows=$n%-8d heap ${heap0}%.0f->${heap1}%.0fMB")
+        if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+          import scala.jdk.CollectionConverters._
+          val jobs = jobLog.asScala.toSeq.sortBy(_._1)
+          jobs.foreach { case (id, (ns, d)) =>
+            println(f"[bd]   job $id%3d ${ns / 1e9}%6.3fs ${d.take(80)}")
+          }
+          println(f"[bd]   sum-of-jobs ${jobs.map(_._2._1).sum / 1e9}%.2fs")
+          jobLog.clear()
+        }
       }
       spark.catalog.clearCache()
     }

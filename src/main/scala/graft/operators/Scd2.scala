@@ -97,6 +97,23 @@ object Scd2 {
     val hashed = incoming.withColumn(
       "RowHash", rowHash(spec.trackedCols.map(col): _*))
 
+    // Seed-load fast path: merging into an EMPTY dimension (zero
+    // partitions — [[emptyDim]]'s shape) has no lookup to probe, no
+    // versions to expire, no max key. Every incoming row is a new
+    // key; skip the whole join/split/expire machinery and its
+    // broadcast-exchange jobs.
+    if (dim.rdd.getNumPartitions == 0) {
+      val seeded = Ids.addContiguousIds(
+          hashed, Seq(col(spec.businessKey)), spec.surrogateKey)
+        .withColumn("IsActive", lit(true))
+        .withColumn("ValidFrom", newKeyValidFrom.getOrElse(now))
+        .withColumn("ValidTo", lit(null).cast(TimestampType))
+        .withColumn("CreatedDate", now)
+        .withColumn("ModifiedDate", now)
+        .select(spec.surrogateKey, attrCols ++ MetaCols: _*)
+      return seeded
+    }
+
     val activeLookup0 = dim.filter(col("IsActive")).select(
       col(spec.businessKey).as("_bk"),
       col(spec.surrogateKey).as("_existingKey"),
@@ -122,10 +139,14 @@ object Scd2 {
     // exchanges (expire set, lookup side) read the cache instead of
     // racing to evaluate the dimension lineage concurrently — measured
     // ~2× faster on a chained merge than the lazy-scalar formulation.
-    val maxKey: Long = {
-      val r = dim.agg(coalesce(max(col(spec.surrogateKey)), lit(0L))).head()
-      r.getLong(0)
-    }
+    val maxKey: Long =
+      // an empty seed dimension ([[emptyDim]]) has a zero-partition
+      // RDD — skip the probe job outright
+      if (dim.rdd.getNumPartitions == 0) 0L
+      else {
+        val r = dim.agg(coalesce(max(col(spec.surrogateKey)), lit(0L))).head()
+        r.getLong(0)
+      }
 
     val validFrom = newKeyValidFrom
       .map(nk => when(col("_isNewKey"), nk).otherwise(now))

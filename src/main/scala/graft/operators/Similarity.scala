@@ -164,19 +164,28 @@ object Similarity {
     graft.sources.LakeIO.replaceGold(cents, zones, s"${name}_codebook")
   }
 
-  /** Search a [[buildIvfIndex]] lake index: the (tiny) codebook ranks
-    * nProbe cells per query; the probed cell set — bounded by the
-    * codebook size — prunes the index scan down to those partition
-    * directories before a single vector is read. Results are
-    * identical to [[ivfTopKWith]] with the same codebook (asserted in
-    * SimilaritySpec). */
+  /** Search a [[buildIvfIndex]] lake index: the codebook ranks
+    * nProbe cells per query and the probed cell set prunes the index
+    * scan down to those partition directories before a single vector
+    * is read. Results are identical to [[ivfTopKWith]] with the same
+    * codebook (asserted in SimilaritySpec).
+    *
+    * Pruning strategy by codebook size: up to `maxInlineCells` cells,
+    * the probed ids are collected (bounded by the codebook) and
+    * inlined as a static partition filter — pruning happens at
+    * file-listing time. Beyond that, inlining thousands of literals
+    * bloats the plan, so the probe set stays distributed: a broadcast
+    * left-semi join on `cell`, which dynamic partition pruning turns
+    * into a runtime partition filter on the hive-partitioned scan. */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      zones: graft.sources.LakeZones, name: String,
                      queries: DataFrame, k: Int, nProbe: Int = 2,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(
-      graft.sources.LakeIO.readGold(spark, zones, s"${name}_codebook"))
+                     vecCol: String = "embedding",
+                     maxInlineCells: Int = 4096): DataFrame = {
+    val codebook =
+      graft.sources.LakeIO.readGold(spark, zones, s"${name}_codebook")
+    val cents = broadcast(codebook)
     val q = queries.select(col(idCol).cast(LongType).as("q_id"),
       col(vecCol).as("q_v"))
     val probeW = Window.partitionBy(col("q_id"))
@@ -186,13 +195,14 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
-    // cells to touch: bounded by the codebook, so a driver-side
-    // collect is safe — and it is what lets the filter prune the
-    // partitioned scan at file-listing time
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val idx = graft.sources.LakeIO.readGold(spark, zones, s"${name}_cells")
-      .filter(col("cell").isin(cells: _*))
+    val idxAll = graft.sources.LakeIO.readGold(spark, zones, s"${name}_cells")
+    val idx =
+      if (codebook.count() <= maxInlineCells) {
+        val cells = probes.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        idxAll.filter(col("cell").isin(cells: _*))
+      } else idxAll.join(
+        broadcast(probes.select(col("cell")).distinct()), Seq("cell"), "left_semi")
     val scored = broadcast(probes)
       .join(idx, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

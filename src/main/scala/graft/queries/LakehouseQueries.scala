@@ -130,7 +130,11 @@ object LakehouseQueries {
     * re-parsing, q25) — at scale the parse cost is paid once per row
     * and every field access is a binary-encoded path read, not a JSON
     * re-scan. Aggregates the extracted key into deciles with exact
-    * DECIMAL sums. */
+    * DECIMAL sums. Rows without a `$.k` are filtered explicitly
+    * (engines disagree on NULL sort order), and the decile uses
+    * FLOOR division on both sides — Spark `div` truncates toward
+    * zero while DuckDB `//` floors, which would diverge on negative
+    * keys. */
   private val q117 = QueryDef(
     "q117_variant_props",
     (s, dir) => {
@@ -138,7 +142,10 @@ object LakehouseQueries {
         .select(
           expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
           col("value"))
-        .select(expr("k div 10").as("k_decile"),
+        .filter(col("k").isNotNull)
+        .select(
+          expr("(k div 10) - (CASE WHEN k < 0 AND k % 10 != 0 THEN 1 ELSE 0 END)")
+            .as("k_decile"),
           col("value").cast(Dec).as("v"))
         .groupBy(col("k_decile"))
         .agg(count(lit(1)).as("n"),
@@ -149,7 +156,9 @@ object LakehouseQueries {
       SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
              COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1 ORDER BY k_decile"""))
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1 ORDER BY k_decile"""))
 
   /** q118 — the JDE Julian decode (reference
     * `adf/dataflow/DF_Clean_JDE.json:70`) registered as a SQL UDF

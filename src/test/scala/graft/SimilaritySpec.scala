@@ -123,6 +123,17 @@ class SimilaritySpec extends SparkSpec {
     assert(partFilter.findFirstIn(plan).isDefined,
       s"probe filter must appear in PartitionFilters:\n${plan.take(1200)}")
 
+    // large-codebook path (forced via maxInlineCells = 0): the probe
+    // set stays distributed as a semi join and results are identical;
+    // runtime partition pruning replaces the literal list
+    val fromIndexBig = Similarity.searchIvfIndex(spark, zones, "ann", q,
+      k = 5, nProbe = 2, maxInlineCells = 0)
+    assert(norm(fromIndexBig) == norm(inMemory))
+    val bigPlan = fromIndexBig.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("LeftSemi") &&
+      bigPlan.toLowerCase.contains("dynamicpruning"),
+      s"semi-join path must carry dynamic partition pruning:\n${bigPlan.take(1200)}")
+
     // streaming enrichment against the same index: per-batch top-k
     // lands as a run partition and equals the in-memory search
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
