@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.queries.QueryDef.{eventsTable, table}
+import graft.queries.ExtensionQueries.toksSql
 
 /** Round-3 fifth widening: classic warehouse consumption shapes the
   * serving tier hadn't exercised yet — a TPC-H-Q9-style multi-way
@@ -421,7 +422,133 @@ object LakehouseQueries {
              CAST((chunk_tokens * 1000000) // doc_tokens AS BIGINT) AS dup_e6
       FROM agg a JOIN dt USING (source) ORDER BY source"""))
 
+  /** q126 — MinHash accuracy audit (the sketch-quality gate a dedup
+    * pipeline runs before trusting LSH at scale): for a deterministic
+    * sample of document pairs, the exact 3-gram Jaccard beside a
+    * 128-hash MinHash estimate. The engine-specific estimate is
+    * hashed as a WITHIN-BOUND FLAG (Hoeffding at k=128: P(err >
+    * 0.25) < 10⁻⁶ per pair); DuckDB recomputes the exact Jaccard
+    * independently and asserts the flag — same cross-engine bound
+    * pattern as q24/q91/q92. */
+  private val q126 = QueryDef(
+    "q126_minhash_accuracy",
+    (s, dir) => {
+      import graft.functions.{MinhashExprs, TextFunctions, TextExprs}
+      val sh = table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextExprs.word_shingles(
+            TextFunctions.tokens(col("text")), 3)).as("sh"))
+        .withColumn("sig",
+          MinhashExprs.minhash_signature(
+            MinhashExprs.minhash_base_hashes(col("sh")), 128))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b"))
+      a.filter(col("id_a") % 5 === 0)
+        .join(b, col("id_b") === col("id_a") + 1)
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        .withColumn("n_union",
+          (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - col("n_inter"))
+        .withColumn("j_exact",
+          round(col("n_inter").cast(DoubleType) / col("n_union"), 6))
+        .withColumn("j_est",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast(DoubleType) / 128.0)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+          col("j_exact"),
+          (abs(col("j_est") - col("j_exact")) <= 0.25).as("est_ok"))
+        .orderBy(col("id_a"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(${ExtensionQueries.shinglesSql}) AS sh
+        FROM toks)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+               AS BIGINT) AS n_union,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6) AS j_exact,
+             TRUE AS est_ok
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 5 = 0
+      ORDER BY id_a"""))
+
+  /** q127 — shingle novelty curve (dedup ROI attribution): for every
+    * document, the fraction of its distinct 3-gram shingles whose
+    * FIRST corpus occurrence (by doc_id order) is this document.
+    * A curation pipeline reads this to see how fast marginal novelty
+    * decays as the corpus grows — the aggregate twin of incremental
+    * dedup. One shuffle keys shingles (at 100 TB they would shuffle
+    * as xxhash64 longs like q33; strings here keep the oracle
+    * engine-portable), min(doc_id) marks first owners, one groupBy
+    * re-aggregates per document. */
+  private val q127 = QueryDef(
+    "q127_shingle_novelty",
+    (s, dir) => {
+      import graft.functions.{TextFunctions, TextExprs}
+      val sh = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextExprs.word_shingles(
+            TextFunctions.tokens(col("text")), 3))).as("sh"))
+      val firstOwner = sh.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(firstOwner, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast(DoubleType) / col("n_shingles"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(${ExtensionQueries.shinglesSql})) AS sh
+        FROM toks),
+      fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT s.doc_id, COUNT(*) AS n_shingles,
+             CAST(COUNT(*) FILTER (WHERE fo.first_doc = s.doc_id) AS BIGINT)
+               AS n_novel,
+             ROUND(CAST(COUNT(*) FILTER (WHERE fo.first_doc = s.doc_id)
+               AS DOUBLE) / COUNT(*), 6) AS novelty
+      FROM sh s JOIN fo USING (sh)
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
+  /** q128 — LATERAL correlated subquery (SQL-standard per-group
+    * top-k without a window function): for each source, the 3
+    * longest documents via a correlated ORDER BY … LIMIT lateral —
+    * the serving-surface idiom Catalyst rewrites into a ranked
+    * window internally, exercised from pure SQL on both engines. */
+  private val q128 = QueryDef(
+    "q128_lateral_topk",
+    (s, dir) => {
+      table(s, dir, "documents").createOrReplaceTempView("v_docs128")
+      s.sql("""
+        SELECT s.source, l.doc_id, l.n_chars
+        FROM (SELECT DISTINCT source FROM v_docs128) s,
+        LATERAL (
+          SELECT doc_id, n_chars FROM v_docs128 d
+          WHERE d.source = s.source
+          ORDER BY n_chars DESC, doc_id LIMIT 3) l
+        ORDER BY s.source, l.n_chars DESC, l.doc_id""")
+    },
+    Some("""
+      SELECT s.source, l.doc_id, l.n_chars
+      FROM (SELECT DISTINCT source FROM documents) s,
+      LATERAL (
+        SELECT doc_id, n_chars FROM documents d
+        WHERE d.source = s.source
+        ORDER BY n_chars DESC, doc_id LIMIT 3) l
+      ORDER BY s.source, l.n_chars DESC, l.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125)
+      q125, q126, q127, q128)
 }
