@@ -334,12 +334,78 @@ object LakehouseQueries {
     * argmax + rewrite is iterative, not relational; `BpeSpec` proves
     * the distributed trainer equals the sequential textbook algorithm
     * on this same fixture. */
+  /** Unrolled BPE training as plain SQL (the q123/q124 oracle): each
+    * round re-derives positional symbol rows, counts adjacent pairs,
+    * takes the (count desc, a, b) argmax as a scalar subquery, and
+    * rewrites greedily. Greedy leftmost has a CLOSED FORM: matches at
+    * overlapping positions only occur when a = b, so within each run
+    * of consecutive match positions keep the even offsets
+    * (`i − min(i) over run` parity) — no recursion needed. CTEs are
+    * MATERIALIZED: DuckDB inlines CTEs by default and the multi-use
+    * round chain would otherwise re-expand exponentially. An
+    * exhausted round's scalar argmax is NULL, making every later
+    * rewrite the identity and contributing no merge row. */
+  private def bpeRoundsSql(nRounds: Int, minFreq: Long): (String, String) = {
+    val rounds = (0 until nRounds).map { r =>
+      s"""
+      e$r AS MATERIALIZED (
+        SELECT wid, freq, u.sym AS sym, u.i AS i
+        FROM w$r, unnest(list_transform(syms, (x, i) -> {'sym': x, 'i': i})) AS t(u)),
+      cnt$r AS (
+        SELECT a.sym AS pa, b.sym AS pb, SUM(a.freq) AS c
+        FROM e$r a JOIN e$r b ON a.wid = b.wid AND b.i = a.i + 1
+        GROUP BY 1, 2 HAVING SUM(a.freq) >= $minFreq),
+      top$r AS MATERIALIZED (
+        SELECT pa, pb, c FROM cnt$r ORDER BY c DESC, pa, pb LIMIT 1),
+      m$r AS (
+        SELECT a.wid, a.i, ROW_NUMBER() OVER (PARTITION BY a.wid ORDER BY a.i) AS rn
+        FROM e$r a JOIN e$r b ON a.wid = b.wid AND b.i = a.i + 1
+        WHERE a.sym = (SELECT pa FROM top$r) AND b.sym = (SELECT pb FROM top$r)),
+      k$r AS MATERIALIZED (
+        SELECT wid, i FROM (
+          SELECT wid, i, i - MIN(i) OVER (PARTITION BY wid, i - rn) AS off
+          FROM m$r)
+        WHERE off % 2 = 0),
+      w${r + 1} AS MATERIALIZED (
+        SELECT e.wid, ANY_VALUE(e.freq) AS freq,
+               list(CASE WHEN k1.i IS NOT NULL
+                         THEN (SELECT pa FROM top$r) || (SELECT pb FROM top$r)
+                         ELSE e.sym END ORDER BY e.i) AS syms
+        FROM e$r e
+        LEFT JOIN k$r k1 ON e.wid = k1.wid AND e.i = k1.i
+        LEFT JOIN k$r k2 ON e.wid = k2.wid AND e.i = k2.i + 1
+        WHERE k2.i IS NULL
+        GROUP BY e.wid)"""
+    }.mkString(",")
+    val merges = (0 until nRounds)
+      .map(r => s"SELECT ${r + 1} AS r, pa, pb, c FROM top$r")
+      .mkString("\n      UNION ALL ")
+    (rounds, merges)
+  }
+
+  private val bpeSeedSql = s"""
+      words AS (SELECT unnest($toksSql) AS w FROM documents),
+      wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY 1),
+      w0 AS MATERIALIZED (
+        SELECT w AS wid, freq,
+               list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+        FROM wf)"""
+
   private val q123 = QueryDef(
     "q123_bpe_merges",
     (s, dir) => graft.operators.TextAnalysis
       .bpeTrain(table(s, dir, "documents"), nMerges = 10)
       .orderBy(col("rank")),
-    None)
+    Some {
+      val (rounds, merges) = bpeRoundsSql(10, 2L)
+      s"""
+      WITH $bpeSeedSql,
+      $rounds,
+      mg AS ($merges)
+      SELECT CAST(r AS BIGINT) AS rank, pa AS pair_a, pb AS pair_b,
+             pa || pb AS merged, CAST(c AS BIGINT) AS weight
+      FROM mg ORDER BY rank"""
+    })
 
   /** q124 — tokenizer encode statistics: the corpus re-tokenized
     * under the q123-learned merges, compression summarized per
@@ -365,7 +431,29 @@ object LakehouseQueries {
           expr("(chars * 1000000L) div subwords"))
         .orderBy(col("source"))
     },
-    None)
+    Some {
+      // encode corpus == train corpus, so the final training word
+      // table w10 IS the encoded vocabulary: len(syms) per word
+      val (rounds, _) = bpeRoundsSql(10, 2L)
+      s"""
+      WITH $bpeSeedSql,
+      $rounds,
+      enc AS (SELECT wid AS w, CAST(len(syms) AS BIGINT) AS n_sub FROM w10),
+      docw AS (SELECT doc_id, source, unnest($toksSql) AS w FROM documents),
+      per AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS words,
+               CAST(SUM(e.n_sub) AS BIGINT) AS subwords,
+               CAST(SUM(length(d.w)) AS BIGINT) AS chars
+        FROM docw d JOIN enc e USING (w) GROUP BY 1),
+      srcs AS (SELECT DISTINCT source FROM documents)
+      SELECT source, COALESCE(words, 0) AS words,
+             COALESCE(subwords, 0) AS subwords,
+             COALESCE(chars, 0) AS chars,
+             CAST((COALESCE(chars, 0) * 1000000)
+               // NULLIF(COALESCE(subwords, 0), 0) AS BIGINT)
+               AS chars_per_subword_e6
+      FROM srcs LEFT JOIN per USING (source) ORDER BY source"""
+    })
 
   /** q125 — context-window chunking with overlap (the RAG /
     * pretraining chunking stage): each document splits into
