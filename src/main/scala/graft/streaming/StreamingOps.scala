@@ -98,6 +98,44 @@ object StreamingOps {
       .agg(sum(col("n_partial")).as("n"),
         sum(col("sum_partial")).cast(DecimalType(18, 2)).as("total"))
 
+  /** One micro-batch of [[jdbcSink]], exposed for direct testing: the
+    * batch lands tagged with its `batch_id`, and any prior rows with
+    * the same tag are deleted FIRST — so a replayed batch
+    * (at-least-once delivery after recovery) replaces rather than
+    * duplicates, the JDBC twin of [[sinkToGold]]'s partition
+    * overwrite. The delete tolerates a missing table (first batch
+    * creates it via the write). */
+  def publishBatchJdbc(batch: DataFrame, batchId: Long,
+                       target: graft.sources.JdbcTarget,
+                       table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(target.url)
+    try {
+      conn.createStatement().executeUpdate(
+        s"DELETE FROM $table WHERE batch_id = $batchId")
+      ()
+    } catch { case _: java.sql.SQLException => () } // table not yet created
+    finally conn.close()
+    LakeIO.writeJdbc(batch.withColumn("batch_id", lit(batchId)),
+      target, table, mode = "append")
+  }
+
+  /** Streaming publish into the JDBC serving tier
+    * ([[graft.sources.LakeIO.writeJdbc]]'s streaming face): each
+    * micro-batch appends `batch_id`-tagged rows after clearing its
+    * own tag — idempotent on replay without any database-side MERGE
+    * support, so it works against any JDBC target. At scale, size
+    * trigger intervals so the serving database absorbs the batch
+    * insert rate; the lake (not the DB) remains the system of
+    * record. */
+  def jdbcSink(stream: DataFrame, target: graft.sources.JdbcTarget,
+               table: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        publishBatchJdbc(df.toDF(), batchId, target, table)
+      }
+      .start()
+
   /** Streaming ANN enrichment: each micro-batch of embedding rows is
     * searched against a PERSISTED IVF index
     * ([[graft.operators.Similarity.buildIvfIndex]]) and the top-k

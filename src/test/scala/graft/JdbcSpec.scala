@@ -41,6 +41,34 @@ class JdbcSpec extends SparkSpec {
       (1L to 1000L).sum)
   }
 
+  test("streaming JDBC sink: batch replay replaces, stream lands end to end") {
+    import graft.streaming.StreamingOps
+    val target = freshTarget()
+    val b = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    StreamingOps.publishBatchJdbc(b, 7L, target, "t_stream")
+    // replayed micro-batch (at-least-once recovery) must not duplicate
+    StreamingOps.publishBatchJdbc(b, 7L, target, "t_stream")
+    StreamingOps.publishBatchJdbc(Seq((3L, "c")).toDF("k", "v"), 8L, target, "t_stream")
+    val rows = LakeIO.readJdbc(spark, target, "t_stream")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "a", 7L), (2L, "b", 7L), (3L, "c", 8L)))
+
+    // and through a real streaming query
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft_jdbcck").toString
+    val q = StreamingOps.jdbcSink(
+      mem.toDF().toDF("k", "v"), target, "t_live", ckpt)
+    mem.addData((10L, "x"), (11L, "y"))
+    q.processAllAvailable()
+    mem.addData((12L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    assert(LakeIO.readJdbc(spark, target, "t_live")
+      .select("k").as[Long].collect().toSet == Set(10L, 11L, 12L))
+  }
+
   test("publishGoldJdbc truncate-loads a gold table into the serving DB") {
     val target = freshTarget()
     val zones = LakeZones(Files.createTempDirectory("graft_lake").toString)
