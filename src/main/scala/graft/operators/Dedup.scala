@@ -266,6 +266,61 @@ object Dedup {
         col("n_inter").cast("double") / col("n_min").cast("double"))
       .filter(col("containment") >= threshold)
 
+  /** Prefix-filtered set-similarity join (the PPJoin-family trick):
+    * EXACT Jaccard ≥ `threshold` pairs with NO blocking column and
+    * without indexing every shingle. Each document's distinct
+    * shingles are ordered by GLOBAL rarity (document frequency asc,
+    * hash tiebreak); a pair with `J ≥ t` must share at least one of
+    * each side's first `p = n − ⌈t·n⌉ + 1` shingles — if the whole
+    * prefix misses, the overlap fits inside the `⌈t·n⌉ − 1` suffix,
+    * which is below the `t·n` minimum any qualifying pair needs. So
+    * only PREFIXES enter the inverted index, and rare-first ordering
+    * makes exactly the hottest shingles the least likely to be
+    * indexed — inverting the hot-posting hazard [[ngramJaccard]]'s
+    * `maxPostings` papers over, with zero false negatives. Survivors
+    * pass the length filter `t·n_a ≤ n_b ≤ n_a/t` and verify with an
+    * exact intersection count.
+    *
+    * Scale shape: df is one map-side-combined aggregate; prefix
+    * selection is one per-doc window (shuffle on id); the candidate
+    * join touches prefix postings only (~(1−t)·shingle mass); exact
+    * verification runs once per surviving candidate. */
+  def prefixFilterJoin(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleSize: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).cast(LongType).as("id"),
+      array_distinct(graft.functions.TextExprs.word_shingles(
+        tokens(col(textCol)), shingleSize)).as("shs"))
+    val ex = sh.select(col("id"), size(col("shs")).cast(LongType).as("n"),
+        explode(col("shs")).as("s0"))
+      .select(col("id"), col("n"), xxhash64(col("s0")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("n"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast(LongType))
+      .withColumn("n_union",
+        (size(col("shs_a")) + size(col("shs_b"))).cast(LongType) - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+    withSets.filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+  }
+
   /** Shared candidate-pair machinery: inverted-index self-pairing
     * within a blocking key, returning per-pair distinct-shingle
     * overlap counts `(id_a, id_b, n_a, n_b, n_inter)`. */

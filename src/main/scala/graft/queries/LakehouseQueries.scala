@@ -636,7 +636,39 @@ object LakehouseQueries {
         ORDER BY n_chars DESC, doc_id LIMIT 3) l
       ORDER BY s.source, l.n_chars DESC, l.doc_id"""))
 
+  /** q129 — prefix-filtered set-similarity join
+    * ([[graft.operators.Dedup.prefixFilterJoin]], the PPJoin-family
+    * trick): exact Jaccard ≥ 0.4 pairs with NO blocking column — only
+    * each document's globally-rarest shingle prefix enters the
+    * inverted index, provably without false negatives. The oracle is
+    * the brute-force all-pairs form: identical result set, so the
+    * hash-match proves the pruning is lossless on real data, not just
+    * on DedupSpec's synthetic corpus. */
+  private val q129 = QueryDef(
+    "q129_prefix_filter_join",
+    (s, dir) => graft.operators.Dedup
+      .prefixFilterJoin(ExtensionQueries.augmentedDocs(s, dir), threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""
+      WITH ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, $toksSql AS t FROM aug),
+      sh AS (SELECT doc_id AS id,
+                    list_distinct(${ExtensionQueries.shinglesSql}) AS shs
+             FROM toks),
+      e AS (SELECT id, len(shs) AS n, unnest(shs) AS s FROM sh),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, ANY_VALUE(a.n) AS n_a,
+               ANY_VALUE(b.n) AS n_b, COUNT(*) AS n_inter
+        FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id)
+      SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+             CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+             CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+      FROM pairs
+      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.4
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128)
+      q125, q126, q127, q128, q129)
 }

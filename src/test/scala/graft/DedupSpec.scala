@@ -151,6 +151,33 @@ class DedupSpec extends SparkSpec {
     assert(sql.length == 2 && sql(1).isEmpty)
   }
 
+  test("prefix-filter join equals brute-force all-pairs jaccard (no false negatives)") {
+    // random corpora over a tiny vocab: lots of shared shingles, the
+    // regime where a buggy prefix bound would silently drop pairs
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 40L).map { id =>
+      val len = 4 + rnd.nextInt(8)
+      (id, (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.prefixFilterJoin(docs, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force over the same shingle definition
+      val sh = docs.select($"doc_id",
+          array_distinct(graft.functions.TextExprs.word_shingles(
+            graft.functions.TextFunctions.tokens($"text"), 3)).as("shs"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        inter = sh(a).toSet.intersect(sh(b).toSet).size
+        uni = sh(a).size + sh(b).size - inter
+        if uni > 0 && inter.toDouble / uni >= t
+      } yield (a, b)).toSet
+      assert(got == want, s"t=$t: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("connected components closes pair chains into clusters") {
     // chain 1-2-3-4 (no direct 1-4 pair), pair 10-11, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
