@@ -668,7 +668,60 @@ object LakehouseQueries {
       WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** q130 — duplicate-span detection (the exact-substring dedup
+    * signal of "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, arXiv 2107.06499, re-expressed
+    * relationally): every 16-token window at stride 4 keyed by its
+    * joined text; a window whose key occurs in MORE THAN ONE document
+    * marks duplicated span mass. Per document: window count,
+    * cross-doc duplicated windows, and the duplication ratio — the
+    * per-doc signal a span-level dedup pass acts on. At 100 TB the
+    * window key would shuffle as a rolling 64-bit hash
+    * ([[graft.functions.RollingHashExpr]]); strings here keep the
+    * oracle engine-portable. One explode + one window-key aggregate +
+    * one join back — no pairwise work anywhere. */
+  private val q130 = QueryDef(
+    "q130_duplicate_spans",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val W = 16; val S = 4
+      val wins = ExtensionQueries.augmentedDocs(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= W)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t) - $W + 1, $S), i -> array_join(slice(t, i, $W), ' '))"))
+          .as("k"))
+      val dup = wins.groupBy(col("k"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("k"), lit(true).as("is_dup"))
+      wins.join(dup, Seq("k"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_windows").cast(DoubleType) / col("n_windows"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, $toksSql AS t FROM aug),
+      wins AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 15, 4),
+                 i -> array_to_string(list_slice(t, i, i + 15), ' '))) AS k
+        FROM toks WHERE len(t) >= 16),
+      dup AS (
+        SELECT k FROM wins GROUP BY k HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT w.doc_id, COUNT(*) AS n_windows,
+             CAST(COUNT(*) FILTER (WHERE d.k IS NOT NULL) AS BIGINT)
+               AS n_dup_windows,
+             ROUND(CAST(COUNT(*) FILTER (WHERE d.k IS NOT NULL) AS DOUBLE)
+               / COUNT(*), 6) AS dup_ratio
+      FROM wins w LEFT JOIN dup d USING (k)
+      GROUP BY w.doc_id ORDER BY w.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128, q129)
+      q125, q126, q127, q128, q129, q130)
 }
