@@ -289,34 +289,61 @@ object Dedup {
                        textCol: String = "text", shingleSize: Int = 3,
                        threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol).cast(LongType).as("id"),
-      array_distinct(graft.functions.TextExprs.word_shingles(
-        tokens(col(textCol)), shingleSize)).as("shs"))
-    val ex = sh.select(col("id"), size(col("shs")).cast(LongType).as("n"),
-        explode(col("shs")).as("s0"))
-      .select(col("id"), col("n"), xxhash64(col("s0")).as("s"))
+    // the hashed shingle table feeds four subtrees (df, prefix, both
+    // verification joins) — truncate so the tokenize + shingle
+    // pipeline computes once, not once per consumer; shingles travel
+    // as 64-bit hashes everywhere (same collision tolerance as
+    // [[ngramJaccard]], checked end-to-end by the q129 oracle)
+    val ex = Checkpoints.truncate(
+      docs.select(col(idCol).cast(LongType).as("id"),
+          array_distinct(graft.functions.TextExprs.word_shingles(
+            tokens(col(textCol)), shingleSize)).as("shs"))
+        .select(col("id"), size(col("shs")).cast(LongType).as("n"),
+          explode(col("shs")).as("s0"))
+        .select(col("id"), col("n"), xxhash64(col("s0")).as("s")))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
-    val prefix = ex.join(dfreq, "s")
+    val prefix = Checkpoints.truncate(ex.join(dfreq, "s")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("n"), col("s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("a.n") * threshold <= col("b.n") &&
-          col("b.n") * threshold <= col("a.n"))
+      .select(col("id"), col("n"), col("rk"), col("s")))
+    // pairs from prefix POSTING LISTS (shingle pipeline evaluated
+    // once, singleton postings die in the aggregate), pruned by the
+    // PPJoin positional filter: a match at prefix ranks (rk_a, rk_b)
+    // can contribute at most 1 + min(n−rk) total overlap, and a
+    // qualifying pair needs |x∩y| ≥ t(n_a+n_b)/(1+t). The FIRST
+    // shared prefix shingle of any qualifying pair always passes
+    // (everything it might still share lies at or after that rank on
+    // both sides), so the filter is lossless through the distinct.
+    val postings = prefix.groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"), col("rk"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val cand = postings
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        col("a.n") * threshold <= col("b.n") &&
+        col("b.n") * threshold <= col("a.n") &&
+        (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) >=
+          ceil((col("a.n") + col("b.n")) * lit(threshold) / lit(1.0 + threshold)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val withSets = cand
-      .join(sh.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .withColumn("n_inter",
-        size(array_intersect(col("shs_a"), col("shs_b"))).cast(LongType))
-      .withColumn("n_union",
-        (size(col("shs_a")) + size(col("shs_b"))).cast(LongType) - col("n_inter"))
+    // exact verification as a COUNT over the hashed exploded table
+    // (skinny long rows) rather than array payloads: candidates pick
+    // up side a's shingles, then an equi join on (id_b, shingle)
+    // keeps exactly the shared ones — two shuffle joins, no string
+    // arrays in motion
+    val verified = cand
+      .join(ex.select(col("id").as("id_a"), col("n").as("n_a"), col("s")), "id_a")
+      .join(ex.select(col("id").as("id_b"), col("n").as("n_b"), col("s")),
+        Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / col("n_union").cast("double"))
-    withSets.filter(col("jaccard") >= threshold)
+    verified.filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
         col("jaccard"))
   }

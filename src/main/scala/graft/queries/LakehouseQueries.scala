@@ -638,7 +638,7 @@ object LakehouseQueries {
 
   /** q129 — prefix-filtered set-similarity join
     * ([[graft.operators.Dedup.prefixFilterJoin]], the PPJoin-family
-    * trick): exact Jaccard ≥ 0.4 pairs with NO blocking column — only
+    * trick): exact Jaccard ≥ 0.6 pairs with NO blocking column — only
     * each document's globally-rarest shingle prefix enters the
     * inverted index, provably without false negatives. The oracle is
     * the brute-force all-pairs form: identical result set, so the
@@ -647,7 +647,7 @@ object LakehouseQueries {
   private val q129 = QueryDef(
     "q129_prefix_filter_join",
     (s, dir) => graft.operators.Dedup
-      .prefixFilterJoin(ExtensionQueries.augmentedDocs(s, dir), threshold = 0.4)
+      .prefixFilterJoin(ExtensionQueries.augmentedDocs(s, dir), threshold = 0.6)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""
       WITH ${ExtensionQueries.augmentedDocsSql},
@@ -665,7 +665,7 @@ object LakehouseQueries {
              CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
              CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
       FROM pairs
-      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.4
+      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
       ORDER BY id_a, id_b"""))
 
   /** q130 — duplicate-span detection (the exact-substring dedup
