@@ -721,7 +721,136 @@ object LakehouseQueries {
       FROM wins w LEFT JOIN dup d USING (k)
       GROUP BY w.doc_id ORDER BY w.doc_id"""))
 
+  /** q131 — triangle counting over the token co-occurrence graph,
+    * degree-ordered (the node-iterator++ technique): each undirected
+    * edge orients from its (degree, name)-smaller endpoint, so every
+    * triangle is counted exactly once from its minimum vertex and —
+    * the 100 TB point — wedge generation at hub nodes collapses,
+    * because hubs sit on the RECEIVING end of almost all their edges.
+    * Output: one row of graph invariants (nodes, undirected edges,
+    * oriented wedges, triangles). */
+  private val q131 = QueryDef(
+    "q131_triangle_count",
+    (s, dir) => {
+      import graft.functions.{TextFunctions, TextExprs}
+      val bi = table(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(TextExprs.word_shingles(col("t"), 2)).as("bigram"))
+        .select(substring_index(col("bigram"), " ", 1).as("x"),
+          substring_index(col("bigram"), " ", -1).as("y"))
+        .filter(col("x") =!= col("y"))
+      // canonical undirected edge set
+      val edges = bi.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      // orient: (deg, name)-smaller endpoint points at the larger
+      val withDeg = edges
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      val oriented = graft.operators.Checkpoints.truncate(withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst")))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("u"), col("e2.dst").as("w"))
+      val tri = wedges.join(edges,
+        least(col("u"), col("w")) === col("a") &&
+          greatest(col("u"), col("w")) === col("b"))
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+          broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+        .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks),
+      xy AS (
+        SELECT string_split(bigram, ' ')[1] AS x,
+               string_split(bigram, ' ')[2] AS y
+        FROM bi WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+      edges AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM xy),
+      deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY 1),
+      oriented AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+        FROM edges e
+        JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      wedges AS (
+        SELECT e1.dst AS u, e2.dst AS w
+        FROM oriented e1 JOIN oriented e2
+          ON e1.src = e2.src AND e1.dst < e2.dst),
+      tri AS (
+        SELECT 1 FROM wedges
+        JOIN edges ON least(u, w) = a AND greatest(u, w) = b)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM edges) AS n_edges,
+             (SELECT COUNT(*) FROM wedges) AS n_wedges,
+             (SELECT COUNT(*) FROM tri) AS n_triangles"""))
+
+  /** q132 — token-distribution drift (per-source KL divergence from
+    * the corpus unigram distribution): the mixture-health metric a
+    * pretraining pipeline watches as sources shift. Each token's term
+    * `p·ln(p/q)` rounds to 6 decimals BEFORE an exact DECIMAL sum, so
+    * the aggregate is order-independent and engine-portable (the q56
+    * discipline, extended to a summed-log measure); ties at rounding
+    * boundaries are the only cross-engine hazard and sit ~10 orders
+    * below the rounded digit. */
+  private val q132 = QueryDef(
+    "q132_token_kl_drift",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val toks = table(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      val perSrc = toks.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val corpus = perSrc.groupBy(col("w")).agg(sum(col("c")).as("cq"))
+      val corpusTot = corpus.agg(sum(col("cq")).as("tq"))
+      perSrc.join(srcTot, "source").join(corpus, "w")
+        .crossJoin(broadcast(corpusTot))
+        .withColumn("term", round(
+          (col("c") / col("t")) *
+            log((col("c") * col("tq")) / (col("t") * col("cq"))), 6)
+          .cast(DecimalType(28, 6)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens_distinct"),
+          sum(col("term")).cast(DoubleType).as("kl_vs_corpus"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source, unnest($toksSql) AS w FROM documents),
+      per AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM per GROUP BY 1),
+      cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cq FROM per GROUP BY 1),
+      ct AS (SELECT CAST(SUM(cq) AS BIGINT) AS tq FROM cw)
+      SELECT per.source, COUNT(*) AS n_tokens_distinct,
+             CAST(SUM(CAST(ROUND(
+               (CAST(c AS DOUBLE) / t) *
+                 ln((CAST(c AS DOUBLE) * tq) / (CAST(t AS DOUBLE) * cq)), 6)
+               AS DECIMAL(28, 6))) AS DOUBLE) AS kl_vs_corpus
+      FROM per JOIN st USING (source) JOIN cw USING (w), ct
+      GROUP BY per.source ORDER BY per.source"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128, q129, q130)
+      q125, q126, q127, q128, q129, q130, q131, q132)
 }
