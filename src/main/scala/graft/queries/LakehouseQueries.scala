@@ -850,7 +850,56 @@ object LakehouseQueries {
       FROM per JOIN st USING (source) JOIN cw USING (w), ct
       GROUP BY per.source ORDER BY per.source"""))
 
+  /** q133 — length/quality Pearson correlation per source, computed
+    * from EXACT INTEGER sums: both variables are integers (n_chars;
+    * quality scaled to 10⁻⁴ ticks), the six sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) aggregate exactly in BIGINT, and the
+    * correlation is ONE final double expression — so the result is
+    * bit-identical across engines and partitionings, unlike a native
+    * one-pass `corr` whose float accumulation order varies. The
+    * mixture-design signal: does this source pay for length with
+    * quality? */
+  private val q133 = QueryDef(
+    "q133_length_quality_corr",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val xy = table(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("x"),
+          floor(TextFunctions.qualityScoreOf(col("text"),
+            TextFunctions.tokens(col("text"))) * 10000).cast(LongType).as("y"))
+      xy.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("pearson_r", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6))
+        .select(col("source"), col("n"), col("pearson_r"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT source, text, n_chars, $toksSql AS t FROM documents),
+      q AS (
+        SELECT source, n_chars AS x,
+               CAST(floor(10000 * (${ExtensionQueries.qualitySql})) AS BIGINT) AS y
+        FROM toks),
+      stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM q GROUP BY 1)
+      SELECT source, n,
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+      FROM stats ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128, q129, q130, q131, q132)
+      q125, q126, q127, q128, q129, q130, q131, q132, q133)
 }
