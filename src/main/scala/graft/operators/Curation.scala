@@ -17,10 +17,11 @@ import graft.sources.{LakeIO, LakeZones}
   * ([[TextAnalysis.profile]], [[TextAnalysis.scrubPii]],
   * [[Dedup.exactSurvivors]], [[Dedup.minhashLsh]],
   * [[Dedup.connectedComponents]]), so the composition inherits their
-  * scale shapes; the lake writes between stages are the same
-  * truncation points a 100 TB run needs anyway (each stage's output
-  * is a restart boundary, and downstream plans read a flat scan
-  * instead of the whole upstream DAG). */
+  * scale shapes; the lake writes between stages are ATOMIC
+  * ([[graft.sources.LakeIO.replaceGold]] staged rename — a crash
+  * mid-write never corrupts a zone) and double as the restart
+  * boundaries a 100 TB run needs anyway (downstream plans read a
+  * flat scan instead of the whole upstream DAG). */
 object Curation {
 
   /** Per-stage row counts, in pipeline order. */
@@ -36,7 +37,7 @@ object Curation {
           langs: Seq[String] = Seq("en", "other"),
           nearDupThreshold: Double = 0.5): Report = {
     // bronze: land the raw corpus untouched
-    LakeIO.overwriteGold(raw, zones, "curation_bronze")
+    LakeIO.replaceGold(raw, zones, "curation_bronze")
     val bronze = LakeIO.readGold(spark, zones, "curation_bronze")
     val nRaw = bronze.count()
 
@@ -48,13 +49,13 @@ object Curation {
     val scrubbed = TextAnalysis.scrubPii(gated)
       .withColumn("text", col("clean_text"))
       .drop("clean_text")
-    LakeIO.overwriteGold(scrubbed, zones, "curation_silver")
+    LakeIO.replaceGold(scrubbed, zones, "curation_silver")
     val silver = LakeIO.readGold(spark, zones, "curation_silver")
     val nGated = silver.count()
 
     // gold 1: exact dedup (normalized-text fingerprints, min id wins)
     val exact = Dedup.exactSurvivors(silver)
-    LakeIO.overwriteGold(exact, zones, "curation_exact")
+    LakeIO.replaceGold(exact, zones, "curation_exact")
     val exactDf = LakeIO.readGold(spark, zones, "curation_exact")
     val nExact = exactDf.count()
 
@@ -67,13 +68,13 @@ object Curation {
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
     val survivors = exactDf.join(removed, Seq("doc_id"), "left_anti")
-    LakeIO.overwriteGold(survivors, zones, "curation_gold")
+    LakeIO.replaceGold(survivors, zones, "curation_gold")
     val gold = LakeIO.readGold(spark, zones, "curation_gold")
     val nGold = gold.count()
 
     // mixture stats beside the corpus (language histogram with token
     // mass — the q41/q83 shape over the final survivors)
-    LakeIO.overwriteGold(
+    LakeIO.replaceGold(
       TextAnalysis.langHistogram(gold), zones, "curation_mixture")
 
     Report(nRaw, nGated, nExact, nGold)
