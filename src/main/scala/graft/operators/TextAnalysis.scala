@@ -163,6 +163,84 @@ object TextAnalysis {
         col("term"), col("score"))
   }
 
+  // ------------------------------------------- duplicate-span removal
+
+  /** Remove duplicated token spans from every document — the REMOVAL
+    * half of exact-substring dedup (Lee et al. 2022, arXiv
+    * 2107.06499): every `window`-token span whose text occurs more
+    * than once in the corpus (any document, including repeats within
+    * one) is cut from ALL its occurrences; overlapping marked windows
+    * merge into maximal spans first, so a long duplicated passage
+    * disappears as one piece. Documents with nothing duplicated pass
+    * through with their tokens rejoined unchanged.
+    *
+    * Policy note: removing EVERY occurrence (rather than keeping one
+    * canonical copy) is the conservative curation stance — a span
+    * frequent enough to repeat is boilerplate; deterministic and
+    * order-free, which is what makes the operator exactly
+    * reproducible cross-engine.
+    *
+    * Shape: one window explode (stride 1, ~n_tokens rows) → one
+    * window-key aggregate (map-side combined; at 100 TB the key
+    * would be the rolling 64-bit hash) → marked starts merge into
+    * spans with the sort-free islands pattern (running max over one
+    * per-doc window) → token positions anti-join the span ranges
+    * (equi on doc + range residual, stays a hash join) → per-doc
+    * reassembly. No pairwise stage anywhere.
+    *
+    * @return (idCol, n_tokens, n_dropped, clean_text) */
+  def dropDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         window: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = window
+    val toks = docs.select(col(idCol).cast(LongType).as("_id"),
+      tokens(col(textCol)).as("t"))
+    val pos = toks.select(col("_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val wins = toks.filter(size(col("t")) >= W)
+      .select(col("_id"), explode(expr(
+        s"transform(sequence(1, size(t) - $W + 1), i -> struct(i AS i, array_join(slice(t, i, $W), ' ') AS k))"))
+        .as("w"))
+      .select(col("_id"), col("w.i").as("i"), col("w.k").as("k"))
+    val dupKeys = wins.groupBy(col("k"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("k"))
+    val marked = wins.join(dupKeys, Seq("k"), "left_semi")
+      .select(col("_id"), col("i"), (col("i") + W - 1).as("e"))
+    // merge overlapping windows into maximal spans (islands by
+    // running max of span ends)
+    val byDoc = Window.partitionBy(col("_id")).orderBy(col("i"))
+    val spans = marked
+      .withColumn("prevMax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isNew",
+        when(col("prevMax").isNull || col("i") > col("prevMax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("isNew")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("e")).as("e"))
+    val dropped = pos.join(spans,
+        pos("_id") === spans("_id") &&
+          col("pos") >= col("s") && col("pos") <= col("e"), "left_semi")
+      .select(pos("_id"), col("pos"))
+    val kept = pos.join(dropped, Seq("_id", "pos"), "left_anti")
+    val stats = pos.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast(LongType).as("_id"))
+      .join(stats, Seq("_id"), "left")
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Greedy leftmost-first merge of adjacent symbol pair (a, b) in a
     * symbol array — the BPE rewrite step, as a pure fold (no UDF):
     * state carries (output, held symbol); a held `a` followed by `b`

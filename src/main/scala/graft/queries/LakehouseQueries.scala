@@ -899,7 +899,71 @@ object LakehouseQueries {
                 sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
       FROM stats ORDER BY source"""))
 
+  /** q134 — duplicate-span REMOVAL
+    * ([[graft.operators.TextAnalysis.dropDuplicateSpans]]): the
+    * rewrite half of exact-substring dedup — q130 measures the
+    * duplicated mass, this cuts it. Every 16-token span occurring
+    * more than once corpus-wide is removed from all occurrences
+    * (overlapping windows merged into maximal spans first); the
+    * oracle replays the full mark → merge-islands → cut → reassemble
+    * pipeline in SQL, so the hash-match covers the rewritten TEXT,
+    * not just counts. */
+  private val q134 = QueryDef(
+    "q134_drop_duplicate_spans",
+    (s, dir) => graft.operators.TextAnalysis
+      .dropDuplicateSpans(ExtensionQueries.augmentedDocs(s, dir), window = 16)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, $toksSql AS t FROM aug),
+      pos AS (
+        SELECT doc_id, u.i AS pos, t[u.i] AS tok
+        FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      wins AS (
+        SELECT doc_id, u.i AS i,
+               array_to_string(list_slice(t, u.i, u.i + 15), ' ') AS k
+        FROM toks, unnest(generate_series(1, len(t) - 15)) AS u(i)
+        WHERE len(t) >= 16),
+      dup AS (SELECT k FROM wins GROUP BY k HAVING COUNT(*) > 1),
+      marked AS (
+        SELECT w.doc_id, i, i + 15 AS e FROM wins w JOIN dup USING (k)),
+      mk AS (
+        SELECT doc_id, i, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM marked),
+      isl AS (
+        SELECT doc_id, i, e,
+               SUM(CASE WHEN pm IS NULL OR i > pm + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM mk),
+      spans AS (
+        SELECT doc_id, island, MIN(i) AS s, MAX(e) AS e
+        FROM isl GROUP BY 1, 2),
+      dropped AS (
+        SELECT DISTINCT p.doc_id, p.pos
+        FROM pos p JOIN spans sp
+          ON p.doc_id = sp.doc_id AND p.pos BETWEEN sp.s AND sp.e),
+      kept AS (
+        SELECT p.doc_id, p.pos, p.tok FROM pos p
+        LEFT JOIN dropped d ON p.doc_id = d.doc_id AND p.pos = d.pos
+        WHERE d.pos IS NULL),
+      stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM pos GROUP BY 1),
+      reb AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY 1)
+      SELECT a.doc_id,
+             COALESCE(st.n_tokens, 0) AS n_tokens,
+             COALESCE(st.n_tokens, 0) - COALESCE(reb.n_kept, 0) AS n_dropped,
+             COALESCE(reb.clean_text, '') AS clean_text
+      FROM aug a
+      LEFT JOIN stats st USING (doc_id) LEFT JOIN reb USING (doc_id)
+      ORDER BY a.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128, q129, q130, q131, q132, q133)
+      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }

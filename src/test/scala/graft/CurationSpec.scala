@@ -112,4 +112,22 @@ class CurationSpec extends SparkSpec {
       ("g2", 1L, "durian"), ("g2", 2L, "elderberry")))
     assert(!out.exists(_._3 == "common"))
   }
+
+  test("dropDuplicateSpans cuts cross-doc and intra-doc duplicated spans, merges overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),              // shares "a b c d" with doc 2
+      (2L, "x y a b c d w z"),
+      (3L, "p q r s t u v"),                // untouched
+      (4L, "m n o p m n o p"),              // intra-doc repeat: all dropped
+      (5L, "")                              // token-less: passes through
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dropDuplicateSpans(docs, window = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 4L, "e f g h")))
+    assert(got(2L) == ((8L, 4L, "x y w z")))
+    assert(got(3L) == ((7L, 0L, "p q r s t u v")))
+    assert(got(4L) == ((8L, 8L, "")))
+    assert(got(5L) == ((0L, 0L, "")))
+  }
 }
