@@ -910,7 +910,77 @@ object AnalyticsQueries {
               / least(len(a.sh), len(b.sh)) >= 0.9
       ORDER BY id_a, id_b"""))
 
+  /** q137 — cluster-safe train/val/test split: the FIX for the
+    * leakage q97 detects. A per-document hash split lets near-dup
+    * clusters straddle train and eval (q97 finds exactly those
+    * clusters); here the split key is the near-dup CLUSTER label
+    * (singletons cluster as themselves), so every document in a
+    * cluster lands in the same slice BY CONSTRUCTION — leakage is
+    * structurally zero, not audited after the fact. Split membership
+    * stays a pure md5 function of the cluster id (the q52
+    * discipline), so any engine reproduces the identical 80/10/10
+    * assignment; the oracle recomputes the transitive closure
+    * recursively and replays the bucketing. */
+  private val q137 = QueryDef(
+    "q137_cluster_safe_split",
+    (s, dir) => {
+      val docs = ExtensionQueries.augmentedDocs(s, dir)
+      val pairs = graft.operators.Dedup.ngramJaccard(docs, threshold = 0.3)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val assigned = docs.join(comps, docs("doc_id") === comps("id"), "left")
+        .select(col("doc_id"), col("source"), col("text"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+      val split = assigned
+        .withColumn("b", graft.operators.Sampling.bucket(col("cluster")))
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val")
+            .otherwise("test"))
+      split.groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(length(col("text")).cast(LongType)).as("char_mass"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
+      prepped AS (
+        SELECT doc_id AS id,
+               source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
+               list_distinct(${ExtensionQueries.shinglesSql}) AS sh
+        FROM toks),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      cl AS (
+        SELECT a.doc_id, a.source, a.text,
+               COALESCE(c.component, a.doc_id) AS cluster
+        FROM aug a LEFT JOIN comp c ON a.doc_id = c.id),
+      lab AS (
+        SELECT source, text, cluster,
+               CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cl)
+      SELECT split, source, COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+             CAST(SUM(length(text)) AS BIGINT) AS char_mass
+      FROM lab GROUP BY 1, 2 ORDER BY split, source"""))
+
   def all: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95, q96, q97, q98, q99, q100)
+      q93, q94, q95, q96, q97, q98, q99, q100, q137)
 }
