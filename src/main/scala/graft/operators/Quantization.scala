@@ -97,6 +97,48 @@ object Quantization {
         col("n_id"), col("qcos"))
   }
 
+  // ------------------------------------------------ binary (1-bit) quantization
+
+  /** Binarize to sign bits packed into two 32-bit words (`b0` = dims
+    * 1–32, `b1` = dims 33–64): bit i set iff x > 0. Two words instead
+    * of one keep every shift ≤ 31, which every engine's BIGINT shift
+    * handles without sign-overflow edge cases. 512× smaller than the
+    * float vector — the coarsest tier of the compression family.
+    * Output: (idCol, b0, b1). */
+  def binarize(corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    def pack(offset: Int): Column = aggregate(
+      transform(sequence(lit(1), lit(32)), i =>
+        when(element_at(col(vecCol), i + offset).cast(DoubleType) > 0.0,
+          call_function("shiftleft", lit(1L), i - 1)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    corpus.select(col(idCol).cast(LongType).as(idCol),
+      pack(0).as("b0"), pack(32).as("b1"))
+  }
+
+  /** Top-k by Hamming distance over the packed sign bits: two XORs
+    * and two popcounts per candidate — the cheapest possible scan.
+    * Pure-integer scoring, so ranking (distance asc, id asc) is
+    * exactly reproducible anywhere. Output: (q_id, rank, n_id,
+    * hamming). */
+  def hammingTopK(binarized: DataFrame, queryIds: DataFrame, k: Int,
+                  idCol: String = "vec_id"): DataFrame = {
+    val c = binarized.select(col(idCol).as("n_id"),
+      col("b0").as("n_b0"), col("b1").as("n_b1"))
+    val q = broadcast(binarized.join(queryIds, idCol)
+      .select(col(idCol).as("q_id"), col("b0").as("q_b0"), col("b1").as("q_b1")))
+    val scored = c.join(q, col("q_id") =!= col("n_id"))
+      .withColumn("hamming",
+        (bit_count(col("q_b0").bitwiseXOR(col("n_b0"))) +
+          bit_count(col("q_b1").bitwiseXOR(col("n_b1")))).cast(LongType))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+        col("n_id"), col("hamming"))
+  }
+
   // ------------------------------------------------ product quantization
 
   /** ‖a−b‖² via the dot identity — NOT a fused (x−y)² fold — so both

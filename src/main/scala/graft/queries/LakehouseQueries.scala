@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.queries.QueryDef.{eventsTable, table}
@@ -963,7 +964,71 @@ object LakehouseQueries {
       LEFT JOIN stats st USING (doc_id) LEFT JOIN reb USING (doc_id)
       ORDER BY a.doc_id"""))
 
+  /** q139 — bigram language-model document scoring (perplexity-style
+    * quality filtering): train add-one-smoothed conditional bigram
+    * probabilities on the corpus itself, then score every document by
+    * its mean negative log-likelihood — the classic "does this text
+    * look like the corpus" curation filter (high avg NLL = gibberish
+    * / boilerplate candidates), one tier up from q78's unigram score.
+    * Each bigram term rounds to 6 decimals before an exact DECIMAL
+    * sum (q132 discipline) so the per-doc aggregate is
+    * order-independent; documents with fewer than two tokens still
+    * appear with zero counts (the q124 lesson). */
+  private val q139 = QueryDef(
+    "q139_bigram_lm_score",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = toks.withColumn("nxt", lead(col("w"), 1).over(byDoc))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("w").as("a"), col("nxt").as("b"))
+      val bc = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val uc = big.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val voc = toks.agg(countDistinct(col("w")).as("v"))
+      val terms = big.join(bc, Seq("a", "b")).join(uc, Seq("a"))
+        .crossJoin(broadcast(voc))
+        .withColumn("term", round(-log(
+          (col("cab") + lit(1L)).cast(DoubleType) /
+            (col("ca").cast(DoubleType) + col("v"))), 6)
+          .cast(DecimalType(28, 6)))
+      val agg = terms.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("s"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("s").cast(DoubleType) / col("n_bigrams"), lit(0.0))
+            .as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      big AS (
+        SELECT doc_id, t[u.i] AS a, t[u.i + 1] AS b
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      bc AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY 1, 2),
+      uc AS (SELECT a, COUNT(*) AS ca FROM big GROUP BY 1),
+      voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+              FROM (SELECT unnest(t) AS w FROM toks)),
+      terms AS (
+        SELECT g.doc_id,
+               CAST(ROUND(-ln(CAST(cab + 1 AS DOUBLE)
+                   / (CAST(ca AS DOUBLE) + v)), 6) AS DECIMAL(28, 6)) AS term
+        FROM big g JOIN bc USING (a, b) JOIN uc USING (a), voc),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     SUM(term) AS s
+              FROM terms GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+             COALESCE(CAST(agg.s AS DOUBLE) / agg.n_bigrams, 0.0) AS avg_nll
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139)
 }

@@ -182,5 +182,64 @@ object QuantQueries {
                      WHERE t.q_id = r.q_id AND t.n_id = r.n_id) AS hit
       FROM ranked r WHERE rn <= 5 ORDER BY q_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(q135, q136)
+  /** q138 — binary (1-bit) Hamming ANN + recall audit
+    * ([[graft.operators.Quantization.binarize]]): sign bits packed
+    * into two 32-bit words (512× smaller than the float corpus),
+    * candidates ranked by XOR-popcount Hamming distance — the
+    * coarsest, cheapest tier of the compression family (float → int8
+    * → PQ → binary). All-integer scoring means the ranking is
+    * trivially bit-stable; hits are flagged against the exact float
+    * top-5 like q135/q136. */
+  private val q138 = QueryDef(
+    "q138_binary_hamming_ann",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val bits = Quantization.binarize(e)
+      val qIds = e.filter(col("vec_id") % 200 === 0).select(col("vec_id"))
+      val top = Quantization.hammingTopK(bits, qIds, k = 5)
+      val exact = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5)
+        .select(col("q_id"), col("n_id"), lit(true).as("hit"))
+      top.join(exact, Seq("q_id", "n_id"), "left")
+        .select(col("q_id"), col("rank"), col("n_id"), col("hamming"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bits AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 32), i ->
+                 CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b0,
+               CAST(list_sum(list_transform(generate_series(1, 32), i ->
+                 CASE WHEN v[i + 32] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b1
+        FROM e),
+      q AS (SELECT vec_id AS q_id, b0 AS q_b0, b1 AS q_b1
+            FROM bits WHERE vec_id % 200 = 0),
+      scored AS (
+        SELECT q_id, vec_id AS n_id,
+               CAST(bit_count(xor(q_b0, b0)) + bit_count(xor(q_b1, b1))
+                 AS BIGINT) AS hamming
+        FROM q JOIN bits ON q_id <> vec_id),
+      ranked AS (
+        SELECT q_id, n_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, n_id) AS rn
+        FROM scored),
+      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0),
+      esc AS (SELECT a.q_id, b.vec_id AS n_id, $cosSql AS cos
+              FROM eq a JOIN e b ON a.q_id <> b.vec_id),
+      etop AS (SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, n_id) AS rn
+                 FROM esc) WHERE rn <= 5)
+      SELECT r.q_id, CAST(rn AS BIGINT) AS rank, r.n_id, hamming,
+             EXISTS (SELECT 1 FROM etop t
+                     WHERE t.q_id = r.q_id AND t.n_id = r.n_id) AS hit
+      FROM ranked r WHERE rn <= 5 ORDER BY q_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q135, q136, q138)
 }

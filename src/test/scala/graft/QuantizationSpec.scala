@@ -69,6 +69,26 @@ class QuantizationSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall@5 $recall below 0.8")
   }
 
+  test("binarize packs sign bits exactly; hamming ranks by bit disagreement") {
+    val corpus = Seq(
+      (0L, Array.fill(64)(1.0f)),                       // all ones
+      (1L, Array.fill(64)(-1.0f)),                      // all negative
+      (2L, Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)), // half
+      (3L, Array.tabulate(64)(i => if (i == 0) -1.0f else 1.0f))  // 1 bit off vs 0
+    ).toDF("vec_id", "embedding")
+    val bits = Quantization.binarize(corpus)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bits(0L) == ((0xffffffffL, 0xffffffffL)))
+    assert(bits(1L) == ((0L, 0L)))
+    assert(bits(2L) == ((0xffffffffL, 0L)))
+    assert(bits(3L) == ((0xfffffffeL, 0xffffffffL)))
+    val top = Quantization.hammingTopK(Quantization.binarize(corpus),
+      Seq(Tuple1(0L)).toDF("vec_id"), k = 3)
+      .select(col("rank"), col("n_id"), col("hamming"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(top.toSeq == Seq((1L, 3L, 1L), (2L, 2L, 32L), (3L, 1L, 64L)))
+  }
+
   test("pq: codes are within the codebook, one per (vector, subspace)") {
     val corpus = syntheticCorpus(120, 16)
     val cb = Quantization.pqTrain(corpus, nSub = 4, subDim = 4, every = 20, rounds = 2)
