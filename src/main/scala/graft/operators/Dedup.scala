@@ -476,4 +476,43 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
+
+  // ------------------------------------------------ sorted neighborhood
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo's
+    * merge/purge method): globally order records by `sortKey` (ties
+    * broken by id for determinism), then emit every pair whose ranks
+    * differ by at most `window`. The classic blocking alternative to
+    * LSH — one sort instead of signature computation, and the
+    * candidate count is exactly n·window by construction.
+    *
+    * Scale shape: the global rank comes from [[Ids.addContiguousIds]]
+    * (range exchange + zipWithIndex — no single-partition window),
+    * and the windowed self-join never compares ranks pairwise:
+    * rows land in rank-blocks of size `window`, each left row probes
+    * its own block and the next one (two equi-join keys), so any pair
+    * within `window` ranks meets in exactly one bucket. Shuffles are
+    * all on uniformly distributed block ids.
+    *
+    * Output: (a_id, b_id, rank_gap) with a_id ranked before b_id.
+    * Verification (edit distance, Jaccard, …) is the caller's second
+    * stage, run only on these n·window candidates. */
+  def sortedNeighborhoodPairs(docs: DataFrame, sortKey: Column, window: Int,
+                              idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val keyed = docs.select(col(idCol).cast(LongType).as("id"),
+      sortKey.as("snm_key"))
+    val ranked = Ids
+      .addContiguousIds(keyed, Seq(col("snm_key"), col("id")), "rank")
+      .select(col("id"), col("rank"))
+    val blk = floor(col("rank") / window).cast(LongType)
+    val left = ranked.select(col("id").as("a_id"), col("rank").as("a_rank"),
+      explode(array(blk, blk + 1L)).as("probe"))
+    val right = ranked.select(col("id").as("b_id"), col("rank").as("b_rank"),
+      blk.as("probe"))
+    left.join(right, Seq("probe"))
+      .filter((col("b_rank") - col("a_rank")).between(lit(1), lit(window)))
+      .select(col("a_id"), col("b_id"),
+        (col("b_rank") - col("a_rank")).as("rank_gap"))
+  }
 }

@@ -1028,7 +1028,56 @@ object LakehouseQueries {
       FROM documents d LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** q140 — sorted-neighborhood near-dup
+    * ([[graft.operators.Dedup.sortedNeighborhoodPairs]], Hernández &
+    * Stolfo's merge/purge): order the corpus by a 40-char normalized
+    * prefix key, compare only rank-neighbors within a window of 5,
+    * verify candidates by edit distance on capped text (all-integer
+    * accept test: 5·lev ≤ max length). The planted mutants differ
+    * only at the tail, so prefix order makes them neighbors — the
+    * method's exact selling point: n·window candidates from one
+    * sort, no signatures, no pair explosion. */
+  private val q140 = QueryDef(
+    "q140_sorted_neighborhood",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val docs = ExtensionQueries.augmentedDocs(s, dir)
+      val pairs = Dedup.sortedNeighborhoodPairs(
+        docs, substring(lower(col("text")), 1, 40), window = 5)
+      val sub = docs.select(col("doc_id"),
+        substring(col("text"), 1, 250).as("sub"))
+      pairs
+        .join(sub.select(col("doc_id").as("a_id"), col("sub").as("a_sub")),
+          Seq("a_id"))
+        .join(sub.select(col("doc_id").as("b_id"), col("sub").as("b_sub")),
+          Seq("b_id"))
+        .withColumn("lev", levenshtein(col("a_sub"), col("b_sub")).cast(LongType))
+        .filter(col("lev") * 5 <=
+          greatest(length(col("a_sub")), length(col("b_sub"))))
+        .select(col("a_id"), col("b_id"),
+          col("rank_gap").cast(LongType).as("rank_gap"), col("lev"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH ${ExtensionQueries.augmentedDocsSql},
+      keyed AS (SELECT doc_id, substring(lower(text), 1, 40) AS k,
+                       substring(text, 1, 250) AS sub FROM aug),
+      ranked AS (SELECT doc_id, sub,
+                        ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk
+                 FROM keyed),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+               CAST(levenshtein(a.sub, b.sub) AS BIGINT) AS lev,
+               greatest(length(a.sub), length(b.sub)) AS mx
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5)
+      SELECT a_id, b_id, rank_gap, lev FROM pairs
+      WHERE lev * 5 <= mx
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139)
+      q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
+      q140)
 }

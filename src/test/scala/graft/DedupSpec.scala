@@ -304,4 +304,23 @@ class DedupSpec extends SparkSpec {
     val jac = Dedup.ngramJaccard(docs, threshold = 0.3)
     assert(jac.count() == 0)
   }
+
+  test("sorted neighborhood emits exactly the pairs within the rank window") {
+    // sort key = text itself; ranks follow (text, id) lexicographic order
+    val docs = Seq(
+      (10L, "aaa", "s"), (11L, "aab", "s"), (12L, "aac", "s"),
+      (13L, "zzz", "s"), (14L, "aaa", "s")) // ties with 10 on key, id breaks
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sortedNeighborhoodPairs(docs, col("text"), window = 2)
+      .select($"a_id", $"b_id", $"rank_gap")
+      .as[(Long, Long, Long)].collect().toSet
+    // rank order: 10(aaa), 14(aaa), 11(aab), 12(aac), 13(zzz)
+    val expected = Set(
+      (10L, 14L, 1L), (10L, 11L, 2L), (14L, 11L, 1L), (14L, 12L, 2L),
+      (11L, 12L, 1L), (11L, 13L, 2L), (12L, 13L, 1L))
+    assert(got == expected)
+    // window=1 is adjacent-only: n-1 pairs
+    assert(Dedup.sortedNeighborhoodPairs(docs, col("text"), window = 1)
+      .count() == 4)
+  }
 }
