@@ -118,4 +118,58 @@ object Clustering {
     pairs.groupBy(col("id_b").as("removed_id"))
       .agg(min(col("id_a")).as("kept_id"))
   }
+
+  /** Davies–Bouldin cluster-quality audit (squared-Euclidean
+    * variant) over an [[assignCells]] output: per cluster i, scatter
+    * Sᵢ = mean squared distance of members to the exact-mean
+    * centroid, separation Mᵢⱼ = squared centroid distance, and the
+    * DB term Dᵢ = maxⱼ (Sᵢ+Sⱼ)/Mᵢⱼ (lower = tighter, better
+    * separated). Everything centroid-based: one pass over the N
+    * points plus k²·dim centroid-pair rows — no point-pair work, so
+    * the audit costs the same as one Lloyd round at any corpus size.
+    *
+    * Bit-stability: every float reduction is a round-then-exact-
+    * DECIMAL sum (squared-difference terms at 9 decimals, per-point
+    * distances at 6), so results are partitioning-independent; the
+    * worst-neighbor argmax breaks ratio ties toward the smaller
+    * cluster id. Output: (cell, n_vecs, scatter, worst_neighbor,
+    * db_term) — the corpus-level DB index is `avg(db_term)`. */
+  def daviesBouldin(assigned: DataFrame): DataFrame = {
+    val cent = centroidUpdate(assigned).select(
+      col("cell"), col("pos"), col("centroid"))
+    val ex = assigned
+      .select(col("cell"), col("n_id"), posexplode(col("n_v")).as(Seq("pos0", "x")))
+      .select(col("cell"), col("n_id"),
+        (col("pos0") + 1).cast(LongType).as("pos"),
+        col("x").cast(DoubleType).as("x"))
+    val diff = col("x") - col("centroid")
+    val perPoint = ex.join(cent, Seq("cell", "pos"))
+      .select(col("cell"), col("n_id"),
+        round(diff * diff, 9).cast(DecimalType(28, 9)).as("t"))
+      .groupBy(col("cell"), col("n_id"))
+      .agg(round(sum(col("t")).cast(DoubleType), 6)
+        .cast(DecimalType(28, 6)).as("d2"))
+    val scatter = perPoint.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("d2")).cast(DoubleType) / count(lit(1))).as("scatter"))
+    val cdiff = col("a.centroid") - col("b.centroid")
+    val sep = cent.as("a")
+      .join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.cell") =!= col("b.cell"))
+      .select(col("a.cell").as("ci"), col("b.cell").as("cj"),
+        round(cdiff * cdiff, 9).cast(DecimalType(28, 9)).as("t"))
+      .groupBy(col("ci"), col("cj"))
+      .agg(sum(col("t")).cast(DoubleType).as("m2"))
+    val ratios = sep
+      .join(scatter.select(col("cell").as("ci"), col("scatter").as("si")), Seq("ci"))
+      .join(scatter.select(col("cell").as("cj"), col("scatter").as("sj")), Seq("cj"))
+      .withColumn("ratio", (col("si") + col("sj")) / col("m2"))
+    val worst = ratios.groupBy(col("ci").as("cell"))
+      .agg(max(struct(col("ratio"), (-col("cj")).as("neg"))).as("m"))
+      .select(col("cell"), col("m.ratio").as("db_term"),
+        (-col("m.neg")).as("worst_neighbor"))
+    scatter.join(worst, Seq("cell"))
+      .select(col("cell"), col("n_vecs"), col("scatter"),
+        col("worst_neighbor"), col("db_term"))
+  }
 }

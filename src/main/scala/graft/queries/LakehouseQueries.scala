@@ -1076,8 +1076,77 @@ object LakehouseQueries {
       WHERE lev * 5 <= mx
       ORDER BY a_id, b_id"""))
 
+  /** q141 — Davies–Bouldin cluster-quality audit
+    * ([[graft.operators.Clustering.daviesBouldin]]): per k-means
+    * cell, the scatter (mean squared distance to the exact-mean
+    * centroid), the worst-separated neighbor, and the DB term
+    * maxⱼ (Sᵢ+Sⱼ)/Mᵢⱼ. The metric that tells a curation pipeline
+    * whether its SemDeDup/IVF cells are actually tight before
+    * trusting them — centroid-based throughout, so the audit costs
+    * one Lloyd-round pass regardless of corpus size. */
+  private val q141 = QueryDef(
+    "q141_davies_bouldin",
+    (s, dir) => {
+      import graft.operators.Clustering
+      val e = table(s, dir, "embeddings")
+      val assigned = Clustering.assignCells(e, Clustering.seedCentroids(e, 50))
+      Clustering.daviesBouldin(assigned).orderBy(col("cell"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS c_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT a.n_id, a.v AS nv, b.c_id, ${ExtensionQueries.cosSql} AS cos
+        FROM c a CROSS JOIN cents0 b),
+      best AS (
+        SELECT n_id, nv, c_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n_id
+                                  ORDER BY cos DESC, c_id) AS rn
+        FROM scored),
+      asg AS (SELECT n_id, nv, cell FROM best WHERE rn = 1),
+      ex AS (
+        SELECT cell, n_id, CAST(generate_subscripts(nv, 1) AS BIGINT) AS pos,
+               CAST(unnest(nv) AS DOUBLE) AS x
+        FROM asg),
+      cent AS (
+        SELECT cell, pos,
+               CAST(SUM(CAST(x AS DECIMAL(20,7))) AS DOUBLE) / COUNT(*)
+                 AS centroid
+        FROM ex GROUP BY 1, 2),
+      pp AS (
+        SELECT e.cell, e.n_id,
+               CAST(ROUND(CAST(SUM(CAST(ROUND((e.x - c.centroid)
+                   * (e.x - c.centroid), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+                 AS DECIMAL(28,6)) AS d2
+        FROM ex e JOIN cent c USING (cell, pos) GROUP BY 1, 2),
+      sc AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS scatter
+        FROM pp GROUP BY 1),
+      sep AS (
+        SELECT a.cell AS ci, b.cell AS cj,
+               CAST(SUM(CAST(ROUND((a.centroid - b.centroid)
+                   * (a.centroid - b.centroid), 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) AS m2
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.cell <> b.cell
+        GROUP BY 1, 2),
+      r AS (
+        SELECT ci, cj, (sa.scatter + sb.scatter) / m2 AS ratio
+        FROM sep JOIN sc sa ON sa.cell = ci JOIN sc sb ON sb.cell = cj),
+      d AS (
+        SELECT ci AS cell, cj AS worst_neighbor, ratio AS db_term,
+               ROW_NUMBER() OVER (PARTITION BY ci
+                                  ORDER BY ratio DESC, cj) AS rn
+        FROM r)
+      SELECT sc.cell, n_vecs, scatter, worst_neighbor, db_term
+      FROM sc JOIN d USING (cell) WHERE rn = 1
+      ORDER BY sc.cell"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140)
+      q140, q141)
 }

@@ -38,6 +38,24 @@ class MiningSpec extends SparkSpec {
       (8L, 1L, 1L, 10.0), (8L, 2L, 1L, 0.0)))
   }
 
+  test("daviesBouldin: exact scatter, worst neighbor, and DB term on a hand case") {
+    val assigned = Seq(
+      (1L, vec(1, 3), 7L), (2L, vec(3, 5), 7L),      // centroid (2,4), S=2
+      (3L, vec(10, 0), 8L), (4L, vec(12, 0), 8L),    // centroid (11,0), S=1
+      (5L, vec(2, 100), 9L), (6L, vec(2, 102), 9L)   // centroid (2,101), S=1
+    ).toDF("n_id", "n_v", "cell")
+    val got = Clustering.daviesBouldin(assigned)
+      .select("cell", "n_vecs", "scatter", "worst_neighbor", "db_term")
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(7L)._2 == 2L && got(7L)._3 == 2.0)
+    assert(got(8L)._3 == 1.0 && got(9L)._3 == 1.0)
+    // M(7,8)=97 dominates both 7 and 8; 9's nearest trouble is 7
+    assert(got(7L)._4 == 8L && math.abs(got(7L)._5 - 3.0 / 97) < 1e-9)
+    assert(got(8L)._4 == 7L && math.abs(got(8L)._5 - 3.0 / 97) < 1e-9)
+    assert(got(9L)._4 == 7L && math.abs(got(9L)._5 - 3.0 / 9409) < 1e-9)
+  }
+
   test("one Lloyd step strictly reduces within-cluster scatter on separated data") {
     // two tight blobs far apart; seeds off-center inside each blob
     val rnd = new Random(7)
