@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.functions.TextFunctions._
@@ -327,6 +327,66 @@ object TextAnalysis {
     * recent [[bpeTrain]] call on this JVM — the observability seam
     * BpeSpec's bounded-rounds property reads. Test-only. */
   @volatile private[graft] var lastTrainRounds: Int = 0
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv
+    * 2302.03169 — data selection via importance resampling): score
+    * every document by how much more likely its hashed n-gram bag is
+    * under the TARGET distribution than under the raw-corpus
+    * distribution, w(d) = Σ_f n_f·log(p̂_t(f)/p̂_r(f)) with add-one
+    * smoothing over `buckets` hashed unigram+bigram features.
+    * High-weight documents "look like" the target domain — the
+    * standard pretraining-mixture selection signal.
+    *
+    * Scale shape: features hash to `buckets` ids (md5-derived, so
+    * the bucketing is engine-portable), the two distribution tables
+    * are ≤ `buckets` rows (broadcast), totals are 1-row scalar
+    * frames, and the per-doc aggregate is one hash shuffle of
+    * (doc, bucket) partial counts. Log-ratio terms round to 6
+    * decimals before an exact DECIMAL sum, so the weight is
+    * partitioning-independent; zero-token documents keep a row
+    * (weight 0).
+    *
+    * Output: (idCol, n_feats, weight). */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 512,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val toks = docs.select(col(idCol), isTarget.as("is_t"),
+      tokens(col(textCol)).as("t"))
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(1), size(col("t")) - 1), i =>
+        concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = toks
+      .select(col(idCol), col("is_t"),
+        explode(concat(col("t"), bigrams)).as("f"))
+      .withColumn("b",
+        conv(substring(md5(col("f")), 1, 15), 16, 10).cast(LongType)
+          % buckets)
+    val perDoc = feats.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("is_t")).groupBy(col("b"))
+      .agg(count(lit(1)).as("ct"))
+    val tot = feats.agg(count(lit(1)).as("tr"),
+      count(when(col("is_t"), lit(1))).as("tt"))
+    val terms = perDoc
+      .join(broadcast(raw), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", round(col("n").cast(DoubleType) * log(
+        ((coalesce(col("ct"), lit(0L)) + 1L) * (col("tr") + buckets))
+          .cast(DoubleType) /
+          ((col("cr") + 1L) * (col("tt") + buckets)).cast(DoubleType)), 6)
+        .cast(DecimalType(28, 6)))
+    val agg = terms.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("term")).as("s"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("s").cast(DoubleType), lit(0.0)).as("weight"))
+  }
 
   def bpeTrain(docs: DataFrame, textCol: String = "text",
                nMerges: Int = 10, minPairFreq: Long = 2L,

@@ -1145,8 +1145,57 @@ object LakehouseQueries {
       FROM sc JOIN d USING (cell) WHERE rn = 1
       ORDER BY sc.cell"""))
 
+  /** q142 — DSIR importance-weight data selection
+    * ([[graft.operators.TextAnalysis.dsirWeights]], Xie et al. 2023):
+    * target = English documents; every document scored by its hashed
+    * unigram+bigram bag's log-likelihood ratio between the target
+    * and raw-corpus distributions (add-one smoothing, 512 md5-hashed
+    * buckets), top 20 selected. The pretraining-mixture selection
+    * signal: high weight = "looks like the target domain". */
+  private val q142 = QueryDef(
+    "q142_dsir_selection",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = table(s, dir, "documents")
+      TextAnalysis.dsirWeights(docs, col("lang") === "en", buckets = 512)
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_t, $toksSql AS t FROM documents),
+      uni AS (SELECT doc_id, is_t, unnest(t) AS f FROM toks),
+      big AS (SELECT doc_id, is_t, t[u.i] || ' ' || t[u.i + 1] AS f
+              FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+      feats AS (SELECT doc_id, is_t,
+                       CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 512 AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+      dc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+             FROM feats GROUP BY 1, 2),
+      raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM feats GROUP BY 1),
+      tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+              FROM feats WHERE is_t GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+                     CAST(COUNT(*) FILTER (WHERE is_t) AS BIGINT) AS tt
+              FROM feats),
+      terms AS (
+        SELECT dc.doc_id,
+               CAST(ROUND(CAST(n AS DOUBLE) * ln(
+                   CAST((COALESCE(ct, 0) + 1) * (tr + 512) AS DOUBLE)
+                 / CAST((cr + 1) * (tt + 512) AS DOUBLE)), 6)
+                 AS DECIMAL(28, 6)) AS term
+        FROM dc JOIN raw USING (b) LEFT JOIN tgt USING (b), tot),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(term) AS s
+              FROM terms GROUP BY 1)
+      SELECT d.doc_id, COALESCE(agg.n_feats, 0) AS n_feats,
+             COALESCE(CAST(agg.s AS DOUBLE), 0.0) AS weight
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY weight DESC, d.doc_id
+      LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141)
+      q140, q141, q142)
 }

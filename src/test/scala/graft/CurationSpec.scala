@@ -130,4 +130,24 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == ((8L, 8L, "")))
     assert(got(5L) == ((0L, 0L, "")))
   }
+
+  test("dsirWeights favors docs resembling the target distribution") {
+    import spark.implicits._
+    // target docs talk about "spark shuffle"; raw docs 3 (on-topic)
+    // and 4 (off-topic); 5 is empty
+    val docs = Seq(
+      (1L, "spark shuffle spark shuffle join", true),
+      (2L, "spark shuffle partition spark shuffle", true),
+      (3L, "spark shuffle wide join", false),
+      (4L, "grape banana orchard harvest season", false),
+      (5L, "", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val w = TextAnalysis.dsirWeights(docs, col("is_tgt"), buckets = 64)
+      .select($"doc_id", $"n_feats", $"weight")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(w.size == 5)                      // every doc keeps a row
+    assert(w(5L)._2 == 0L && w(5L)._3 == 0.0) // empty doc scores zero
+    assert(w(3L)._3 > w(4L)._3)              // on-topic beats off-topic
+    assert(w(1L)._3 > w(4L)._3)              // target docs score high too
+  }
 }
