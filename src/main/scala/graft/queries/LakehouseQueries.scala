@@ -1194,8 +1194,125 @@ object LakehouseQueries {
       ORDER BY weight DESC, d.doc_id
       LIMIT 20"""))
 
+  /** Unrolled unigram-LM Viterbi DP as plain SQL (the q143/q144
+    * oracle): seed-vocabulary counting is relational; the per-word
+    * DP over character positions unrolls to `maxLen` plain CTE
+    * steps, each taking the (score desc, split-position asc) argmax
+    * over the previous ≤ `maxPiece` positions — exactly the
+    * fold [[graft.operators.UnigramLm.viterbiSegment]] runs inside
+    * one row. Scores are fixed-point BIGINT log-probs, so the
+    * comparisons (and therefore the segmentations) are bit-identical
+    * across engines. Accumulator CTEs are MATERIALIZED — each is
+    * referenced twice and DuckDB would otherwise re-expand the chain
+    * exponentially. */
+  private def unigramDpSql(maxLen: Int, maxPiece: Int, cap: Int): String = {
+    val steps = (1 to maxLen).map { j =>
+      s"""
+      uc$j AS (
+        SELECT d.word, d.score + v.s AS score, d.np + 1 AS np,
+               CASE WHEN d.np = 0 THEN v.piece
+                    ELSE d.seg || ' ' || v.piece END AS seg, d.p AS i
+        FROM udall${j - 1} d JOIN uvocab v
+          ON v.piece = substr(d.word, d.p + 1, $j - d.p)
+        WHERE d.p >= $j - $maxPiece AND d.p < $j AND length(d.word) >= $j),
+      ub$j AS (
+        SELECT word, $j AS p, score, np, seg FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+                      ORDER BY score DESC, i ASC) AS rn FROM uc$j)
+        WHERE rn = 1),
+      udall$j AS MATERIALIZED (
+        SELECT * FROM udall${j - 1} UNION ALL SELECT * FROM ub$j)"""
+    }.mkString(",")
+    s"""
+      uwords AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest($toksSql) AS word FROM documents)
+        WHERE length(word) <= $maxLen GROUP BY 1),
+      upos AS (
+        SELECT word, freq, u.i AS i
+        FROM uwords, unnest(generate_series(1, length(word))) AS u(i)),
+      usubs AS (
+        SELECT substr(word, i, u.l) AS piece, freq
+        FROM upos,
+             unnest(generate_series(1,
+               least($maxPiece, length(word) - i + 1))) AS u(l)),
+      ucnts AS (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM usubs GROUP BY 1),
+      uvraw AS MATERIALIZED (
+        SELECT piece, cnt FROM ucnts WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM ucnts WHERE length(piece) >= 2
+          ORDER BY cnt DESC, piece LIMIT $cap)),
+      utot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tv FROM uvraw),
+      uvocab AS MATERIALIZED (
+        SELECT piece, cnt,
+               CAST(ROUND(ln(CAST(cnt AS DOUBLE) / tv) * 1000000) AS BIGINT)
+                 AS s
+        FROM uvraw, utot),
+      udall0 AS (
+        SELECT word, 0 AS p, CAST(0 AS BIGINT) AS score, 0 AS np, '' AS seg
+        FROM uwords),$steps"""
+  }
+
+  /** q143 — unigram-LM Viterbi segmentation
+    * ([[graft.operators.UnigramLm]], Kudo 2018 — the SentencePiece
+    * unigram model, the alternative tokenizer family to q123's BPE):
+    * seed substring vocabulary (all single chars + top-50 multi-char
+    * pieces by corpus count), then the exact max-log-prob
+    * segmentation of every distinct word under fixed-point integer
+    * scores. The DP runs INSIDE one row via a higher-order fold over
+    * a broadcast vocabulary map — zero shuffle beyond the word/vocab
+    * counts, no driver loop. */
+  private val q143 = QueryDef(
+    "q143_unigram_viterbi",
+    (s, dir) => {
+      import graft.operators.UnigramLm
+      val docs = table(s, dir, "documents")
+      val words = UnigramLm.wordTable(docs, maxWordLen = 8)
+      val vocab = UnigramLm.seedVocab(words, maxPieceLen = 4, vocabCap = 50)
+      UnigramLm.viterbiSegment(words, vocab, maxPieceLen = 4)
+        .orderBy(col("word"))
+    },
+    Some(s"""
+      WITH ${unigramDpSql(8, 4, 50)}
+      SELECT w.word, w.freq, d.score, CAST(d.np AS BIGINT) AS n_pieces, d.seg
+      FROM uwords w JOIN udall8 d ON d.word = w.word AND d.p = length(w.word)
+      ORDER BY w.word"""))
+
+  /** q144 — unigram-LM hard-EM recount
+    * ([[graft.operators.UnigramLm.emRecount]]): the M-step after
+    * q143's E-step — pieces recounted from the Viterbi segments
+    * (weighted by word frequency) and re-scored over the used-piece
+    * total, i.e. the pruned vocabulary the next EM round would
+    * segment under. */
+  private val q144 = QueryDef(
+    "q144_unigram_em",
+    (s, dir) => {
+      import graft.operators.UnigramLm
+      val docs = table(s, dir, "documents")
+      val words = UnigramLm.wordTable(docs, maxWordLen = 8)
+      val vocab = UnigramLm.seedVocab(words, maxPieceLen = 4, vocabCap = 50)
+      UnigramLm.emRecount(UnigramLm.viterbiSegment(words, vocab, maxPieceLen = 4))
+        .orderBy(col("piece"))
+    },
+    Some(s"""
+      WITH ${unigramDpSql(8, 4, 50)},
+      ufin AS (
+        SELECT w.freq, d.seg FROM uwords w
+        JOIN udall8 d ON d.word = w.word AND d.p = length(w.word)),
+      uused AS (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM ufin)
+        GROUP BY 1),
+      utot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tv FROM uused)
+      SELECT piece, cnt,
+             CAST(ROUND(ln(CAST(cnt AS DOUBLE) / tv) * 1000000) AS BIGINT) AS s
+      FROM uused, utot2 ORDER BY piece"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141, q142)
+      q140, q141, q142, q143, q144)
 }
