@@ -113,6 +113,35 @@ object UnigramLm {
         col("_dp.seg").as("seg"): _*)
   }
 
+  /** Encode the corpus under a trained vocabulary: segment the
+    * distinct-word table once (the same collapse [[TextAnalysis
+    * .bpeEncode]] uses — corpus size never multiplies DP work), join
+    * the per-word piece counts back onto the exploded corpus, and
+    * aggregate per document. Documents whose text tokenizes to
+    * nothing (and words beyond `maxWordLen`, which the word table
+    * excludes) still appear, with zero counts, via the final left
+    * join. Output: (id, n_words, n_pieces, n_chars, score). */
+  def encode(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", maxWordLen: Int = 16,
+             maxPieceLen: Int = 5): DataFrame = {
+    val segmented = viterbiSegment(
+        wordTable(docs, textCol, maxWordLen), vocab, maxPieceLen)
+      .select(col("word"), col("n_pieces"), col("score"))
+    val perDoc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .join(segmented, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nw"), sum(col("n_pieces")).as("_np"),
+        sum(length(col("word"))).as("_nc"), sum(col("score")).as("_ns"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nw"), lit(0L)).as("n_words"),
+        coalesce(col("_np"), lit(0L)).as("n_pieces"),
+        coalesce(col("_nc"), lit(0L)).as("n_chars"),
+        coalesce(col("_ns"), lit(0L)).as("score"))
+  }
+
   /** Hard-EM M-step: recount pieces from the Viterbi segments
     * (weighted by word frequency) and re-score over the used-piece
     * total — the count table the next E-step would segment under.

@@ -1311,8 +1311,45 @@ object LakehouseQueries {
              CAST(ROUND(ln(CAST(cnt AS DOUBLE) / tv) * 1000000) AS BIGINT) AS s
       FROM uused, utot2 ORDER BY piece"""))
 
+  /** q145 — unigram-LM corpus encode
+    * ([[graft.operators.UnigramLm.encode]]): per-document subword
+    * statistics under the q143 vocabulary — token, piece, and
+    * character counts plus the total fixed-point log-prob (the
+    * corpus-perplexity numerator a curation pipeline thresholds on).
+    * The DP cost rides on the distinct-word table; the corpus pass
+    * is one explode + broadcast-joinable word lookup. Token-less
+    * documents appear with zero counts. */
+  private val q145 = QueryDef(
+    "q145_unigram_encode",
+    (s, dir) => {
+      import graft.operators.UnigramLm
+      val docs = table(s, dir, "documents")
+      val words = UnigramLm.wordTable(docs, maxWordLen = 8)
+      val vocab = UnigramLm.seedVocab(words, maxPieceLen = 4, vocabCap = 50)
+      UnigramLm.encode(docs, vocab, maxWordLen = 8, maxPieceLen = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${unigramDpSql(8, 4, 50)},
+      useg AS (
+        SELECT word, np, score FROM udall8 d
+        WHERE d.p = length(d.word)),
+      udw AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+      uagg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(np) AS BIGINT) AS n_pieces,
+               CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+               CAST(SUM(score) AS BIGINT) AS score
+        FROM udw JOIN useg USING (word) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(uagg.n_words, 0) AS n_words,
+             COALESCE(uagg.n_pieces, 0) AS n_pieces,
+             COALESCE(uagg.n_chars, 0) AS n_chars,
+             COALESCE(uagg.score, 0) AS score
+      FROM documents d LEFT JOIN uagg USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141, q142, q143, q144)
+      q140, q141, q142, q143, q144, q145)
 }

@@ -91,6 +91,36 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("encode equals per-doc recount of reference segments, keeps token-less docs") {
+    val docsId = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "catalog of the cat"),
+      (3L, ""), // token-less: must appear with zero counts
+      (4L, "a catalog the the")).toDF("doc_id", "text")
+    val words = UnigramLm.wordTable(docsId, maxWordLen = maxWordLen)
+    val vocab = UnigramLm.seedVocab(words, maxPieceLen, vocabCap)
+    val got = UnigramLm.encode(docsId, vocab,
+        maxWordLen = maxWordLen, maxPieceLen = maxPieceLen)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val wf = docsId.collect().map(_.getString(1))
+      .flatMap(_.toLowerCase.split(" "))
+      .filter(w => w.nonEmpty && w.length <= maxWordLen)
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val rv = refVocab(wf)
+    val want = docsId.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split(" ")
+        .filter(w => w.nonEmpty && w.length <= maxWordLen)
+      val segs = toks.map(w => refSegment(w, rv))
+      r.getLong(0) -> ((toks.length.toLong,
+        segs.map(_._2.toLong).sum,
+        toks.map(_.length.toLong).sum,
+        segs.map(_._1).sum))
+    }.toMap
+    assert(got === want)
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("emRecount equals recounting the reference segments") {
     val words = UnigramLm.wordTable(docs, maxWordLen = maxWordLen)
     val vocab = UnigramLm.seedVocab(words, maxPieceLen, vocabCap)
