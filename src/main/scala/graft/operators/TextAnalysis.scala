@@ -388,6 +388,79 @@ object TextAnalysis {
         coalesce(col("s").cast(DoubleType), lit(0.0)).as("weight"))
   }
 
+  /** Per-document character-distribution Shannon entropy (bits per
+    * character) — the classic gibberish / boilerplate / encoding-
+    * damage signal: natural prose sits ~4–4.5 bits, base64 blobs and
+    * key-mash near 6, repeated filler near 0. Exact cross-engine:
+    * per-character counts are integers and each term
+    * (c/n)·log2(n/c) is rounded to DECIMAL before an order-
+    * independent exact sum (one double cast at the end). One explode
+    * + one hash aggregate; token-less documents surface with zero
+    * entropy via the final left join. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    // filter first: Spark's sequence(1, 0) is a DESCENDING [1, 0],
+    // not empty — an empty text must contribute no char rows
+    val chars = docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), length(col(textCol)).cast(LongType).as("n"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"))
+          .as("ch"))
+    val terms = chars.groupBy(col(idCol), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .select(col(idCol),
+        round((col("c").cast("double") / col("n")) *
+          log2(col("n").cast("double") / col("c")), 9).cast(dec).as("term"))
+    val agg = terms.groupBy(col(idCol))
+      .agg(sum(col("term")).cast("double").as("_e"))
+    docs.select(col(idCol), length(col(textCol)).cast(LongType).as("n_text_chars"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_text_chars"),
+        coalesce(col("_e"), lit(0.0)).as("entropy_bits"))
+  }
+
+  /** Per-source Zipf rank–frequency slope: OLS fit of ln(freq) on
+    * ln(rank) over each source's top-`topK` terms. Natural language
+    * tracks slope ≈ −1 (Zipf's law); template/boilerplate-heavy or
+    * synthetic sources drift off it — a corpus-naturalness audit
+    * beside q132's KL drift. Exact cross-engine: ranks are
+    * deterministic (freq desc, term asc), the four OLS moments are
+    * rounded-to-DECIMAL exact sums (the q133 Pearson pattern), and
+    * the slope is one final double expression. */
+  def zipfSlope(docs: DataFrame, sourceCol: String = "source",
+                textCol: String = "text", topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val freqs = docs
+      .select(col(sourceCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(sourceCol), col("w")).agg(count(lit(1)).as("f"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("f").cast("double"))
+    val ranked = freqs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("f").desc, col("w"))))
+      .filter(col("rank") <= topK)
+      .select(col(sourceCol),
+        round(x, 9).cast(dec).as("tx"), round(y, 9).cast(dec).as("ty"),
+        round(x * y, 9).cast(dec).as("txy"),
+        round(x * x, 9).cast(dec).as("txx"))
+    ranked
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tx")).as("sx"), sum(col("ty")).as("sy"),
+        sum(col("txy")).as("sxy"), sum(col("txx")).as("sxx"))
+      .select(col(sourceCol), col("n_terms"), {
+        // exact DECIMAL sums → doubles, then one IEEE expression: the
+        // same bits on any engine/partitioning
+        val n = col("n_terms").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("zipf_slope")
+      })
+  }
+
   def bpeTrain(docs: DataFrame, textCol: String = "text",
                nMerges: Int = 10, minPairFreq: Long = 2L,
                maxBatch: Int = 256, exact: Boolean = true): DataFrame = {

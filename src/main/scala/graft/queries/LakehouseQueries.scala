@@ -1348,8 +1348,83 @@ object LakehouseQueries {
       FROM documents d LEFT JOIN uagg USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** q146 — character-entropy quality signal
+    * ([[graft.operators.TextAnalysis.charEntropy]]): per-document
+    * Shannon entropy of the character distribution in bits/char —
+    * the gibberish / base64-blob / repeated-filler detector beside
+    * q44's heuristic quality score. Exact rounded-DECIMAL term sums
+    * keep it order-independent and engine-portable. */
+  private val q146 = QueryDef(
+    "q146_char_entropy",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.charEntropy(table(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ch AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+               substr(text, u.i, 1) AS ch
+        FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+      cc AS (
+        SELECT doc_id, ANY_VALUE(n) AS n, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ch GROUP BY doc_id, ch),
+      terms AS (
+        SELECT doc_id,
+               CAST(ROUND(CAST(c AS DOUBLE) / n
+                 * log2(CAST(n AS DOUBLE) / c), 9) AS DECIMAL(28,9)) AS term
+        FROM cc),
+      agg AS (
+        SELECT doc_id, CAST(SUM(term) AS DOUBLE) AS e FROM terms GROUP BY 1)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_text_chars,
+             COALESCE(agg.e, 0.0) AS entropy_bits
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  /** q147 — Zipf rank–frequency slope per source
+    * ([[graft.operators.TextAnalysis.zipfSlope]]): OLS slope of
+    * ln(freq) on ln(rank) over each source's top-100 terms. Natural
+    * text tracks ≈ −1; drifting sources flag template spam or
+    * synthetic data — the corpus-naturalness audit beside q132's KL
+    * drift, exact via the q133 rounded-moment pattern. */
+  private val q147 = QueryDef(
+    "q147_zipf_slope",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.zipfSlope(table(s, dir, "documents"), topK = 100)
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH freqs AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, f,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY f DESC, w) AS rank
+        FROM freqs),
+      t AS (
+        SELECT source,
+               CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9)) AS tx,
+               CAST(ROUND(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(28,9)) AS ty,
+               CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 9)
+                 AS DECIMAL(28,9)) AS txy,
+               CAST(ROUND(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9)
+                 AS DECIMAL(28,9)) AS txx
+        FROM ranked WHERE rank <= 100),
+      m AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(tx) AS DOUBLE) AS sx, CAST(SUM(ty) AS DOUBLE) AS sy,
+               CAST(SUM(txy) AS DOUBLE) AS sxy, CAST(SUM(txx) AS DOUBLE) AS sxx
+        FROM t GROUP BY 1)
+      SELECT source, n_terms,
+             ROUND((n_terms * sxy - sx * sy)
+               / (n_terms * sxx - sx * sx), 6) AS zipf_slope
+      FROM m ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141, q142, q143, q144, q145)
+      q140, q141, q142, q143, q144, q145, q146, q147)
 }

@@ -131,6 +131,49 @@ class CurationSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, "")))
   }
 
+  test("charEntropy: uniform chars max out, repeats zero out, empty doc kept") {
+    val docs = Seq(
+      (1L, "abcd"),     // 4 distinct chars once each → exactly 2 bits
+      (2L, "aaaa"),     // one char → 0 bits
+      (3L, ""),         // empty → zero counts via left join
+      (4L, "aabb")      // two chars twice each → exactly 1 bit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((4L, 2.0)))
+    assert(got(2L) === ((4L, 0.0)))
+    assert(got(3L) === ((0L, 0.0)))
+    assert(got(4L) === ((4L, 1.0)))
+  }
+
+  test("zipfSlope recovers the exact slope of a constructed power law") {
+    // source "z": freq(rank r) = 2^(8-r) for r=1..8 → ln f = 8ln2 - r·ln2;
+    // regressing on ln(rank) is NOT linear, so compare against the
+    // sequential OLS with the operator's own rounding discipline.
+    val words = (1 to 8).flatMap(r =>
+      Seq.fill(1 << (8 - r))(s"w$r")) // distinct words, power-law freqs
+    val docs = Seq(("z", words.mkString(" "))).toDF("source", "text")
+    val got = TextAnalysis.zipfSlope(docs, topK = 100)
+      .as[(String, Long, Double)].collect().head
+    val freqs = (1 to 8).map(r => (1 << (8 - r)).toDouble)
+    def r9(v: Double) = // Spark round(): BigDecimal HALF_UP
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = freqs.zipWithIndex.map { case (f, i) =>
+      val x = math.log(i + 1.0); val y = math.log(f)
+      (r9(x), r9(y), r9(x * y), r9(x * x))
+    }
+    val n = terms.size.toDouble
+    val sx = terms.map(t => BigDecimal(t._1)).sum.toDouble
+    val sy = terms.map(t => BigDecimal(t._2)).sum.toDouble
+    val sxy = terms.map(t => BigDecimal(t._3)).sum.toDouble
+    val sxx = terms.map(t => BigDecimal(t._4)).sum.toDouble
+    val raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val want = BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === "z" && got._2 === 8L)
+    assert(got._3 === want)
+  }
+
   test("dsirWeights favors docs resembling the target distribution") {
     import spark.implicits._
     // target docs talk about "spark shuffle"; raw docs 3 (on-topic)
