@@ -98,4 +98,39 @@ object LinkAnalysis {
     }
     rank.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan
+    * et al. 2007) over an undirected edge set (a, b): every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its neighbors, ties broken (count desc, label asc)
+    * — fully deterministic, unlike the classic random-order
+    * asynchronous variant, so the result is reproducible on any
+    * partitioning and oracle-checkable by unrolling rounds.
+    *
+    * Scale shape: one shuffle per round (vote aggregate + per-node
+    * argmax window keyed on the node), plans kept constant-size via
+    * [[Checkpoints.truncate]]; rounds are a fixed small constant, so
+    * total cost is O(rounds · |E|) with no driver-side state.
+    * Output: (node, community). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "rounds >= 1")
+    val adj = Checkpoints.truncate(
+      edges.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(edges.select(col("b").as("v"), col("a").as("u"))))
+    var labels = adj.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.select(col("v").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = Checkpoints.truncate(votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("v"))
+            .orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("lbl")))
+    }
+    labels.select(col("v").as("node"), col("lbl").as("community"))
+  }
 }

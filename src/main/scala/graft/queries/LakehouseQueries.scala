@@ -1423,8 +1423,79 @@ object LakehouseQueries {
                / (n_terms * sxx - sx * sx), 6) AS zipf_slope
       FROM m ORDER BY source"""))
 
+  /** Unrolled synchronous label propagation (the q148 oracle): each
+    * round is one vote aggregate + one per-node (count desc, label
+    * asc) argmax — the deterministic tie-break that makes the
+    * fixed-round result engine-exact. Label CTEs are MATERIALIZED
+    * (each feeds both the next round's votes and the union chain). */
+  private def lpRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""
+      lv$r AS (
+        SELECT n.v, l.lbl, COUNT(*) AS c
+        FROM lpadj n JOIN ll${r - 1} l ON l.v = n.u GROUP BY 1, 2),
+      ll$r AS MATERIALIZED (
+        SELECT v, lbl FROM (
+          SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                           ORDER BY c DESC, lbl) AS rn FROM lv$r)
+        WHERE rn = 1)"""
+    }.mkString(",")
+
+  /** q148 — label-propagation community detection
+    * ([[graft.operators.LinkAnalysis.labelPropagation]], Raghavan
+    * et al. 2007) over the q131 token co-occurrence graph: 4
+    * synchronous rounds, each node adopting its neighbors' most
+    * frequent label (ties: count desc, label asc). The community
+    * structure a curation pipeline uses to group related vocabulary
+    * / near-duplicate families without an all-pairs stage. */
+  private val q148 = QueryDef(
+    "q148_label_propagation",
+    (s, dir) => {
+      import graft.functions.{TextFunctions, TextExprs}
+      val bi = table(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(TextExprs.word_shingles(col("t"), 2)).as("bigram"))
+        .select(substring_index(col("bigram"), " ", 1).as("x"),
+          substring_index(col("bigram"), " ", -1).as("y"))
+        .filter(col("x") =!= col("y"))
+      val edges = bi.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+      val lp = graft.operators.LinkAnalysis.labelPropagation(edges, rounds = 4)
+      val sizes = lp.groupBy(col("community"))
+        .agg(count(lit(1)).as("community_size"))
+      lp.join(sizes, "community")
+        .select(col("node"), col("community"), col("community_size"))
+        .orderBy(col("node"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+      lpbi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks),
+      lpxy AS (
+        SELECT string_split(bigram, ' ')[1] AS x,
+               string_split(bigram, ' ')[2] AS y
+        FROM lpbi
+        WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+      lpedges AS MATERIALIZED (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM lpxy),
+      lpadj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM lpedges
+        UNION ALL SELECT b AS v, a AS u FROM lpedges),
+      ll0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM lpadj),
+      ${lpRoundsSql(4)},
+      lpsz AS (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+        FROM ll4 GROUP BY 1)
+      SELECT ll4.v AS node, ll4.lbl AS community, lpsz.community_size
+      FROM ll4 JOIN lpsz USING (lbl)
+      ORDER BY node"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141, q142, q143, q144, q145, q146, q147)
+      q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }

@@ -201,6 +201,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(nodes.sortBy(v => -got(v)) == nodes.sortBy(v => -exact(v)))
   }
 
+  test("labelPropagation matches a sequential sync-LPA on a bridged two-clique graph") {
+    import graft.operators.LinkAnalysis
+    // clique {a,b,c} — bridge c–x — clique {x,y,z}
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("c", "x"))
+    val rounds = 4
+    val got = LinkAnalysis.labelPropagation(edges.toDF("a", "b"), rounds)
+      .as[(String, String)].collect().toMap
+
+    // sequential synchronous reference with the same tie-break
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lbl = adj.map { case (v, us) =>
+        val votes = us.groupBy(lbl).view.mapValues(_.size).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === lbl)
+    // the cliques converge to one community each
+    assert(Set("a", "b", "c").map(got).size == 1)
+    assert(Set("x", "y", "z").map(got).size == 1)
+  }
+
   test("audited CSV read quarantines malformed rows, loads the rest") {
     import graft.sources.LakeIO
     import org.apache.spark.sql.types._
