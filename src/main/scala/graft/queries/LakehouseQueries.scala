@@ -1494,8 +1494,49 @@ object LakehouseQueries {
       FROM ll4 JOIN lpsz USING (lbl)
       ORDER BY node"""))
 
+  /** q149 — Jaro–Winkler record linkage
+    * ([[graft.functions.JaroWinklerExpr]]): the record-linkage
+    * scorer Spark lacks as a built-in, implemented as a native
+    * codegen expression and oracle-checked character-for-character
+    * against DuckDB's `jaro_winkler_similarity`. Candidate pairs
+    * come from a sorted-neighborhood window over sampled part names
+    * (the q140 blocking pattern — linear candidate mass); at scale
+    * the window ranks per block key instead of globally. */
+  private val q149 = QueryDef(
+    "q149_jaro_winkler_linkage",
+    (s, dir) => {
+      import graft.functions.JaroWinklerExpr.jaro_winkler
+      import org.apache.spark.sql.expressions.Window
+      val parts = table(s, dir, "part")
+        .filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"), col("p_name"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("p_name"), col("p_partkey"))))
+      val a = parts.select(col("p_partkey").as("a_key"),
+        col("p_name").as("a_name"), col("rnk").as("ra"))
+      val b = parts.select(col("p_partkey").as("b_key"),
+        col("p_name").as("b_name"), col("rnk").as("rb"))
+      a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + 2)
+        .withColumn("jw", round(jaro_winkler(col("a_name"), col("b_name")), 6))
+        .filter(col("jw") >= 0.5)
+        .select(col("a_key"), col("b_key"), col("jw"))
+        .orderBy(col("a_key"), col("b_key"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT p_partkey, p_name,
+               ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rnk
+        FROM part WHERE p_partkey % 20 = 0),
+      pairs AS (
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        FROM p a JOIN p b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2)
+      SELECT a_key, b_key, jw FROM pairs
+      WHERE jw >= 0.5
+      ORDER BY a_key, b_key"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141, q142, q143, q144, q145, q146, q147, q148)
+      q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }

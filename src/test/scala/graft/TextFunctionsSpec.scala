@@ -87,6 +87,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(viaSql == expect)
   }
 
+  test("jaro_winkler native expression: classic known answers, codegen, null") {
+    import graft.functions.JaroWinklerExpr
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def s(a: String, b: String) = JaroWinklerExpr.sim(u(a), u(b))
+    // classic published values (Winkler 1990 / record-linkage lit)
+    assert(math.abs(s("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(s("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(s("dwayne", "duane") - 0.84) < 1e-12)
+    // boost threshold: jaro ≤ 0.7 gets NO prefix bonus (DuckDB parity)
+    assert(math.abs(s("aby", "abxxxxxxxxxxxx") - 0.6031746031746031) < 1e-12)
+    assert(s("abc", "abc") == 1.0)
+    assert(s("", "abc") == 0.0)
+    assert(s("ab", "ba") == 0.0) // window 0: no matches
+    // symmetry
+    assert(s("jellyfish", "smellyfish") == s("smellyfish", "jellyfish"))
+    // codegen path + null propagation + SQL surface
+    val viaDf = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(JaroWinklerExpr.jaro_winkler($"a", $"b")).as[Double].collect().head
+    assert(math.abs(viaDf - 0.9611111111111111) < 1e-12)
+    val viaNull = Seq[(Option[String], Option[String])]((None, Some("x")))
+      .toDF("a", "b")
+      .select(JaroWinklerExpr.jaro_winkler($"a", $"b"))
+      .as[Option[Double]].collect().head
+    assert(viaNull.isEmpty)
+    JaroWinklerExpr.register(spark)
+    val viaSql = spark.sql("SELECT jaro_winkler('dixon', 'dicksonx') AS j")
+      .as[Double].collect().head
+    assert(math.abs(viaSql - 0.8133333333333332) < 1e-12)
+  }
+
   test("simhash32 is within 32 bits and deterministic") {
     val sigs = Seq("a b c", "a b c").toDF("text")
       .select(graft.operators.Dedup.simhash32($"text")).as[Long].collect()
