@@ -1051,8 +1051,12 @@ object LakehouseQueries {
           Seq("a_id"))
         .join(sub.select(col("doc_id").as("b_id"), col("sub").as("b_sub")),
           Seq("b_id"))
-        .withColumn("lev", levenshtein(col("a_sub"), col("b_sub")).cast(LongType))
-        .filter(col("lev") * 5 <=
+        // banded levenshtein: the accept test only admits distances
+        // ≤ mx/5 ≤ 50, so cap the DP there (O(n·k) not O(n²), -1 when
+        // exceeded — accepted pairs keep their exact distance)
+        .withColumn("lev",
+          levenshtein(col("a_sub"), col("b_sub"), 50).cast(LongType))
+        .filter(col("lev") >= 0 && col("lev") * 5 <=
           greatest(length(col("a_sub")), length(col("b_sub"))))
         .select(col("a_id"), col("b_id"),
           col("rank_gap").cast(LongType).as("rank_gap"), col("lev"))
@@ -1535,8 +1539,100 @@ object LakehouseQueries {
       WHERE jw >= 0.5
       ORDER BY a_key, b_key"""))
 
+  /** q150 — stupid-backoff bigram LM held-out scoring (Brants et al.
+    * 2007): train raw MLE bigram/unigram counts on HALF the corpus
+    * (even doc_ids), score EVERY document — unseen bigrams back off
+    * to 0.4·unigram, unseen unigrams to the 0.4²/V floor, so the
+    * backoff path is genuinely exercised (q139's add-one model
+    * trained on the full corpus never backs off). The per-doc
+    * backoff fraction is the domain-shift diagnostic a curation
+    * pipeline thresholds on. Rounded-DECIMAL exact term sums; docs
+    * with <2 tokens kept with zero counts. */
+  private val q150 = QueryDef(
+    "q150_stupid_backoff",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = toks.withColumn("nxt", lead(col("w"), 1).over(byDoc))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("w").as("a"), col("nxt").as("b"))
+      val trainBig = big.filter(col("doc_id") % 2 === 0)
+      val trainTok = toks.filter(col("doc_id") % 2 === 0)
+      val bc = trainBig.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      val uc = trainBig.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val wc = trainTok.groupBy(col("w").as("b")).agg(count(lit(1)).as("cb"))
+      val stats = trainTok.agg(count(lit(1)).as("tt"),
+        countDistinct(col("w")).as("v"))
+      val term = when(col("cab").isNotNull,
+          -log(col("cab").cast(DoubleType) / col("ca")))
+        .when(col("cb").isNotNull,
+          -log(lit(0.4) * col("cb").cast(DoubleType) / col("tt")))
+        .otherwise(-log(lit(0.16) / col("v")))
+      val terms = big
+        .join(bc, Seq("a", "b"), "left")
+        .join(uc, Seq("a"), "left")
+        .join(wc, Seq("b"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(term, 6).cast(DecimalType(28, 6)).as("term"),
+          col("cab").isNull.cast("long").as("backoff"))
+      val agg = terms.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("backoff")).as("n_backoff"),
+          sum(col("term")).as("s"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+          coalesce(col("s").cast(DoubleType) / col("n_bigrams"), lit(0.0))
+            .as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      big AS (
+        SELECT doc_id, t[u.i] AS a, t[u.i + 1] AS b
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2),
+      bc AS (SELECT a, b, COUNT(*) AS cab FROM big
+             WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      uc AS (SELECT a, COUNT(*) AS ca FROM big
+             WHERE doc_id % 2 = 0 GROUP BY 1),
+      wc AS (SELECT w AS b, COUNT(*) AS cb
+             FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+             WHERE doc_id % 2 = 0 GROUP BY 1),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS tt,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        WHERE doc_id % 2 = 0),
+      terms AS (
+        SELECT g.doc_id,
+               CAST(ROUND(CASE
+                 WHEN cab IS NOT NULL
+                   THEN -ln(CAST(cab AS DOUBLE) / ca)
+                 WHEN cb IS NOT NULL
+                   THEN -ln(0.4 * CAST(cb AS DOUBLE) / tt)
+                 ELSE -ln(0.16 / v) END, 6) AS DECIMAL(28, 6)) AS term,
+               CASE WHEN cab IS NULL THEN 1 ELSE 0 END AS backoff
+        FROM big g LEFT JOIN bc USING (a, b) LEFT JOIN uc USING (a)
+             LEFT JOIN wc USING (b), stats),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+                     SUM(term) AS s
+              FROM terms GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+             COALESCE(agg.n_backoff, 0) AS n_backoff,
+             COALESCE(CAST(agg.s AS DOUBLE) / agg.n_bigrams, 0.0) AS avg_nll
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+      q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }
