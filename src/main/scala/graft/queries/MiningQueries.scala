@@ -256,5 +256,167 @@ object MiningQueries {
       FROM sig a JOIN sig b ON a.source < b.source
       ORDER BY source_a, source_b"""))
 
-  def all: Seq[QueryDef] = Seq(q73, q74, q75, q76, q77, q78, q79)
+  /** q151 — MAD robust outlier audit (median absolute deviation):
+    * per event type, the lower median and MAD via DISCRETE order
+    * statistics (rank arithmetic, the q113 trick — no engine
+    * quantile builtins, whose interpolation rules differ), then the
+    * classic |v − med| > 3·MAD flag count. The robust sibling of
+    * q68's z-score outliers: immune to the outliers it hunts. Two
+    * rank windows + one aggregate, all keyed on event_type. */
+  private val q151 = QueryDef(
+    "q151_mad_outliers",
+    (s, dir) => {
+      val e = QueryDef.eventsTable(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val n = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val w1 = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val med = e.withColumn("r", row_number().over(w1))
+        .join(broadcast(n), "event_type")
+        .filter(col("r") === expr("(n + 1L) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(col("dev"), col("event_id"))
+      val mad = dev.withColumn("r", row_number().over(w2))
+        .join(broadcast(n), "event_type")
+        .filter(col("r") === expr("(n + 1L) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type, event_id, value FROM events),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      r1 AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS r
+        FROM e),
+      med AS (
+        SELECT event_type, value AS med
+        FROM r1 JOIN n USING (event_type) WHERE r = (n + 1) // 2),
+      dev AS (
+        SELECT e.event_type, e.event_id, med, abs(e.value - med) AS dev
+        FROM e JOIN med USING (event_type)),
+      r2 AS (
+        SELECT event_type, dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS r
+        FROM dev),
+      mad AS (
+        SELECT event_type, dev AS mad
+        FROM r2 JOIN n USING (event_type) WHERE r = (n + 1) // 2)
+      SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(med) AS med, MIN(mad) AS mad,
+             CAST(COUNT(*) FILTER (WHERE dev > 3.0 * mad) AS BIGINT)
+               AS n_outliers
+      FROM dev d JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
+  /** q152 — composite entity-resolution scoring (Fellegi–Sunter
+    * style): for each sorted-neighborhood candidate pair (the q140
+    * blocking), three independent similarity features — Jaro–Winkler
+    * on the normalized 60-char head ([[graft.functions
+    * .JaroWinklerExpr]]), Levenshtein similarity on the 100-char
+    * head, token-set Jaccard on the 200-char head — combined into a
+    * fixed-weight match score. The "agree on several weak signals"
+    * pattern real record linkage uses instead of any single
+    * distance; every feature and the fused score oracle-checked. */
+  private val q152 = QueryDef(
+    "q152_er_score",
+    (s, dir) => {
+      import graft.functions.JaroWinklerExpr.jaro_winkler
+      import graft.operators.Dedup
+      val docs = ExtensionQueries.augmentedDocs(s, dir)
+      val pairs = Dedup.sortedNeighborhoodPairs(
+        docs, substring(lower(col("text")), 1, 40), window = 5)
+      val feat = docs.select(col("doc_id"),
+        substring(lower(col("text")), 1, 60).as("jw_key"),
+        substring(col("text"), 1, 100).as("lev_key"),
+        array_distinct(TextFunctions.tokens(
+          substring(col("text"), 1, 200))).as("tok"))
+      val fa = feat.select(col("doc_id").as("a_id"), col("jw_key").as("a_jw"),
+        col("lev_key").as("a_lev"), col("tok").as("a_tok"))
+      val fb = feat.select(col("doc_id").as("b_id"), col("jw_key").as("b_jw"),
+        col("lev_key").as("b_lev"), col("tok").as("b_tok"))
+      pairs.join(fa, Seq("a_id")).join(fb, Seq("b_id"))
+        .withColumn("jw", round(jaro_winkler(col("a_jw"), col("b_jw")), 6))
+        .withColumn("lev_sim", round(lit(1.0) -
+          levenshtein(col("a_lev"), col("b_lev")).cast(DoubleType) /
+            greatest(length(col("a_lev")), length(col("b_lev"))), 6))
+        .withColumn("inter",
+          size(array_intersect(col("a_tok"), col("b_tok"))).cast(LongType))
+        .withColumn("uni",
+          size(col("a_tok")) + size(col("b_tok")) - col("inter"))
+        .withColumn("jac", when(col("uni") === 0L, lit(1.0))
+          .otherwise(round(col("inter").cast(DoubleType) / col("uni"), 6)))
+        // fuse in EXACT decimal arithmetic: 0.4·jw + 0.3·lev + 0.3·jac
+        // over 6-dp features has 7-dp values that land exactly on .5
+        // round-to-6 boundaries, where double rounding diverges
+        // between engines — so never round the fused score at all
+        .withColumn("score_dec", expr(
+          """CAST(0.4 AS DECIMAL(2,1)) * CAST(jw AS DECIMAL(8,6))
+             + CAST(0.3 AS DECIMAL(2,1)) * CAST(lev_sim AS DECIMAL(8,6))
+             + CAST(0.3 AS DECIMAL(2,1)) * CAST(jac AS DECIMAL(8,6))"""))
+        .select(col("a_id"), col("b_id"), col("jw"), col("lev_sim"),
+          col("jac"), col("score_dec").cast(DoubleType).as("score"),
+          (col("score_dec") >= expr("CAST(0.75 AS DECIMAL(3,2))"))
+            .as("is_match"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""
+      WITH ${ExtensionQueries.augmentedDocsSql},
+      keyed AS (SELECT doc_id, substring(lower(text), 1, 40) AS k FROM aug),
+      ranked AS (SELECT doc_id,
+                        ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rnk
+                 FROM keyed),
+      feat AS (
+        SELECT doc_id, substring(lower(text), 1, 60) AS jw_key,
+               substring(text, 1, 100) AS lev_key,
+               list_distinct(list_filter(
+                 string_split(lower(substring(text, 1, 200)), ' '),
+                 x -> x <> '')) AS tok
+        FROM aug),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ranked a JOIN ranked b
+          ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5),
+      f AS (
+        SELECT a_id, b_id,
+               ROUND(jaro_winkler_similarity(fa.jw_key, fb.jw_key), 6) AS jw,
+               ROUND(1.0 - CAST(levenshtein(fa.lev_key, fb.lev_key) AS DOUBLE)
+                 / greatest(length(fa.lev_key), length(fb.lev_key)), 6)
+                 AS lev_sim,
+               CAST(len(list_intersect(fa.tok, fb.tok)) AS BIGINT) AS inter,
+               CAST(len(fa.tok) + len(fb.tok)
+                 - len(list_intersect(fa.tok, fb.tok)) AS BIGINT) AS uni
+        FROM pairs
+        JOIN feat fa ON fa.doc_id = a_id
+        JOIN feat fb ON fb.doc_id = b_id),
+      g AS (
+        SELECT a_id, b_id, jw, lev_sim,
+               CASE WHEN uni = 0 THEN 1.0
+                    ELSE ROUND(CAST(inter AS DOUBLE) / uni, 6) END AS jac
+        FROM f),
+      h AS (
+        SELECT a_id, b_id, jw, lev_sim, jac,
+               CAST(0.4 AS DECIMAL(2,1)) * CAST(jw AS DECIMAL(8,6))
+                 + CAST(0.3 AS DECIMAL(2,1)) * CAST(lev_sim AS DECIMAL(8,6))
+                 + CAST(0.3 AS DECIMAL(2,1)) * CAST(jac AS DECIMAL(8,6))
+                 AS score_dec
+        FROM g)
+      SELECT a_id, b_id, jw, lev_sim, jac,
+             CAST(score_dec AS DOUBLE) AS score,
+             score_dec >= CAST(0.75 AS DECIMAL(3,2)) AS is_match
+      FROM h ORDER BY a_id, b_id"""))
+
+  def all: Seq[QueryDef] =
+    Seq(q73, q74, q75, q76, q77, q78, q79, q151, q152)
 }
