@@ -133,4 +133,35 @@ object LinkAnalysis {
     }
     labels.select(col("v").as("node"), col("lbl").as("community"))
   }
+
+  /** k-core decomposition by fixed-round peeling (Seidman 1983,
+    * Batagelj–Zaveršnik peel expressed as synchronous rounds): each
+    * round recomputes degrees within the surviving induced subgraph
+    * and drops nodes below k. A fixed round count keeps the result
+    * deterministic and oracle-unrollable; extra rounds past
+    * convergence are no-ops, so the output is the k-core whenever the
+    * peel has stabilized (monotone — the survivor set only shrinks).
+    *
+    * Scale shape: each round is two semi-joins (restrict edge ends to
+    * survivors) plus one count aggregate — O(|E|) per round, one
+    * shuffle keyed on the node; plans stay constant-size via
+    * [[Checkpoints.truncate]]. Output: (node, deg) — the node's
+    * degree in the final induced subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val adj = Checkpoints.truncate(
+      edges.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(edges.select(col("b").as("v"), col("a").as("u"))))
+    var alive = adj.select(col("v")).distinct()
+    var out = alive.withColumn("deg", lit(0L)).limit(0)
+    for (_ <- 1 to rounds) {
+      out = Checkpoints.truncate(adj
+        .join(alive, Seq("v"), "left_semi")
+        .join(alive.select(col("v").as("u")), Seq("u"), "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k))
+      alive = out.select(col("v"))
+    }
+    out.select(col("v").as("node"), col("deg"))
+  }
 }

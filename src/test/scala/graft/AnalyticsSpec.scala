@@ -226,6 +226,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(Set("x", "y", "z").map(got).size == 1)
   }
 
+  test("kCore matches a sequential synchronous peel, extra rounds are no-ops") {
+    import graft.operators.LinkAnalysis
+    // 4-clique {a,b,c,d} + pendant path d–e–f: 3-core = the clique
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"))
+    val k = 3
+    val got = LinkAnalysis.kCore(edges.toDF("a", "b"), k, rounds = 6)
+      .as[(String, Long)].collect().toMap
+
+    // sequential synchronous reference peel with the same round count
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var alive = adj.keySet
+    var deg = Map.empty[String, Int]
+    for (_ <- 1 to 6) {
+      deg = alive.map(v => v -> (adj(v) & alive).size).toMap
+        .filter(_._2 >= k)
+      alive = deg.keySet
+    }
+    assert(got === deg.map { case (v, d) => v -> d.toLong })
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got.values.toSet == Set(3L))
+  }
+
   test("audited CSV read quarantines malformed rows, loads the rest") {
     import graft.sources.LakeIO
     import org.apache.spark.sql.types._

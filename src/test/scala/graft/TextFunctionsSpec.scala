@@ -117,6 +117,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(viaSql - 0.8133333333333332) < 1e-12)
   }
 
+  test("nfc_normalize composes decomposed sequences, identity on NFC text") {
+    import graft.functions.NfcNormalizeExpr
+    // decomposed e + U+0301 composes to U+00E9; NFC input is untouched
+    val rows = Seq("café", "café", "plain ascii")
+      .toDF("s")
+      .select(NfcNormalizeExpr.nfc_normalize($"s").as("n"),
+        org.apache.spark.sql.functions.length($"s").as("lr"),
+        org.apache.spark.sql.functions
+          .length(NfcNormalizeExpr.nfc_normalize($"s")).as("ln"))
+      .as[(String, Int, Int)].collect()
+    assert(rows(0) == ("café", 5, 4)) // composition shortens
+    assert(rows(1) == ("café", 4, 4))
+    assert(rows(2) == ("plain ascii", 11, 11))
+    // null propagation + SQL registration surface
+    val viaNull = Seq[Option[String]](None).toDF("s")
+      .select(NfcNormalizeExpr.nfc_normalize($"s"))
+      .as[Option[String]].collect().head
+    assert(viaNull.isEmpty)
+    NfcNormalizeExpr.register(spark)
+    val viaSql = spark.sql("SELECT nfc_normalize('ü') AS n")
+      .as[String].collect().head
+    assert(viaSql == "ü")
+  }
+
   test("simhash32 is within 32 bits and deterministic") {
     val sigs = Seq("a b c", "a b c").toDF("text")
       .select(graft.operators.Dedup.simhash32($"text")).as[Long].collect()
