@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.VectorFunctions
@@ -171,5 +171,51 @@ object Clustering {
     scatter.join(worst, Seq("cell"))
       .select(col("cell"), col("n_vecs"), col("scatter"),
         col("worst_neighbor"), col("db_term"))
+  }
+
+  /** Farthest-point traversal (k-center greedy, Gonzalez 1985) — the
+    * coreset / diverse-subset selector an LLM pipeline uses to pick
+    * maximally-spread exemplars (and the classic k-means++-style
+    * seeding): start from `startId`, then k−1 times select the point
+    * farthest from its nearest already-selected center (ties toward
+    * the smaller id). Returns (round, center_id, radius) where radius
+    * is the selected point's distance² to the previous center set —
+    * the 2-approximation bound on the k-center objective.
+    *
+    * Scale shape: the min-distance column is maintained incrementally
+    * — each round joins the corpus against ONE new broadcast center
+    * and takes `least(dmin, d2_new)` (O(N·k) total work, not O(N·k²)),
+    * lineage truncated per round via [[Checkpoints]]. The per-round
+    * argmax collects exactly one row to the driver (the same bounded
+    * k-row driver state as any seed selection). Distances use the
+    * dot-product identity ‖a‖²+‖b‖²−2a·b with a fixed fold order, so
+    * selections are bit-reproducible across engines. */
+  def farthestPointSeeds(corpus: DataFrame, k: Int, startId: Long = 0L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def d2(a: Column, b: Column): Column =
+      VectorFunctions.dot(a, a) + VectorFunctions.dot(b, b) -
+        lit(2.0) * VectorFunctions.dot(a, b)
+    val base = corpus.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("v"))
+    def centerVec(id: Long): Seq[Float] =
+      base.filter(col("id") === id).select(col("v"))
+        .as[Seq[Float]].head()
+    var selected = Vector((0L /* round */, startId, 0.0 /* radius */))
+    var dmin = Checkpoints.truncate(base
+      .withColumn("dmin", d2(col("v"), typedLit(centerVec(startId)))))
+    for (r <- 1L until k.toLong) {
+      val next = dmin.orderBy(col("dmin").desc, col("id")).limit(1)
+        .select(col("id"), col("dmin")).as[(Long, Double)].head()
+      selected :+= ((r, next._1, next._2))
+      if (r < k - 1) {
+        dmin = Checkpoints.truncate(dmin.withColumn("dmin",
+          least(col("dmin"), d2(col("v"), typedLit(centerVec(next._1))))))
+      }
+    }
+    selected.toDF("round", "center_id", "radius")
   }
 }

@@ -22,6 +22,38 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.map(_._2).contains(1L))
   }
 
+  test("farthestPointSeeds matches a sequential greedy k-center traversal") {
+    import graft.operators.Clustering
+    // 2-d layout with an unambiguous greedy order from id 0 at origin
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)),
+      (3L, Array(0.0f, 8.0f)),
+      (4L, Array(5.0f, 5.0f)),
+      (5L, Array(10.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.farthestPointSeeds(vecs, k = 4, startId = 0L)
+      .orderBy("round").as[(Long, Long, Double)].collect().toSeq
+
+    // sequential reference with the same tie-break (dmin desc, id asc)
+    val pts = Map(0L -> (0.0, 0.0), 1L -> (1.0, 0.0), 2L -> (10.0, 0.0),
+      3L -> (0.0, 8.0), 4L -> (5.0, 5.0), 5L -> (10.0, 1.0))
+    def d2(a: (Double, Double), b: (Double, Double)) = {
+      val (dx, dy) = (a._1 - b._1, a._2 - b._2); dx * dx + dy * dy
+    }
+    var centers = Vector(0L)
+    var expect = Vector((0L, 0L, 0.0))
+    for (r <- 1 to 3) {
+      val (id, rad) = pts.keys.toSeq.sorted
+        .map(id => id -> centers.map(c => d2(pts(id), pts(c))).min)
+        .maxBy { case (id, d) => (d, -id) }
+      centers :+= id
+      expect :+= ((r.toLong, id, rad))
+    }
+    assert(got == expect)
+  }
+
   test("multi-table srp LSH recall beats the random-bucket floor") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" % 100 === 0)
