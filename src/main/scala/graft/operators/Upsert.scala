@@ -50,4 +50,24 @@ object Upsert {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** CDC apply WITH delete tombstones: compact the change feed to
+    * each key's latest op, then drop keys whose final op is a delete
+    * — the full Debezium-style upsert/delete materialization
+    * ([[latestByKey]] alone resurrects deleted keys). Adds `_n_ops`,
+    * the key's feed depth (compaction-ratio / hot-key diagnostic).
+    * Same single key-shuffle as latestByKey: the count rides the same
+    * window partition, and the tombstone drop is a post-window
+    * filter, not another pass. */
+  def applyCdc(feed: DataFrame, keyCols: Seq[String],
+               ordering: Seq[Column], opCol: String = "op",
+               deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordering.map(_.desc): _*)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    feed.withColumn("_rn", row_number().over(w))
+      .withColumn("_n_ops", count(lit(1)).over(wAll))
+      .filter(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn")
+  }
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.operators.Upsert
+import graft.queries.QueryDef.table
+
+/** Round-4 continuation: classic-warehouse serving tier — CDC apply
+  * with delete tombstones (the Debezium-feed materialization the
+  * reference's keyed-update sink implies but never ships), and two
+  * TPC-H-shaped consumption queries (Q8 market share, Q3 shipping
+  * priority) that exercise the full star-join planning surface:
+  * multi-dimension broadcast joins, decimal-exact revenue math, and
+  * selective date pushdown, with the fact table streamed through
+  * exactly one aggregation shuffle.
+  */
+object WarehouseQueries {
+
+  private val Dec = DecimalType(18, 2)
+
+  /** q161 — CDC apply with tombstones ([[Upsert.applyCdc]]): a
+    * synthetic Debezium-style feed derived from orders (key =
+    * o_orderkey % 2000, seq = o_orderkey, every 11th op a delete) is
+    * compacted to latest-op-per-key and delete-terminated keys are
+    * dropped — [[Upsert.latestByKey]] (q70) alone would resurrect
+    * them. Output carries each key's feed depth: the
+    * compaction-ratio diagnostic an ingestion pipeline alerts on.
+    * One key shuffle; rn, n_ops, and the tombstone filter all ride
+    * the same window partition. */
+  private val q161 = QueryDef(
+    "q161_cdc_tombstones",
+    (s, dir) => {
+      val feed = table(s, dir, "orders")
+        .select((col("o_orderkey") % 2000).as("key"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 11 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          (col("o_totalprice").cast(Dec) * 100).cast(LongType).as("cents"))
+      Upsert.applyCdc(feed, Seq("key"), Seq(col("seq")))
+        .select(col("key"), col("seq").as("last_seq"),
+          col("_n_ops").as("n_ops"), col("cents").as("final_cents"))
+        .orderBy(col("key"))
+    },
+    Some("""
+      WITH feed AS (
+        SELECT o_orderkey % 2000 AS key, o_orderkey AS seq,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n_ops
+        FROM feed)
+      SELECT key, seq AS last_seq, CAST(n_ops AS BIGINT) AS n_ops,
+             cents AS final_cents
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY key"""))
+
+  /** q162 — market share by supplier nation (TPC-H Q8 shape): within
+    * the ASIA-customer market, each supplier nation's share of yearly
+    * revenue. Five dimension joins (customer, nation×2, region,
+    * supplier) all broadcast — the fact table streams through ONE
+    * shuffle (the (year, nation) aggregate, ~years×nations rows);
+    * the per-year total then rides a window over that tiny frame.
+    * Revenue is exact DECIMAL until the final share division. */
+  private val q162 = QueryDef(
+    "q162_market_share",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = broadcast(table(s, dir, "customer"))
+      val cn = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      val su = broadcast(table(s, dir, "supplier"))
+      val sn = broadcast(table(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation")))
+      val byYear = Window.partitionBy(col("o_year"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast(LongType).as("o_year"),
+          col("s_nation"),
+          (col("l_extendedprice").cast(Dec) *
+            (lit(1).cast(Dec) - col("l_discount").cast(Dec))).as("rev"))
+        .groupBy(col("o_year"), col("s_nation"))
+        .agg(sum(col("rev")).as("nation_rev"))
+        .withColumn("total_rev", sum(col("nation_rev")).over(byYear))
+        .select(col("o_year"), col("s_nation"),
+          col("nation_rev").cast(DoubleType).as("nation_rev"),
+          col("total_rev").cast(DoubleType).as("total_rev"),
+          (col("nation_rev").cast(DoubleType) /
+            col("total_rev").cast(DoubleType)).as("share"))
+        .orderBy(col("o_year"), col("s_nation"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+               sn.n_name AS s_nation,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'),
+      agg AS (
+        SELECT o_year, s_nation, SUM(rev) AS nation_rev
+        FROM rev GROUP BY 1, 2),
+      tot AS (
+        SELECT *, SUM(nation_rev) OVER (PARTITION BY o_year) AS total_rev
+        FROM agg)
+      SELECT o_year, s_nation,
+             CAST(nation_rev AS DOUBLE) AS nation_rev,
+             CAST(total_rev AS DOUBLE) AS total_rev,
+             CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS share
+      FROM tot ORDER BY o_year, s_nation"""))
+
+  /** q163 — shipping priority (TPC-H Q3 shape): top-10 unshipped-
+    * revenue orders for one market segment at a cutoff date. The
+    * selective date predicates push to both parquet scans
+    * (`o_orderdate <`, `l_shipdate >` in PushedFilters), the segment
+    * filter rides the broadcast customer dim, and the top-k plans as
+    * TakeOrderedAndProject over the per-order aggregate — no global
+    * sort materializes. */
+  private val q163 = QueryDef(
+    "q163_ship_priority",
+    (s, dir) => {
+      val cutoff = "1998-07-01"
+      val li = table(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) > lit(cutoff))
+      val o = table(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) < lit(cutoff))
+      val c = broadcast(table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum(col("l_extendedprice").cast(Dec) *
+          (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+          .cast(DoubleType).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("order_date"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS DOUBLE) AS revenue,
+             CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS order_date
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) < DATE '1998-07-01'
+        AND CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE) > DATE '1998-07-01'
+      GROUP BY o_orderkey, order_date
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  val all: Seq[QueryDef] = Seq(q161, q162, q163)
+}
