@@ -156,16 +156,23 @@ object RetrievalQueries {
           round(-log((col("dc") + lit(1)).cast(DoubleType) / (col("nd") + col("nc"))), 6)
             .cast(DecimalType(28, 6)).as("prior"))
       val classes = priors.select(col("lang_c"))
-      val terms = toks.crossJoin(broadcast(classes))
+      // collapse to per-(doc, word) counts BEFORE the class cross, so
+      // the ×|classes| blowup applies to distinct words, not every
+      // token occurrence; cnt · round(term, 6) is exact decimal, so
+      // the scores are identical to summing per-occurrence terms
+      val tokCnt = toks.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tcnt"))
+      val terms = tokCnt.crossJoin(broadcast(classes))
         .join(broadcast(cwc), Seq("lang_c", "w"), "left")
         .join(broadcast(ctot), Seq("lang_c"))
         .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), col("lang_c"),
-          round(-log((coalesce(col("c"), lit(0L)) + lit(1)).cast(DoubleType)
-            / (col("tot") + col("v"))), 6)
+        .select(col("doc_id"), col("lang_c"), col("tcnt"),
+          (col("tcnt") *
+            round(-log((coalesce(col("c"), lit(0L)) + lit(1)).cast(DoubleType)
+              / (col("tot") + col("v"))), 6).cast(DecimalType(28, 6)))
             .cast(DecimalType(28, 6)).as("term"))
       val scored = terms.groupBy(col("doc_id"), col("lang_c"))
-        .agg(sum(col("term")).as("ts"), count(lit(1)).as("n_tokens"))
+        .agg(sum(col("term")).as("ts"), sum(col("tcnt")).as("n_tokens"))
       val full = docs.select(col("doc_id"), col("lang"))
         .crossJoin(broadcast(classes))
         .join(scored, Seq("doc_id", "lang_c"), "left")
@@ -202,17 +209,22 @@ object RetrievalQueries {
                  AS DECIMAL(28, 6)) AS prior
         FROM td, tds GROUP BY lang, nd, nc),
       classes AS (SELECT lang_c FROM priors),
+      tokcnt AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tcnt
+        FROM toks GROUP BY 1, 2),
       terms AS (
-        SELECT t.doc_id, cl.lang_c,
-               CAST(ROUND(-ln(CAST(COALESCE(cwc.c, 0) + 1 AS DOUBLE)
-                 / (ctot.tot + vocab.v)), 6) AS DECIMAL(28, 6)) AS term
-        FROM toks t
+        SELECT t.doc_id, cl.lang_c, t.tcnt,
+               CAST(t.tcnt *
+                 CAST(ROUND(-ln(CAST(COALESCE(cwc.c, 0) + 1 AS DOUBLE)
+                   / (ctot.tot + vocab.v)), 6) AS DECIMAL(28, 6))
+                 AS DECIMAL(28, 6)) AS term
+        FROM tokcnt t
         CROSS JOIN classes cl
         LEFT JOIN cwc ON cwc.lang_c = cl.lang_c AND cwc.w = t.w
         JOIN ctot ON ctot.lang_c = cl.lang_c
         CROSS JOIN vocab),
       scored AS (
-        SELECT doc_id, lang_c, SUM(term) AS ts, COUNT(*) AS n_tokens
+        SELECT doc_id, lang_c, SUM(term) AS ts, SUM(tcnt) AS n_tokens
         FROM terms GROUP BY 1, 2),
       full_s AS (
         SELECT d.doc_id, d.lang, cl.lang_c,

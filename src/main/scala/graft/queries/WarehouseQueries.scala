@@ -134,11 +134,14 @@ object WarehouseQueries {
   private val q163 = QueryDef(
     "q163_ship_priority",
     (s, dir) => {
-      val cutoff = "1998-07-01"
+      // the date columns are midnight-only timestamps, so comparing the
+      // raw column (instead of to_date(col)) is equivalent AND keeps the
+      // predicate eligible for parquet pushdown (PushedFilters)
+      val cutoff = to_timestamp(lit("1998-07-01 00:00:00"))
       val li = table(s, dir, "lineitem")
-        .filter(to_date(col("l_shipdate")) > lit(cutoff))
+        .filter(col("l_shipdate") > cutoff)
       val o = table(s, dir, "orders")
-        .filter(to_date(col("o_orderdate")) < lit(cutoff))
+        .filter(col("o_orderdate") < cutoff)
       val c = broadcast(table(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
