@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+import graft.queries.QueryDef.table
+
+/** Round-4 continuation: corpus-infrastructure hygiene — embedding
+  * whitening with an isotropy audit (the vector-space normalization
+  * retrieval quality depends on), iterative proportional fitting of
+  * sampling weights to a target language mix (the reweighting half of
+  * data mixing, beside q167's hard allocation), and a consistent-
+  * hashing shard-rebalance audit (what moves when the cluster grows).
+  *
+  * Exactness: every float reduction is a round-then-exact-DECIMAL-sum
+  * (q133/q136 pattern); ring arithmetic is pure BIGINT md5 buckets.
+  */
+object HygieneQueries {
+
+  /** q170 — embedding whitening + isotropy audit: per-dimension
+    * mean/variance from exact DECIMAL sums (one corpus pass in
+    * exploded form), then for 250 deterministic pairs the cosine
+    * before and after standardization ((x−μ)/σ per dimension).
+    * Anisotropic embedding spaces (a dominant mean direction) inflate
+    * raw cosines — whitening pulls the pair distribution toward 0,
+    * and this audit measures exactly how much. Pair cosines are
+    * computed in exploded form joined on the dimension (no array
+    * reassembly), each product term rounded to 9 decimals before the
+    * exact sum, so both engines produce identical doubles. */
+  private val q170 = QueryDef(
+    "q170_whitening_audit",
+    (s, dir) => {
+      val ex = table(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+          col("x").cast(DoubleType).as("x"))
+      val stats = ex.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(20, 7))).as("sx"),
+          sum(round(col("x") * col("x"), 9).cast(DecimalType(28, 9))).as("sxx"))
+        .select(col("pos"),
+          (col("sx").cast(DoubleType) / col("n")).as("mu"),
+          sqrt((col("sxx").cast(DoubleType) / col("n")) -
+            (col("sx").cast(DoubleType) / col("n")) *
+              (col("sx").cast(DoubleType) / col("n"))).as("sd"))
+      val w = ex.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"), col("x"),
+          ((col("x") - col("mu")) / col("sd")).as("wx"))
+      val a = w.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id_a"), col("pos"),
+          col("x").as("xa"), col("wx").as("wa"))
+      val b = w.select((col("vec_id") - 1).as("id_a"), col("pos"),
+        col("x").as("xb"), col("wx").as("wb"))
+      val terms = a.join(b, Seq("id_a", "pos"))
+        .groupBy(col("id_a"))
+        .agg(
+          sum(round(col("xa") * col("xb"), 9).cast(DecimalType(28, 9))).as("dr"),
+          sum(round(col("xa") * col("xa"), 9).cast(DecimalType(28, 9))).as("nra"),
+          sum(round(col("xb") * col("xb"), 9).cast(DecimalType(28, 9))).as("nrb"),
+          sum(round(col("wa") * col("wb"), 9).cast(DecimalType(28, 9))).as("dw"),
+          sum(round(col("wa") * col("wa"), 9).cast(DecimalType(28, 9))).as("nwa"),
+          sum(round(col("wb") * col("wb"), 9).cast(DecimalType(28, 9))).as("nwb"))
+      terms.select(col("id_a"), (col("id_a") + 1).as("id_b"),
+          (col("dr").cast(DoubleType) /
+            sqrt(col("nra").cast(DoubleType) * col("nrb").cast(DoubleType)))
+            .as("cos_raw"),
+          (col("dw").cast(DoubleType) /
+            sqrt(col("nwa").cast(DoubleType) * col("nwb").cast(DoubleType)))
+            .as("cos_white"))
+        .orderBy(col("id_a"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) - 1 AS pos,
+               unnest(v) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      stats AS (
+        SELECT pos,
+               CAST(SUM(CAST(x AS DECIMAL(20, 7))) AS DOUBLE) / COUNT(*) AS mu,
+               sqrt(CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28, 9))) AS DOUBLE)
+                      / COUNT(*)
+                    - (CAST(SUM(CAST(x AS DECIMAL(20, 7))) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(CAST(x AS DECIMAL(20, 7))) AS DOUBLE) / COUNT(*)))
+                 AS sd
+        FROM ex GROUP BY pos),
+      w AS (
+        SELECT vec_id, ex.pos, x, (x - mu) / sd AS wx
+        FROM ex JOIN stats ON ex.pos = stats.pos),
+      a AS (SELECT vec_id AS id_a, pos, x AS xa, wx AS wa
+            FROM w WHERE vec_id % 2 = 0),
+      b AS (SELECT vec_id - 1 AS id_a, pos, x AS xb, wx AS wb FROM w),
+      terms AS (
+        SELECT id_a,
+               SUM(CAST(ROUND(xa * xb, 9) AS DECIMAL(28, 9))) AS dr,
+               SUM(CAST(ROUND(xa * xa, 9) AS DECIMAL(28, 9))) AS nra,
+               SUM(CAST(ROUND(xb * xb, 9) AS DECIMAL(28, 9))) AS nrb,
+               SUM(CAST(ROUND(wa * wb, 9) AS DECIMAL(28, 9))) AS dw,
+               SUM(CAST(ROUND(wa * wa, 9) AS DECIMAL(28, 9))) AS nwa,
+               SUM(CAST(ROUND(wb * wb, 9) AS DECIMAL(28, 9))) AS nwb
+        FROM a JOIN b USING (id_a, pos)
+        GROUP BY id_a)
+      SELECT id_a, id_a + 1 AS id_b,
+             CAST(dr AS DOUBLE) / sqrt(CAST(nra AS DOUBLE) * CAST(nrb AS DOUBLE))
+               AS cos_raw,
+             CAST(dw AS DOUBLE) / sqrt(CAST(nwa AS DOUBLE) * CAST(nwb AS DOUBLE))
+               AS cos_white
+      FROM terms ORDER BY id_a"""))
+
+  /** q171 — iterative proportional fitting (raking) of sampling
+    * weights: start from the source×lang document-count table and
+    * alternate two marginal-matching steps (lang step toward a
+    * uniform language target, source step back toward original source
+    * masses), two full rounds unrolled. This is the reweighting half
+    * of data mixing — q167 allocates hard token budgets, IPF produces
+    * the per-cell sampling weights that hit a target language mix
+    * without collapsing any source. Each update is
+    * round(w · target/marginal, 6) — one double ratio of exact
+    * DECIMAL sums per step, so the fitted weights are engine-exact.
+    * The fitted table is |sources|×|langs| — post-aggregate
+    * constant-size work at any corpus scale. */
+  private val q171 = QueryDef(
+    "q171_ipf_reweight",
+    (s, dir) => {
+      val dec = DecimalType(28, 6)
+      val cells = table(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("t"),
+        countDistinct(col("lang")).as("nl"))
+      val srcTot = cells.groupBy(col("source")).agg(sum(col("n")).as("st"))
+      def langStep(in: org.apache.spark.sql.DataFrame, wCol: String,
+                   outCol: String) = {
+        val lt = in.groupBy(col("lang")).agg(sum(col(wCol)).as("lt"))
+        in.join(broadcast(lt), Seq("lang")).crossJoin(broadcast(tot))
+          .withColumn(outCol,
+            round(col(wCol).cast(DoubleType) *
+              (col("t").cast(DoubleType) / col("nl")) /
+              col("lt").cast(DoubleType), 6).cast(dec))
+          .drop("lt", "t", "nl")
+      }
+      def srcStep(in: org.apache.spark.sql.DataFrame, wCol: String,
+                  outCol: String) = {
+        val rt = in.groupBy(col("source")).agg(sum(col(wCol)).as("rt"))
+        in.join(broadcast(rt), Seq("source")).join(broadcast(srcTot), Seq("source"))
+          .withColumn(outCol,
+            round(col(wCol).cast(DoubleType) *
+              col("st").cast(DoubleType) / col("rt").cast(DoubleType), 6)
+              .cast(dec))
+          .drop("rt", "st")
+      }
+      val w0 = cells.withColumn("w0", col("n").cast(dec))
+      val r1 = srcStep(langStep(w0, "w0", "w1"), "w1", "w2")
+      val r2 = srcStep(langStep(r1, "w2", "w3"), "w3", "w4")
+      r2.select(col("source"), col("lang"), col("n"),
+          col("w4").cast(DoubleType).as("weight"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT SUM(n) AS t, CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl
+              FROM cells),
+      srctot AS (SELECT source, SUM(n) AS st FROM cells GROUP BY 1),
+      w0 AS (SELECT source, lang, n, CAST(n AS DECIMAL(28, 6)) AS w FROM cells),
+      l1 AS (
+        SELECT source, lang, n,
+               CAST(ROUND(CAST(w AS DOUBLE) *
+                 (CAST(t AS DOUBLE) / nl) /
+                 CAST(SUM(w) OVER (PARTITION BY lang) AS DOUBLE), 6)
+                 AS DECIMAL(28, 6)) AS w
+        FROM w0, tot),
+      s1 AS (
+        SELECT source, lang, n,
+               CAST(ROUND(CAST(w AS DOUBLE) *
+                 CAST(st AS DOUBLE) /
+                 CAST(SUM(w) OVER (PARTITION BY source) AS DOUBLE), 6)
+                 AS DECIMAL(28, 6)) AS w
+        FROM l1 JOIN srctot USING (source)),
+      l2 AS (
+        SELECT source, lang, n,
+               CAST(ROUND(CAST(w AS DOUBLE) *
+                 (CAST(t AS DOUBLE) / nl) /
+                 CAST(SUM(w) OVER (PARTITION BY lang) AS DOUBLE), 6)
+                 AS DECIMAL(28, 6)) AS w
+        FROM s1, tot),
+      s2 AS (
+        SELECT source, lang, n,
+               CAST(ROUND(CAST(w AS DOUBLE) *
+                 CAST(st AS DOUBLE) /
+                 CAST(SUM(w) OVER (PARTITION BY source) AS DOUBLE), 6)
+                 AS DECIMAL(28, 6)) AS w
+        FROM l2 JOIN srctot USING (source))
+      SELECT source, lang, n, CAST(w AS DOUBLE) AS weight
+      FROM s2 ORDER BY source, lang"""))
+
+  /** q172 — consistent-hashing shard-rebalance audit: documents map
+    * onto a 2²⁰-position md5 ring with 4 virtual nodes per shard;
+    * growing the cluster 8 → 9 shards moves only the ring segments
+    * the new shard's vnodes claim (~1/9 of keys), where mod-hashing
+    * remaps ~8/9 of everything. Both strategies' actual moved
+    * fractions are computed exactly (ppm, integer div) — the
+    * partition-layout decision that determines whether a cluster
+    * resize is a 10% or a 90% data shuffle at 100 TB. Ring lookup is
+    * a broadcast join against the ≤36-row vnode table with a
+    * min-struct aggregate (successor-with-wraparound), one corpus
+    * pass per ring. */
+  private val q172 = QueryDef(
+    "q172_shard_rebalance",
+    (s, dir) => {
+      val ringSize = 1L << 20
+      def hpos(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % ringSize
+      val spark0 = s
+      import spark0.implicits._
+      def ring(nShards: Int) = broadcast(
+        (0 until nShards).flatMap(sh => (0 until 4).map(v => (sh.toLong, s"$sh-$v")))
+          .toDF("shard", "vkey")
+          .select(col("shard"), hpos(col("vkey")).as("vpos")))
+      def assign(docs: org.apache.spark.sql.DataFrame, nShards: Int,
+                 outCol: String) =
+        docs.crossJoin(ring(nShards))
+          .groupBy(col("doc_id"), col("dp"))
+          .agg(
+            min(when(col("vpos") >= col("dp"),
+              struct(col("vpos"), col("shard")))).as("succ"),
+            min(struct(col("vpos"), col("shard"))).as("wrap"))
+          .select(col("doc_id"), col("dp"),
+            coalesce(col("succ.shard"), col("wrap.shard")).as(outCol))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          hpos(col("doc_id").cast(StringType)).as("dp"))
+      val both = assign(docs, 8, "s8").join(assign(docs, 9, "s9"),
+        Seq("doc_id", "dp"))
+        .withColumn("mod_moved",
+          (col("doc_id") % 8 =!= col("doc_id") % 9).cast(LongType))
+        .withColumn("ring_moved", (col("s8") =!= col("s9")).cast(LongType))
+      both.agg(count(lit(1)).as("n_docs"),
+          sum(col("ring_moved")).as("ring_m"), sum(col("mod_moved")).as("mod_m"))
+        .select(
+          explode(array(
+            struct(lit("a_ring").as("strategy"), col("n_docs"),
+              col("ring_m").as("n_moved")),
+            struct(lit("b_mod").as("strategy"), col("n_docs"),
+              col("mod_m").as("n_moved")))).as("r"))
+        .select(col("r.strategy"), col("r.n_docs"), col("r.n_moved"))
+        .withColumn("moved_ppm", expr("(n_moved * 1000000L) div n_docs"))
+        .orderBy(col("strategy"))
+    },
+    Some("""
+      WITH ring8 AS (
+        SELECT CAST(sh AS BIGINT) AS shard,
+               CAST('0x' || substr(md5(CAST(sh AS VARCHAR) || '-' ||
+                 CAST(v AS VARCHAR)), 1, 15) AS BIGINT) % 1048576 AS vpos
+        FROM unnest([0,1,2,3,4,5,6,7]) AS a(sh),
+             unnest([0,1,2,3]) AS b(v)),
+      ring9 AS (
+        SELECT CAST(sh AS BIGINT) AS shard,
+               CAST('0x' || substr(md5(CAST(sh AS VARCHAR) || '-' ||
+                 CAST(v AS VARCHAR)), 1, 15) AS BIGINT) % 1048576 AS vpos
+        FROM unnest([0,1,2,3,4,5,6,7,8]) AS a(sh),
+             unnest([0,1,2,3]) AS b(v)),
+      docs AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 1048576 AS dp
+        FROM documents),
+      a8p AS (
+        SELECT doc_id, dp,
+               COALESCE(MIN(CASE WHEN vpos >= dp THEN vpos END), MIN(vpos)) AS tp
+        FROM docs, ring8 GROUP BY 1, 2),
+      a8 AS (
+        SELECT doc_id, dp, MIN(shard) AS s8
+        FROM a8p JOIN ring8 ON vpos = tp GROUP BY 1, 2),
+      a9p AS (
+        SELECT doc_id, dp,
+               COALESCE(MIN(CASE WHEN vpos >= dp THEN vpos END), MIN(vpos)) AS tp
+        FROM docs, ring9 GROUP BY 1, 2),
+      a9 AS (
+        SELECT doc_id, dp, MIN(shard) AS s9
+        FROM a9p JOIN ring9 ON vpos = tp GROUP BY 1, 2),
+      j AS (
+        SELECT a8.doc_id,
+               CASE WHEN s8 <> s9 THEN 1 ELSE 0 END AS ring_moved,
+               CASE WHEN a8.doc_id % 8 <> a8.doc_id % 9 THEN 1 ELSE 0 END
+                 AS mod_moved
+        FROM a8 JOIN a9 USING (doc_id, dp)),
+      agg AS (
+        SELECT COUNT(*) AS n_docs, SUM(ring_moved) AS ring_m,
+               SUM(mod_moved) AS mod_m
+        FROM j)
+      SELECT strategy, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_moved AS BIGINT) AS n_moved,
+             CAST((n_moved * 1000000) // n_docs AS BIGINT) AS moved_ppm
+      FROM (
+        SELECT 'a_ring' AS strategy, n_docs, ring_m AS n_moved FROM agg
+        UNION ALL
+        SELECT 'b_mod', n_docs, mod_m FROM agg)
+      ORDER BY strategy"""))
+
+  val all: Seq[QueryDef] = Seq(q170, q171, q172)
+}
