@@ -97,6 +97,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("applyCdc drops delete-terminated keys, latestByKey would resurrect them") {
+    import graft.operators.Upsert
+    import org.apache.spark.sql.functions.col
+    val feed = Seq(
+      (1L, 1L, "U", 10L), (1L, 2L, "D", 0L),   // delete-terminated → absent
+      (2L, 1L, "U", 20L), (2L, 3L, "U", 22L),  // plain upsert chain
+      (3L, 1L, "D", 0L), (3L, 2L, "U", 30L)    // delete then re-insert → present
+    ).toDF("k", "seq", "op", "v")
+    val out = Upsert.applyCdc(feed, Seq("k"), Seq(col("seq")))
+      .select("k", "seq", "v", "_n_ops").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 3L, 22L, 2L), (3L, 2L, 30L, 2L)))
+    // the hazard applyCdc exists to fix: latestByKey keeps key 1's tombstone row
+    val naive = Upsert.latestByKey(feed, Seq("k"), Seq(col("seq")))
+    assert(naive.count() == 3)
+  }
+
   test("tfIdfTopTerms ranks corpus-frequent-but-distinctive terms") {
     val docs = Seq(
       (1L, "g1", "apple apple banana common"),
