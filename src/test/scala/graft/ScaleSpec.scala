@@ -72,6 +72,32 @@ class ScaleSpec extends SparkSpec {
       s"scan must prune unused columns: $readSchema")
   }
 
+  test("q163 date predicates reach both scans; top-k plans as TakeOrdered") {
+    val df = SparkEntry.queries("q163_ship_priority")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString.replaceAll("\\s", "")
+    assert(plan.contains("GreaterThan(l_shipdate"),
+      "l_shipdate filter must push to the lineitem scan")
+    assert(plan.contains("LessThan(o_orderdate"),
+      "o_orderdate filter must push to the orders scan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort")
+  }
+
+  test("q162 star: all five dims broadcast; fact shuffles once for the agg") {
+    val df = SparkEntry.queries("q162_market_share")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 5, s"expected >=5 broadcast joins, saw $bhj")
+    assert(!plan.contains("SortMergeJoin"),
+      "the fact path must never sort-merge against a dimension")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, // fact agg + tiny post-agg window frame
+      s"fact should shuffle once (plus the post-agg window), saw $shuffles:\n" +
+        plan.take(800))
+  }
+
   test("whole-stage codegen covers the aggregate hot path") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val agg = li.groupBy($"l_returnflag").agg(sum($"l_quantity"))
