@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.functions.TextFunctions
+import graft.operators.{Quantization, Similarity}
+import graft.queries.ExtensionQueries.{cosSql, toksSql}
+import graft.queries.QueryDef.table
+
+/** Round-4 continuation: evaluation tier — graded retrieval quality
+  * (nDCG of the compressed ANN ranking against the exact float
+  * ranking; recall flags alone treat a rank-1 hit and a rank-5 hit
+  * the same) and the Heaps-law vocabulary-growth exponent per source
+  * (the corpus-naturalness law that complements q147's Zipf slope).
+  *
+  * Exactness: DCG terms and OLS moments follow the q150/q133 pattern
+  * — per-term round-then-exact-DECIMAL-sum, one final double. */
+object EvalQueries {
+
+  /** q173 — nDCG@5 of the int8-quantized ranking (q135's ANN tier)
+    * vs the exact float top-5: exact rank r carries gain 6−r, a
+    * quantized neighbor outside the exact top-5 gains 0, positions
+    * discount by log2(p+1). Ideal DCG uses the same rounded terms, so
+    * ndcg = 1 exactly when the compressed index preserves the
+    * ranking. This is the graded upgrade of q135's boolean hit flags
+    * — the metric that decides whether 4× memory compression actually
+    * costs retrieval quality. Same plan shape as q135 (broadcast
+    * queries, one corpus pass per ranking) plus two tiny top-5-frame
+    * joins. */
+  private val q173 = QueryDef(
+    "q173_ndcg_quantized",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val quantized = Quantization.scalarQuantize(e, Quantization.dimScales(e))
+      val qIds = e.filter(col("vec_id") % 200 === 0).select(col("vec_id"))
+      val approx = Quantization.quantizedTopK(quantized, qIds, k = 5)
+        .select(col("q_id"), col("rank").as("p"), col("n_id"))
+      val exact = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5)
+        .select(col("q_id"), col("n_id"), col("rank"),
+          (lit(6L) - col("rank")).as("rel"))
+      val dcg = approx.join(exact.select(col("q_id"), col("n_id"), col("rel")),
+          Seq("q_id", "n_id"), "left")
+        .select(col("q_id"),
+          round(coalesce(col("rel"), lit(0L)).cast(DoubleType) /
+            log2(col("p").cast(DoubleType) + 1), 6)
+            .cast(DecimalType(28, 6)).as("term"))
+        .groupBy(col("q_id")).agg(sum(col("term")).as("dcg"))
+      // the exact list's gains are 5..1 by construction, so the ideal
+      // position of each item IS its exact rank — no re-sort needed
+      val idcg = exact
+        .select(col("q_id"),
+          round(col("rel").cast(DoubleType) /
+            log2(col("rank").cast(DoubleType) + 1), 6)
+            .cast(DecimalType(28, 6)).as("term"))
+        .groupBy(col("q_id")).agg(sum(col("term")).as("idcg"))
+      dcg.join(idcg, Seq("q_id"))
+        .select(col("q_id"), col("dcg").cast(DoubleType).as("dcg"),
+          col("idcg").cast(DoubleType).as("idcg"),
+          (col("dcg").cast(DoubleType) / col("idcg").cast(DoubleType))
+            .as("ndcg"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sc AS (
+        SELECT pos, MAX(ABS(x)) AS s FROM (
+          SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS pos,
+                 unnest(v) AS x FROM e)
+        GROUP BY pos),
+      sca AS (SELECT list(s ORDER BY pos) AS sa FROM sc),
+      qz AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(v)), i ->
+                 CASE WHEN sa[i] = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round(v[i] * 127.0 / sa[i]) AS BIGINT) END) AS qv
+        FROM e, sca),
+      qn AS (SELECT vec_id, qv,
+                    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n
+             FROM qz),
+      q AS (SELECT vec_id AS q_id, qv AS q_qv, n AS q_n
+            FROM qn WHERE vec_id % 200 = 0),
+      sc2 AS (
+        SELECT q_id, vec_id AS n_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q_qv)),
+                 i -> q_qv[i] * qv[i])) AS BIGINT) AS dt,
+               q_n, n AS n_n
+        FROM q JOIN qn ON q_id <> vec_id),
+      scored AS (
+        SELECT q_id, n_id,
+               CASE WHEN q_n * n_n = 0 THEN 0.0
+                    ELSE CAST(dt AS DOUBLE) / sqrt(CAST(q_n * n_n AS DOUBLE))
+               END AS qcos
+        FROM sc2),
+      approx AS (
+        SELECT q_id, n_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY qcos DESC, n_id) AS BIGINT) AS p
+        FROM scored QUALIFY p <= 5),
+      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0),
+      esc AS (SELECT a.q_id, b.vec_id AS n_id, $cosSql AS cos
+              FROM eq a JOIN e b ON a.q_id <> b.vec_id),
+      etop AS (
+        SELECT q_id, n_id, CAST(6 - rn AS BIGINT) AS rel, CAST(rn AS BIGINT) AS rn
+        FROM (SELECT q_id, n_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, n_id) AS rn
+              FROM esc)
+        WHERE rn <= 5),
+      dcg AS (
+        SELECT a.q_id,
+               SUM(CAST(ROUND(CAST(COALESCE(t.rel, 0) AS DOUBLE) /
+                 log2(CAST(a.p AS DOUBLE) + 1), 6) AS DECIMAL(28, 6))) AS dcg
+        FROM approx a LEFT JOIN etop t ON a.q_id = t.q_id AND a.n_id = t.n_id
+        GROUP BY 1),
+      idcg AS (
+        SELECT q_id,
+               SUM(CAST(ROUND(CAST(rel AS DOUBLE) /
+                 log2(CAST(rn AS DOUBLE) + 1), 6)
+                 AS DECIMAL(28, 6))) AS idcg
+        FROM etop GROUP BY 1)
+      SELECT d.q_id, CAST(d.dcg AS DOUBLE) AS dcg, CAST(i.idcg AS DOUBLE) AS idcg,
+             CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg
+      FROM dcg d JOIN idcg i ON d.q_id = i.q_id
+      ORDER BY 1"""))
+
+  /** q174 — Heaps-law vocabulary-growth exponent per source: distinct
+    * vocabulary V(n) vs tokens seen n follows V ≈ K·nᵝ; β per source
+    * comes from an OLS fit of ln V on ln n over the source's
+    * doc-by-doc growth curve. The cumulative-distinct-so-far is
+    * computed WITHOUT any expanding-window distinct: each word is
+    * attributed to its first (min doc_id) appearance within the
+    * source, then both curves are cumulative sums over the per-doc
+    * frame (q102's first-seen reformulation). OLS moments are
+    * decimal-exact over 6-dp-rounded ln points (q133/q147 pattern),
+    * one final double division — engine-exact slopes. Natural text
+    * lands β ≈ 0.4–0.6; β near 1 flags synthetic/unique-heavy
+    * sources, β near 0 flags template spam. */
+  private val q174 = QueryDef(
+    "q174_heaps_law",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+      val perDocTokens = toks.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("tc"))
+      val firstSeen = toks.groupBy(col("source"), col("w"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("nv"))
+      val wAsc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = DecimalType(28, 9)
+      val lx = log(col("n").cast(DoubleType))
+      val ly = log(col("v").cast(DoubleType))
+      val curve = perDocTokens
+        .join(firstSeen, Seq("source", "doc_id"), "left")
+        .withColumn("n", sum(col("tc")).over(wAsc))
+        .withColumn("v", sum(coalesce(col("nv"), lit(0L))).over(wAsc))
+        .filter(col("n") > 0 && col("v") > 0)
+        .select(col("source"),
+          round(lx, 9).cast(dec).as("tx"), round(ly, 9).cast(dec).as("ty"),
+          round(lx * ly, 9).cast(dec).as("txy"),
+          round(lx * lx, 9).cast(dec).as("txx"))
+      curve.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("tx")).as("sx"), sum(col("ty")).as("sy"),
+          sum(col("txy")).as("sxy"), sum(col("txx")).as("sxx"))
+        .select(col("source"), col("n_points"), {
+          val n = col("n_points").cast(DoubleType)
+          val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
+          val sxy = col("sxy").cast(DoubleType); val sxx = col("sxx").cast(DoubleType)
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("beta")
+        })
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT source, doc_id, unnest($toksSql) AS w FROM documents),
+      pdt AS (
+        SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS tc
+        FROM toks GROUP BY 1, 2),
+      fs AS (
+        SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM (SELECT source, w, MIN(doc_id) AS doc_id
+              FROM toks GROUP BY 1, 2)
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT p.source,
+               ln(CAST(SUM(p.tc) OVER win AS DOUBLE)) AS lx,
+               ln(CAST(SUM(COALESCE(f.nv, 0)) OVER win AS DOUBLE)) AS ly
+        FROM pdt p LEFT JOIN fs f USING (source, doc_id)
+        WINDOW win AS (PARTITION BY p.source ORDER BY p.doc_id
+                       ROWS UNBOUNDED PRECEDING)),
+      curve AS (
+        SELECT source,
+               CAST(ROUND(lx, 9) AS DECIMAL(28, 9)) AS tx,
+               CAST(ROUND(ly, 9) AS DECIMAL(28, 9)) AS ty,
+               CAST(ROUND(lx * ly, 9) AS DECIMAL(28, 9)) AS txy,
+               CAST(ROUND(lx * lx, 9) AS DECIMAL(28, 9)) AS txx
+        FROM cum),
+      moments AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
+               SUM(tx) AS sx, SUM(ty) AS sy,
+               SUM(txy) AS sxy, SUM(txx) AS sxx
+        FROM curve GROUP BY 1)
+      SELECT source, n_points,
+             ROUND((n_points * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (n_points * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta
+      FROM moments ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q173, q174)
+}
