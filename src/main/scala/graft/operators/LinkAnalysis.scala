@@ -149,18 +149,35 @@ object LinkAnalysis {
     * degree in the final induced subgraph. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
-    val adj = Checkpoints.truncate(
-      edges.select(col("a").as("v"), col("b").as("u"))
-        .unionAll(edges.select(col("b").as("v"), col("a").as("u"))))
-    var alive = adj.select(col("v")).distinct()
-    var out = alive.withColumn("deg", lit(0L)).limit(0)
-    for (_ <- 1 to rounds) {
-      out = Checkpoints.truncate(adj
-        .join(alive, Seq("v"), "left_semi")
-        .join(alive.select(col("v").as("u")), Seq("u"), "left_semi")
+    // materialize the edge set ONCE at single-direction size (the
+    // union doubling and every peel round then ride the checkpoint —
+    // the source join never recomputes, and the materialized footprint
+    // is |E|, not 2|E|)
+    val e = Checkpoints.truncate(
+      edges.select(col("a").as("v"), col("b").as("u")))
+    val adj = e.unionAll(e.select(col("u").as("v"), col("v").as("u")))
+    var alive: DataFrame = null
+    var out: DataFrame = null
+    // survivor sets shrink monotonically, so an unchanged count means
+    // the exact fixed point — remaining rounds are provable no-ops
+    // (the count is ~free: truncate() has already materialized the
+    // round eagerly). The oracle still unrolls all `rounds` rounds.
+    // Round 1's "restrict to survivors" is the identity, so it runs as
+    // a bare degree count — no semi joins, no broadcast of the full
+    // node set.
+    var prev = -1L
+    var r = 0
+    while (r < rounds && prev != 0L) {
+      val restricted =
+        if (alive == null) adj
+        else adj.join(alive, Seq("v"), "left_semi")
+          .join(alive.select(col("v").as("u")), Seq("u"), "left_semi")
+      out = Checkpoints.truncate(restricted
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k))
       alive = out.select(col("v"))
+      val cnt = out.count()
+      if (cnt == prev) r = rounds else { prev = cnt; r += 1 }
     }
     out.select(col("v").as("node"), col("deg"))
   }

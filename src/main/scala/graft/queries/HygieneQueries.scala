@@ -297,5 +297,116 @@ object HygieneQueries {
         SELECT 'b_mod', n_docs, mod_m FROM agg)
       ORDER BY strategy"""))
 
-  val all: Seq[QueryDef] = Seq(q170, q171, q172)
+  /** q175 — cross-dimension correlation audit (the pairwise
+    * complement of q170's per-dimension whitening): Pearson
+    * correlation for every dimension pair (i<j) of the embedding
+    * space from exact-DECIMAL moment sums (q133 pattern — per-pair
+    * product terms rounded to 9 dp before summation, single-dim
+    * moments computed once and joined in), top 10 by |corr|.
+    * Strongly correlated dimensions mean the space wastes capacity
+    * (PCA/whitening would help) — and the pair list is the evidence.
+    * Cost: 64·63/2 pair terms per vector via one position self-join
+    * of the exploded corpus — O(N·d²) map work, aggregate state
+    * bounded by d². */
+  private val q175 = QueryDef(
+    "q175_dim_correlation",
+    (s, dir) => {
+      val dec9 = DecimalType(28, 9)
+      val ex = table(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+          col("x").cast(DoubleType).as("x"))
+      val dimStats = ex.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(20, 7))).as("sx"),
+          sum(round(col("x") * col("x"), 9).cast(dec9)).as("sxx"))
+      val a = ex.select(col("vec_id"), col("pos").as("i"), col("x").as("xa"))
+      val b = ex.select(col("vec_id"), col("pos").as("j"), col("x").as("xb"))
+      val pairSums = a.join(b, Seq("vec_id")).filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(round(col("xa") * col("xb"), 9).cast(dec9)).as("sxy"))
+      val si = broadcast(dimStats.select(col("pos").as("i"), col("n"),
+        col("sx").as("sxi"), col("sxx").as("sxxi")))
+      val sj = broadcast(dimStats.select(col("pos").as("j"),
+        col("sx").as("sxj"), col("sxx").as("sxxj")))
+      pairSums.join(si, Seq("i")).join(sj, Seq("j"))
+        .select(col("i"), col("j"), {
+          val n = col("n").cast(DoubleType)
+          val num = n * col("sxy").cast(DoubleType) -
+            col("sxi").cast(DoubleType) * col("sxj").cast(DoubleType)
+          val di = n * col("sxxi").cast(DoubleType) -
+            col("sxi").cast(DoubleType) * col("sxi").cast(DoubleType)
+          val dj = n * col("sxxj").cast(DoubleType) -
+            col("sxj").cast(DoubleType) * col("sxj").cast(DoubleType)
+          round(num / sqrt(di * dj), 6).as("corr")
+        })
+        .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+        .limit(10)
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS pos,
+               unnest(v) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      ds AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS DECIMAL(20, 7))) AS sx,
+               SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28, 9))) AS sxx
+        FROM ex GROUP BY 1),
+      ps AS (
+        SELECT a.pos AS i, b.pos AS j,
+               SUM(CAST(ROUND(a.x * b.x, 9) AS DECIMAL(28, 9))) AS sxy
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        GROUP BY 1, 2),
+      c AS (
+        SELECT i, j,
+               ROUND((si.n * CAST(sxy AS DOUBLE)
+                 - CAST(si.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE))
+                 / sqrt((si.n * CAST(si.sxx AS DOUBLE)
+                     - CAST(si.sx AS DOUBLE) * CAST(si.sx AS DOUBLE))
+                   * (si.n * CAST(sj.sxx AS DOUBLE)
+                     - CAST(sj.sx AS DOUBLE) * CAST(sj.sx AS DOUBLE))), 6)
+                 AS corr
+        FROM ps JOIN ds si ON ps.i = si.pos JOIN ds sj ON ps.j = sj.pos)
+      SELECT i, j, corr FROM c
+      ORDER BY ABS(corr) DESC, i, j LIMIT 10"""))
+
+  /** q176 — sliding-window distinct actives via window-explosion:
+    * 7-day distinct users per end-day, computed by exploding each
+    * user-day into the ≤7 windows it covers and counting distinct
+    * (user, window) memberships — the scalable reformulation of
+    * `COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)`, which drags a
+    * per-row distinct state of unbounded size through every window.
+    * Here the blowup is a bounded ×7 on the (already user-day
+    * deduplicated) activity table, then ONE distinct aggregate —
+    * the same first-seen trick family as q102. */
+  private val q176 = QueryDef(
+    "q176_sliding_distinct",
+    (s, dir) => {
+      val QueryDefDays = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val maxDay = QueryDefDays.agg(max(col("day")).as("max_day"))
+      QueryDefDays
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("w_end"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("w_end") <= col("max_day"))
+        .groupBy(col("w_end"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("w_end"))
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      mx AS (SELECT MAX(day) AS max_day FROM ud),
+      mem AS (
+        SELECT user_id, day + CAST(off AS INT) AS w_end
+        FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS u(off)),
+      f AS (SELECT user_id, w_end FROM mem, mx WHERE w_end <= max_day)
+      SELECT w_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM f GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q170, q171, q172, q175, q176)
 }

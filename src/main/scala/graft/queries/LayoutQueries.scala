@@ -118,11 +118,13 @@ object LayoutQueries {
   private val q157 = QueryDef(
     "q157_kcore_peel",
     (s, dir) => {
+      // integer node encoding (even = customer, odd = supplier): joins
+      // and shuffles move 8-byte longs, not concatenated strings
       val edges = table(s, dir, "orders")
         .join(table(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       LinkAnalysis.kCore(edges, k = 35, rounds = 8)
         .orderBy(col("node"))
@@ -139,8 +141,7 @@ object LayoutQueries {
       }.mkString(",\n      ")
       s"""
       WITH e0 AS (
-        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
-                        's' || CAST(l_suppkey AS VARCHAR) AS b
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
       ed AS (SELECT a AS v, b AS u FROM e0
              UNION ALL SELECT b AS v, a AS u FROM e0),
