@@ -212,5 +212,174 @@ object EvalQueries {
                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta
       FROM moments ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q173, q174)
+  /** q177 — exact Mann–Whitney AUC of a stopword-ratio English
+    * detector: score = English-stopword share of tokens in exact ppm,
+    * label = (lang = 'en'). AUC is computed from integer rank sums
+    * with tie-averaged ranks kept integral by working at 2× scale
+    * (2·avgrank = 2·minrank + ties − 1) — no floats until the final
+    * U/(n⁺n⁻) division, so the classic threshold-free classifier
+    * metric is hash-exact. One token pass for scores, one sort-free
+    * rank join (score-group stats frame is bounded by distinct
+    * scores). */
+  private val q177 = QueryDef(
+    "q177_auc_stopword_en",
+    (s, dir) => {
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("pos"),
+          expr("size(filter(t, x -> array_contains(" +
+            "array('the','and','of','to','a','in','is'), x)))")
+            .cast(LongType).as("hits"),
+          size(col("t")).cast(LongType).as("n"))
+        .select(col("doc_id"), col("pos"),
+          when(col("n") > 0, expr("(hits * 1000000L) div n"))
+            .otherwise(lit(0L)).as("score"))
+      val grp = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        .withColumn("minrank",
+          sum(col("c")).over(Window.orderBy(col("score"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("c") + 1)
+        .select(col("score"), (lit(2) * col("minrank") + col("c") - 1)
+          .as("avg2"))
+      val joined = scored.join(broadcast(grp), Seq("score"))
+      joined.agg(
+          sum(col("pos").cast(LongType)).as("n_pos"),
+          sum((!col("pos")).cast(LongType)).as("n_neg"),
+          sum(when(col("pos"), col("avg2")).otherwise(lit(0L))).as("rs2"))
+        .select(col("n_pos"), col("n_neg"),
+          ((col("rs2") - col("n_pos") * (col("n_pos") + 1)).cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang = 'en' AS pos,
+               CASE WHEN len(t) > 0
+                    THEN (CAST(len(list_filter(t, x -> list_contains(
+                           ['the','and','of','to','a','in','is'], x))) AS BIGINT)
+                          * 1000000) // CAST(len(t) AS BIGINT)
+                    ELSE 0 END AS score
+        FROM (SELECT doc_id, lang, $toksSql AS t FROM documents)),
+      grp AS (
+        SELECT score, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                 - COUNT(*) + 1 AS minrank
+        FROM scored GROUP BY score),
+      g2 AS (SELECT score, 2 * minrank + c - 1 AS avg2 FROM grp),
+      j AS (SELECT pos, avg2 FROM scored JOIN g2 USING (score))
+      SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN pos THEN avg2 ELSE 0 END)
+                  - SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                    * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+               / (2.0 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                      * SUM(CASE WHEN pos THEN 0 ELSE 1 END)) AS auc
+      FROM j"""))
+
+  /** q178 — population stability index (PSI) drift report between
+    * the first and second half of the event stream: values bin at
+    * width 2 (q165's grid); per common bin the contribution
+    * (p−q)·ln(p/q) from exact integer bin counts, rounded to 9 dp —
+    * the standard production drift monitor, made hash-exact. Bins
+    * present on only one side are excluded from the sum and their
+    * mass is reported (the epsilon-free treatment), so the report is
+    * self-auditing. Bounded state: one count aggregate per side over
+    * ~250 bins. */
+  private val q178 = QueryDef(
+    "q178_psi_drift",
+    (s, dir) => {
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(floor(col("value") / 2.0).cast(LongType).as("bin"),
+          (dayofmonth(col("ts")) <= 15).as("first_half"))
+      val a = e.filter(col("first_half")).groupBy(col("bin"))
+        .agg(count(lit(1)).as("ca"))
+      val b = e.filter(!col("first_half")).groupBy(col("bin"))
+        .agg(count(lit(1)).as("cb"))
+      val na = a.agg(sum(col("ca")).as("na"))
+      val nb = b.agg(sum(col("cb")).as("nb"))
+      val p = col("ca").cast(DoubleType) / col("na")
+      val q = col("cb").cast(DoubleType) / col("nb")
+      a.join(b, Seq("bin"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(col("bin"), col("ca"), col("cb"),
+          round((p - q) * log(p / q), 9).cast(DecimalType(28, 9)).as("term"))
+        .orderBy(col("bin"))
+        .select(col("bin"), col("ca"), col("cb"),
+          col("term").cast(DoubleType).as("psi_term"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(FLOOR(value / 2.0) AS BIGINT) AS bin,
+               EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15 AS first_half
+        FROM events),
+      a AS (SELECT bin, COUNT(*) AS ca FROM e WHERE first_half GROUP BY 1),
+      b AS (SELECT bin, COUNT(*) AS cb FROM e WHERE NOT first_half GROUP BY 1),
+      na AS (SELECT SUM(ca) AS na FROM a),
+      nb AS (SELECT SUM(cb) AS nb FROM b)
+      SELECT bin, ca, cb,
+             CAST(CAST(ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+               * ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb)), 9)
+               AS DECIMAL(28, 9)) AS DOUBLE) AS psi_term
+      FROM a JOIN b USING (bin), na, nb
+      ORDER BY bin"""))
+
+  /** q179 — Markov next-event prediction accuracy with a train/score
+    * split: transition counts from even user_ids train a majority-
+    * vote next-event model (argmax count, ties lexicographic); odd
+    * users' transitions score it. Per current-event-type: test mass,
+    * hits, accuracy in exact ppm — the sequence-model eval that
+    * complements q104's transition matrix. One window pass for
+    * transitions, a 25-cell model frame broadcast into the scoring
+    * join. */
+  private val q179 = QueryDef(
+    "q179_markov_accuracy",
+    (s, dir) => {
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = e.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("event_type").as("cur"), col("nxt"))
+      val model = trans.filter(col("user_id") % 2 === 0)
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cur"))
+            .orderBy(col("c").desc, col("nxt"))))
+        .filter(col("rn") === 1)
+        .select(col("cur"), col("nxt").as("pred"))
+      trans.filter(col("user_id") % 2 === 1)
+        .join(broadcast(model), Seq("cur"))
+        .groupBy(col("cur"))
+        .agg(count(lit(1)).as("n_test"),
+          sum((col("nxt") === col("pred")).cast(LongType)).as("n_hit"))
+        .withColumn("acc_ppm", expr("(n_hit * 1000000L) div n_test"))
+        .orderBy(col("cur"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      trans AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM e QUALIFY nxt IS NOT NULL),
+      model AS (
+        SELECT cur, nxt AS pred FROM (
+          SELECT cur, nxt, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY cur
+                                    ORDER BY COUNT(*) DESC, nxt) AS rn
+          FROM trans WHERE user_id % 2 = 0 GROUP BY cur, nxt)
+        WHERE rn = 1)
+      SELECT cur, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             CAST((SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS acc_ppm
+      FROM trans JOIN model USING (cur)
+      WHERE user_id % 2 = 1
+      GROUP BY cur ORDER BY cur"""))
+
+  val all: Seq[QueryDef] = Seq(q173, q174, q177, q178, q179)
 }
