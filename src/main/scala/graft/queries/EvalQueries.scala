@@ -381,5 +381,155 @@ object EvalQueries {
       WHERE user_id % 2 = 1
       GROUP BY cur ORDER BY cur"""))
 
-  val all: Seq[QueryDef] = Seq(q173, q174, q177, q178, q179)
+  /** q180 — exact two-sample Kolmogorov–Smirnov statistic between
+    * the first- and second-half event-value distributions: D =
+    * max |F₁(v) − F₂(v)| over the merged value support. The argmax is
+    * found in PURE INTEGERS — |ca·nb − cb·na| with a (diff, value)
+    * tie-break — so the selected point is engine-exact, and D itself
+    * is one final division. Complements q178's binned PSI with the
+    * bin-free distribution test; state is the distinct-value frame
+    * (cumulative windows, no row sort of the corpus). */
+  private val q180 = QueryDef(
+    "q180_ks_statistic",
+    (s, dir) => {
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("value"), (dayofmonth(col("ts")) <= 15).as("fh"))
+      val byV = e.groupBy(col("value"))
+        .agg(sum(col("fh").cast(LongType)).as("da"),
+          sum((!col("fh")).cast(LongType)).as("db"))
+      val wV = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byV
+        .withColumn("ca", sum(col("da")).over(wV))
+        .withColumn("cb", sum(col("db")).over(wV))
+      val tot = cum.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("num", abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .orderBy(col("num").desc, col("value"))
+        .limit(1)
+        .select(col("value").as("at_value"), col("ca"), col("cb"),
+          col("na"), col("nb"),
+          (col("num").cast(DoubleType) /
+            (col("na").cast(DoubleType) * col("nb"))).as("ks_d"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT value,
+               EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15 AS fh
+        FROM events),
+      byv AS (
+        SELECT value,
+               SUM(CASE WHEN fh THEN 1 ELSE 0 END) AS da,
+               SUM(CASE WHEN fh THEN 0 ELSE 1 END) AS db
+        FROM e GROUP BY 1),
+      cum AS (
+        SELECT value,
+               SUM(da) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+               SUM(db) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+        FROM byv),
+      tot AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM cum)
+      SELECT value AS at_value, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+             CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             CAST(ABS(ca * nb - cb * na) AS DOUBLE)
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
+      FROM cum, tot
+      ORDER BY ABS(ca * nb - cb * na) DESC, value LIMIT 1"""))
+
+  /** q181 — Gini coefficient of token mass across documents, per
+    * source: how concentrated a source's token supply is in few
+    * documents (template-spam and boilerplate-heavy sources skew
+    * high; the Lorenz-curve inequality audit for data mixing). Exact
+    * closed form G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending-
+    * sorted per-doc token counts — every term integer until the two
+    * final divisions; rank windows run per source over the per-doc
+    * frame. */
+  private val q181 = QueryDef(
+    "q181_gini_token_mass",
+    (s, dir) => {
+      val perDoc = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("tc"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("tc"), col("doc_id"))
+      perDoc.withColumn("i", row_number().over(w).cast(LongType))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("tokens"),
+          sum(col("i") * col("tc")).as("iwx"))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          ((lit(2.0) * col("iwx")) /
+            (col("n_docs") * col("tokens")).cast(DoubleType) -
+            (col("n_docs") + 1).cast(DoubleType) / col("n_docs"))
+            .as("gini"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH pd AS (
+        SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS tc
+        FROM documents),
+      ranked AS (
+        SELECT source, tc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY tc, doc_id) AS BIGINT) AS i
+        FROM pd)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tc) AS BIGINT) AS tokens,
+             (2.0 * SUM(i * tc)) / CAST(COUNT(*) * SUM(tc) AS DOUBLE)
+               - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*) AS gini
+      FROM ranked GROUP BY source ORDER BY source"""))
+
+  /** q182 — Lincoln–Petersen capture–recapture estimate of the true
+    * user population from two observation windows (first/second half
+    * of the stream): N̂ = n₁·n₂/m from the two sighting counts and
+    * the overlap — the classic completeness estimator for "how many
+    * entities exist that we have NOT seen". Chapman's bias-corrected
+    * variant rides along. Sightings are deterministically thinned
+    * (event_id mod 97 / mod 89) so each window captures only a FRACTION
+    * of users — the estimator has to actually recover the population
+    * from partial overlap, which is the whole point. All counts
+    * exact; the estimates are single integer divisions. */
+  private val q182 = QueryDef(
+    "q182_capture_recapture",
+    (s, dir) => {
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (dayofmonth(col("ts")) <= 15).as("fh"))
+      val perUser = e.groupBy(col("user_id"))
+        .agg(max((col("fh") && col("event_id") % 97 === 0).cast(LongType))
+          .as("in_a"),
+          max((!col("fh") && col("event_id") % 89 === 0).cast(LongType))
+            .as("in_b"))
+        .filter(col("in_a") + col("in_b") > 0)
+      perUser.agg(
+          sum(col("in_a")).as("n1"), sum(col("in_b")).as("n2"),
+          sum(col("in_a") * col("in_b")).as("m"),
+          count(lit(1)).as("seen"))
+        .select(col("n1"), col("n2"), col("m"), col("seen"),
+          expr("(n1 * n2) div m").as("lp_estimate"),
+          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("chapman_estimate"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+               EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15 AS fh
+        FROM events),
+      pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN fh AND event_id % 97 = 0 THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN NOT fh AND event_id % 89 = 0 THEN 1 ELSE 0 END)
+                 AS in_b
+        FROM e GROUP BY 1
+        HAVING MAX(CASE WHEN fh AND event_id % 97 = 0 THEN 1 ELSE 0 END)
+             + MAX(CASE WHEN NOT fh AND event_id % 89 = 0 THEN 1 ELSE 0 END) > 0),
+      agg AS (
+        SELECT SUM(in_a) AS n1, SUM(in_b) AS n2,
+               SUM(in_a * in_b) AS m, COUNT(*) AS seen
+        FROM pu)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(m AS BIGINT) AS m, CAST(seen AS BIGINT) AS seen,
+             CAST((n1 * n2) // m AS BIGINT) AS lp_estimate,
+             CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
+               AS chapman_estimate
+      FROM agg"""))
+
+  val all: Seq[QueryDef] = Seq(q173, q174, q177, q178, q179, q180, q181, q182)
 }

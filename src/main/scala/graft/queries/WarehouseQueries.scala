@@ -169,5 +169,64 @@ object WarehouseQueries {
       GROUP BY o_orderkey, order_date
       ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
 
-  val all: Seq[QueryDef] = Seq(q161, q162, q163)
+  /** q183 — item–item co-occurrence similarity (collaborative-
+    * filtering primitive): supplier pairs ranked by Jaccard overlap
+    * of their customer sets, estimated on a deterministic 20% md5
+    * customer sample. The pair space is generated per customer via a
+    * self-join on the sampled edge table (each customer contributes
+    * C(k,2) pairs, k = its supplier count) — the inverted-index
+    * shape, never an all-pairs supplier cross. Sampling bounds the
+    * pair mass at any scale and is md5-deterministic, so the
+    * estimate itself is hash-exact; set sizes come from the same
+    * sample (consistent estimator). Jaccard in exact ppm; support
+    * floor co ≥ 5 kills noise pairs. */
+  private val q183 = QueryDef(
+    "q183_item_similarity",
+    (s, dir) => {
+      import org.apache.spark.sql.types.StringType
+      val edges = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .filter(conv(substring(md5(col("c").cast(StringType)), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType) % 100 < 20)
+      val sizes = edges.groupBy(col("sp")).agg(count(lit(1)).as("n"))
+      val a = edges.select(col("c"), col("sp").as("sa"))
+      val b = edges.select(col("c"), col("sp").as("sb"))
+      val co = a.join(b, Seq("c")).filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 5)
+      co.join(broadcast(sizes.select(col("sp").as("sa"), col("n").as("na"))),
+          Seq("sa"))
+        .join(broadcast(sizes.select(col("sp").as("sb"), col("n").as("nb"))),
+          Seq("sb"))
+        .withColumn("jaccard_ppm",
+          expr("(co * 1000000L) div (na + nb - co)"))
+        .select(col("sa"), col("sb"), col("co"), col("na"), col("nb"),
+          col("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("sa"), col("sb"))
+        .limit(20)
+    },
+    Some("""
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sampled AS (
+        SELECT * FROM edges
+        WHERE CAST('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15) AS BIGINT)
+          % 100 < 20),
+      sizes AS (SELECT sp, COUNT(*) AS n FROM sampled GROUP BY 1),
+      co AS (
+        SELECT a.sp AS sa, b.sp AS sb, COUNT(*) AS co
+        FROM sampled a JOIN sampled b ON a.c = b.c AND a.sp < b.sp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT sa, sb, co,
+             CAST(za.n AS BIGINT) AS na, CAST(zb.n AS BIGINT) AS nb,
+             CAST((co * 1000000) // (za.n + zb.n - co) AS BIGINT) AS jaccard_ppm
+      FROM co JOIN sizes za ON co.sa = za.sp
+              JOIN sizes zb ON co.sb = zb.sp
+      ORDER BY jaccard_ppm DESC, sa, sb LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q161, q162, q163, q183)
 }
