@@ -228,5 +228,137 @@ object WarehouseQueries {
               JOIN sizes zb ON co.sb = zb.sp
       ORDER BY jaccard_ppm DESC, sa, sb LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(q161, q162, q163, q183)
+  /** q184 — bitemporal as-of query (valid time × transaction time):
+    * versioned rows carry BOTH a validity interval (order date + 30
+    * days) and a load batch (transaction time); the query answers
+    * "as the warehouse knew it at batch ≤ 1, what was valid on
+    * 1998-06-15" — first restrict to the transaction horizon, then
+    * latest version per key, THEN the validity predicate. Doing it in
+    * any other order silently leaks future knowledge (the classic
+    * bitemporal bug). Composes the SCD2/PIT machinery (q05/q06) with
+    * the latest-by-key compaction (q70) across two independent time
+    * axes; one key-shuffle window plus pushed scan filters. */
+  private val q184 = QueryDef(
+    "q184_bitemporal_asof",
+    (s, dir) => {
+      val v = table(s, dir, "orders")
+        .select((col("o_orderkey") % 1000).as("key"),
+          col("o_orderkey").as("version"),
+          (col("o_orderkey") % 3).as("batch"),
+          to_date(col("o_orderdate")).as("valid_from"),
+          date_add(to_date(col("o_orderdate")), 30).as("valid_to"),
+          (col("o_totalprice").cast(Dec) * 100).cast(LongType).as("cents"))
+      val asKnown = v.filter(col("batch") <= 1)
+      val latest = Upsert.latestByKey(asKnown, Seq("key"), Seq(col("version")))
+      latest
+        .filter(col("valid_from") <= lit("1998-06-15") &&
+          col("valid_to") > lit("1998-06-15"))
+        .select(col("key"), col("version"), col("batch"),
+          col("valid_from"), col("cents"))
+        .orderBy(col("key"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT o_orderkey % 1000 AS key, o_orderkey AS version,
+               o_orderkey % 3 AS batch,
+               CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS valid_from,
+               CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) + 30 AS valid_to,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      known AS (SELECT * FROM v WHERE batch <= 1),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                       ORDER BY version DESC) AS rn
+          FROM known) WHERE rn = 1)
+      SELECT key, version, batch, valid_from, cents
+      FROM latest
+      WHERE valid_from <= DATE '1998-06-15' AND valid_to > DATE '1998-06-15'
+      ORDER BY key"""))
+
+  /** q185 — FIFO lot allocation WITHOUT iteration (running-total
+    * interval matching): per part, supply lots (returnflag 'R') and
+    * demands (the rest) each occupy half-open intervals on the
+    * cumulative-quantity axis in arrival order; FIFO says lot i
+    * serves demand j exactly where their intervals overlap —
+    * max(0, min(cs_i, cd_j) − max(cs_{i−1}, cd_{j−1})). The entire
+    * sequential matching collapses to two cumulative windows + one
+    * within-part interval join (equi on the part, residual on the
+    * overlap) — the set-based form of a loop every procedural
+    * warehouse writes. All-integer quantities; per-part outputs
+    * include the pair count, the FIFO structure's fingerprint. */
+  private val q185 = QueryDef(
+    "q185_fifo_allocation",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("part"), col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("qty"))
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def cum(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("hi", sum(col("qty")).over(w))
+        .withColumn("lo", col("hi") - col("qty"))
+      val lots = cum(li.filter(col("l_returnflag") === "R"))
+        .select(col("part"), col("lo").as("slo"), col("hi").as("shi"))
+      val dem = cum(li.filter(col("l_returnflag") =!= "R"))
+        .select(col("part").as("dpart"), col("lo").as("dlo"),
+          col("hi").as("dhi"))
+      val pairs = lots.join(dem,
+          col("part") === col("dpart") &&
+            col("shi") > col("dlo") && col("dhi") > col("slo"))
+        .select(col("part"),
+          (least(col("shi"), col("dhi")) - greatest(col("slo"), col("dlo")))
+            .as("alloc"))
+      val perPart = li.groupBy(col("part")).agg(
+        sum(when(col("l_returnflag") === "R", col("qty")).otherwise(lit(0L)))
+          .as("supply"),
+        sum(when(col("l_returnflag") =!= "R", col("qty")).otherwise(lit(0L)))
+          .as("demand"))
+      pairs.groupBy(col("part"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("alloc")).as("matched"))
+        .join(perPart, Seq("part"))
+        .select(col("part"), col("n_pairs"), col("matched"),
+          (col("supply") - col("matched")).as("leftover_supply"),
+          (col("demand") - col("matched")).as("unfilled_demand"))
+        .orderBy(col("matched").desc, col("part"))
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_partkey AS part, l_orderkey, l_linenumber, l_returnflag,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+      lots AS (
+        SELECT part,
+               SUM(qty) OVER w - qty AS slo, SUM(qty) OVER w AS shi
+        FROM li WHERE l_returnflag = 'R'
+        WINDOW w AS (PARTITION BY part ORDER BY l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING)),
+      dem AS (
+        SELECT part,
+               SUM(qty) OVER w - qty AS dlo, SUM(qty) OVER w AS dhi
+        FROM li WHERE l_returnflag <> 'R'
+        WINDOW w AS (PARTITION BY part ORDER BY l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING)),
+      pairs AS (
+        SELECT lots.part,
+               LEAST(shi, dhi) - GREATEST(slo, dlo) AS alloc
+        FROM lots JOIN dem ON lots.part = dem.part
+                          AND shi > dlo AND dhi > slo),
+      per_part AS (
+        SELECT part,
+               SUM(CASE WHEN l_returnflag = 'R' THEN qty ELSE 0 END) AS supply,
+               SUM(CASE WHEN l_returnflag <> 'R' THEN qty ELSE 0 END) AS demand
+        FROM li GROUP BY 1)
+      SELECT p.part, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(alloc) AS BIGINT) AS matched,
+             CAST(pp.supply - SUM(alloc) AS BIGINT) AS leftover_supply,
+             CAST(pp.demand - SUM(alloc) AS BIGINT) AS unfilled_demand
+      FROM pairs p JOIN per_part pp ON p.part = pp.part
+      GROUP BY p.part, pp.supply, pp.demand
+      ORDER BY matched DESC, p.part LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q161, q162, q163, q183, q184, q185)
 }
