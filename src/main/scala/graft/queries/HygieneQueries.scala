@@ -408,5 +408,48 @@ object HygieneQueries {
       SELECT w_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
       FROM f GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q170, q171, q172, q175, q176)
+  /** q186 — k-anonymity risk report over quasi-identifiers (the
+    * privacy audit a data release runs beside q45's PII scrub):
+    * customers grouped by the quasi-identifier tuple (nation, market
+    * segment, account-balance decile); every equivalence class
+    * smaller than k = 5 is a re-identification risk and is listed
+    * with its size. The dataset's k-anonymity level is the minimum
+    * class size — derivable from the first output row. Deciles come
+    * from integer rank arithmetic (no engine quantile builtins, same
+    * device as q151), so class membership is engine-exact. One
+    * aggregate over the QI tuple; state bounded by |QI space|. */
+  private val q186 = QueryDef(
+    "q186_k_anonymity",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = c.agg(count(lit(1)).as("n"))
+      val ranked = c
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast(LongType))
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rk - 1) * 10L) div n"))
+      ranked.groupBy(col("c_nationkey"), col("c_mktsegment"), col("decile"))
+        .agg(count(lit(1)).as("cls_size"))
+        .filter(col("cls_size") < 5)
+        .orderBy(col("cls_size"), col("c_nationkey"), col("c_mktsegment"),
+          col("decile"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("decile"),
+          col("cls_size"))
+    },
+    Some("""
+      WITH n AS (SELECT COUNT(*) AS n FROM customer),
+      ranked AS (
+        SELECT c_nationkey, c_mktsegment,
+               ((CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey)
+                  AS BIGINT) - 1) * 10) // n AS decile
+        FROM customer, n),
+      cls AS (
+        SELECT c_nationkey, c_mktsegment, CAST(decile AS BIGINT) AS decile,
+               COUNT(*) AS cls_size
+        FROM ranked GROUP BY 1, 2, 3)
+      SELECT c_nationkey, c_mktsegment, decile, CAST(cls_size AS BIGINT) AS cls_size
+      FROM cls WHERE cls_size < 5
+      ORDER BY cls_size, c_nationkey, c_mktsegment, decile"""))
+
+  val all: Seq[QueryDef] = Seq(q170, q171, q172, q175, q176, q186)
 }
