@@ -531,5 +531,85 @@ object EvalQueries {
                AS chapman_estimate
       FROM agg"""))
 
-  val all: Seq[QueryDef] = Seq(q173, q174, q177, q178, q179, q180, q181, q182)
+  /** q187 — Markov absorption probability by unrolled value
+    * iteration: from each event-type state, the probability of ever
+    * reaching the absorbing 'purchase' state under the empirical
+    * transition matrix, iterated 8 synchronous rounds —
+    * P₀ = 1{purchase}, Pₖ₊₁(s) = Σ_t T(s,t)·Pₖ(t). Each round is
+    * exact: integer counts × DECIMAL(18,9) probabilities summed
+    * exactly, ONE double division, re-rounded to 9 dp — so all 8
+    * rounds replay bit-identically as chained CTEs. The funnel
+    * question q63 can't answer (multi-step, any path, any length);
+    * iteration runs on the |states|² frame, so rounds are free at
+    * any corpus size — the corpus is touched once for counts. */
+  private val q187 = QueryDef(
+    "q187_absorption_prob",
+    (s, dir) => {
+      val dec = DecimalType(18, 9)
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = e.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .filter(col("event_type") =!= "purchase") // absorbing: no out-edges
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val outTot = trans.groupBy(col("src")).agg(sum(col("c")).as("cs"))
+      val t = broadcast(trans.join(outTot, Seq("src")))
+      val states = e.select(col("event_type").as("st")).distinct()
+      var p = states.withColumn("p",
+        when(col("st") === "purchase", lit(1)).otherwise(lit(0)).cast(dec))
+      for (_ <- 1 to 8) {
+        val stepped = t
+          .join(p.select(col("st").as("dst"), col("p")), Seq("dst"))
+          .groupBy(col("src"))
+          .agg(round(sum(col("c") * col("p")).cast(DoubleType) / first(col("cs")),
+            9).cast(dec).as("np"))
+        p = states.join(stepped, col("st") === col("src"), "left")
+          .select(col("st"),
+            when(col("st") === "purchase", lit(1).cast(dec))
+              .otherwise(coalesce(col("np"), lit(0).cast(dec))).as("p"))
+      }
+      p.select(col("st").as("state"), col("p").cast(DoubleType).as("reach_p"))
+        .orderBy(col("state"))
+    },
+    Some {
+      val rounds = (1 to 8).map { i =>
+        s"""p$i AS (
+            SELECT st,
+                   CASE WHEN st = 'purchase' THEN CAST(1 AS DECIMAL(18, 9))
+                        ELSE COALESCE((
+                          SELECT CAST(ROUND(CAST(SUM(t.c * pp.p) AS DOUBLE)
+                                    / ANY_VALUE(t.cs), 9) AS DECIMAL(18, 9))
+                          FROM t JOIN p${i - 1} pp ON t.dst = pp.st
+                          WHERE t.src = states.st),
+                          CAST(0 AS DECIMAL(18, 9))) END AS p
+            FROM states)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events),
+      tr AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM e QUALIFY dst IS NOT NULL),
+      tc AS (SELECT src, dst, COUNT(*) AS c FROM tr
+             WHERE src <> 'purchase' GROUP BY 1, 2),
+      ot AS (SELECT src, SUM(c) AS cs FROM tc GROUP BY 1),
+      t AS (SELECT tc.src, tc.dst, tc.c, ot.cs FROM tc JOIN ot USING (src)),
+      states AS (SELECT DISTINCT event_type AS st FROM e),
+      p0 AS (SELECT st, CASE WHEN st = 'purchase'
+                             THEN CAST(1 AS DECIMAL(18, 9))
+                             ELSE CAST(0 AS DECIMAL(18, 9)) END AS p
+             FROM states),
+      $rounds
+      SELECT st AS state, CAST(p AS DOUBLE) AS reach_p
+      FROM p8 ORDER BY state"""
+    })
+
+  val all: Seq[QueryDef] =
+    Seq(q173, q174, q177, q178, q179, q180, q181, q182, q187)
 }
