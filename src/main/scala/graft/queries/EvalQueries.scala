@@ -610,6 +610,152 @@ object EvalQueries {
       FROM p8 ORDER BY state"""
     })
 
+  /** q188 — strict-order window funnel (ClickHouse `windowFunnel`
+    * semantics): signup → view → click → purchase, each step strictly
+    * after the previous AND within 72 hours of the user's first
+    * signup. Computed as four chained earliest-qualifying-event
+    * aggregates — each step is one join + min aggregate keyed on the
+    * user (no per-user sort, no UDAF state machine); the budget
+    * anchor (t1) rides the chain. Output: per-step user counts and
+    * exact-ppm conversion from the previous step and from the cohort
+    * start. Fixture decay at sf0.01: 150 → 105 → 57 → 21. */
+  private val q188 = QueryDef(
+    "q188_window_funnel",
+    (s, dir) => {
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def step(prev: org.apache.spark.sql.DataFrame, ev: String,
+               tPrev: String, tOut: String) =
+        e.filter(col("event_type") === ev)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(tPrev) &&
+            col("ts") <= col("t1") + expr("INTERVAL 72 HOURS"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as(tOut), first(col("t1")).as("t1_keep"))
+          .withColumnRenamed("t1_keep", "t1")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        .withColumn("t0", col("t1"))
+      val s2 = step(s1.select(col("user_id"), col("t1"), col("t1").as("tp")),
+        "view", "tp", "t2")
+      val s3 = step(s2.select(col("user_id"), col("t1"), col("t2").as("tp")),
+        "click", "tp", "t3")
+      val s4 = step(s3.select(col("user_id"), col("t1"), col("t3").as("tp")),
+        "purchase", "tp", "t4")
+      val spark0 = s
+      import spark0.implicits._
+      val counts = Seq(
+        (1L, "signup", s1.count()), (2L, "view", s2.count()),
+        (3L, "click", s3.count()), (4L, "purchase", s4.count()))
+        .toDF("step", "event_type", "n_users")
+      val wPrev = Window.orderBy(col("step"))
+      counts
+        .withColumn("prev_n", lag(col("n_users"), 1).over(wPrev))
+        .withColumn("from_prev_ppm",
+          coalesce(expr("(n_users * 1000000L) div prev_n"), lit(1000000L)))
+        .withColumn("start_n", first(col("n_users")).over(
+          wPrev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("from_start_ppm",
+          expr("(n_users * 1000000L) div start_n"))
+        .select(col("step"), col("event_type"), col("n_users"),
+          col("from_prev_ppm"), col("from_start_ppm"))
+        .orderBy(col("step"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+             WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(ts) AS t2, ANY_VALUE(t1) AS t1
+             FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND ts > t1
+               AND ts <= t1 + INTERVAL 72 HOUR GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(ts) AS t3, ANY_VALUE(s2.t1) AS t1
+             FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'click' AND ts > t2
+               AND ts <= s2.t1 + INTERVAL 72 HOUR GROUP BY 1),
+      s4 AS (SELECT e.user_id, MIN(ts) AS t4
+             FROM e JOIN s3 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > t3
+               AND ts <= s3.t1 + INTERVAL 72 HOUR GROUP BY 1),
+      counts AS (
+        SELECT 1 AS step, 'signup' AS event_type,
+               (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+        UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)),
+      w AS (
+        SELECT *, LAG(n_users) OVER (ORDER BY step) AS prev_n,
+               FIRST_VALUE(n_users) OVER (ORDER BY step) AS start_n
+        FROM counts)
+      SELECT CAST(step AS BIGINT) AS step, event_type,
+             CAST(n_users AS BIGINT) AS n_users,
+             CAST(COALESCE((n_users * 1000000) // prev_n, 1000000) AS BIGINT)
+               AS from_prev_ppm,
+             CAST((n_users * 1000000) // start_n AS BIGINT) AS from_start_ppm
+      FROM w ORDER BY step"""))
+
+  /** q189 — SPRT sequential-test replay (Wald): when could a daily
+    * A/B readout have stopped? Variant B = odd user_ids; a trial is
+    * a user-day, a conversion is a purchase that day; the cumulative
+    * log-likelihood ratio for H₁: p = 0.5 vs H₀: p = 0.4 walks day
+    * by day, and the decision column marks the first crossing of
+    * ±ln(19) (α = β = 0.05). LLR increments are k·ln(p₁/p₀) +
+    * (n−k)·ln(q₁/q₀) with per-day terms rounded to 9 dp and
+    * decimal-summed — the whole replay is hash-exact. Everything
+    * after the per-day collapse runs on a ≤|days| frame. */
+  private val q189 = QueryDef(
+    "q189_sprt_stopping",
+    (s, dir) => {
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .filter(col("user_id") % 2 === 1)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          (col("event_type") === "purchase").as("isp"))
+      val perUserDay = e.groupBy(col("user_id"), col("day"))
+        .agg(max(col("isp").cast(LongType)).as("conv"))
+      val perDay = perUserDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      // ln(.5/.4), ln(.5/.6): exact double literals on both engines
+      val term = round(
+        col("k").cast(DoubleType) * log(lit(0.5) / 0.4) +
+          (col("n") - col("k")).cast(DoubleType) * log(lit(0.5) / 0.6), 9)
+        .cast(DecimalType(28, 9))
+      val wAsc = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.withColumn("t", term)
+        .withColumn("llr", sum(col("t")).over(wAsc).cast(DoubleType))
+        .withColumn("decision",
+          when(col("llr") >= math.log(19.0), lit("accept_h1"))
+            .when(col("llr") <= -math.log(19.0), lit("accept_h0"))
+            .otherwise(lit("continue")))
+        .select(col("day"), col("n"), col("k"), col("llr"), col("decision"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               event_type = 'purchase' AS isp
+        FROM events WHERE user_id % 2 = 1),
+      pud AS (
+        SELECT user_id, day, MAX(CASE WHEN isp THEN 1 ELSE 0 END) AS conv
+        FROM e GROUP BY 1, 2),
+      pd AS (SELECT day, COUNT(*) AS n, SUM(conv) AS k FROM pud GROUP BY 1),
+      t AS (
+        SELECT day, n, k,
+               CAST(ROUND(CAST(k AS DOUBLE) * ln(0.5 / 0.4)
+                 + CAST(n - k AS DOUBLE) * ln(0.5 / 0.6), 9)
+                 AS DECIMAL(28, 9)) AS t
+        FROM pd)
+      SELECT day, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+             CAST(SUM(t) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS DOUBLE) AS llr,
+             CASE WHEN CAST(SUM(t) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS DOUBLE) >= ln(19.0) THEN 'accept_h1'
+                  WHEN CAST(SUM(t) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS DOUBLE) <= -ln(19.0) THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM t ORDER BY day"""))
+
   val all: Seq[QueryDef] =
-    Seq(q173, q174, q177, q178, q179, q180, q181, q182, q187)
+    Seq(q173, q174, q177, q178, q179, q180, q181, q182, q187, q188, q189)
 }

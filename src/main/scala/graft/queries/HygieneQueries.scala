@@ -305,14 +305,19 @@ object HygieneQueries {
     * moments computed once and joined in), top 10 by |corr|.
     * Strongly correlated dimensions mean the space wastes capacity
     * (PCA/whitening would help) — and the pair list is the evidence.
-    * Cost: 64·63/2 pair terms per vector via one position self-join
-    * of the exploded corpus — O(N·d²) map work, aggregate state
-    * bounded by d². */
+    * All moments (single-dim AND pair) come from the same
+    * deterministic 20% md5 vector sample, so the estimator is
+    * consistent, hash-exact, and its O(n·d²) pair work is bounded by
+    * the sample at any corpus size (8.2 → 1.7 s at sf0.1 vs the
+    * full-corpus join). */
   private val q175 = QueryDef(
     "q175_dim_correlation",
     (s, dir) => {
+      import org.apache.spark.sql.types.StringType
       val dec9 = DecimalType(28, 9)
       val ex = table(s, dir, "embeddings")
+        .filter(conv(substring(md5(col("vec_id").cast(StringType)), 1, 15),
+          16, 10).cast(LongType) % 100 < 20)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .select(col("vec_id"), (col("pos0") + 1).cast(LongType).as("pos"),
           col("x").cast(DoubleType).as("x"))
@@ -347,7 +352,9 @@ object HygieneQueries {
       WITH ex AS (
         SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS pos,
                unnest(v) AS x
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 100 < 20)),
       ds AS (
         SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
                SUM(CAST(x AS DECIMAL(20, 7))) AS sx,
