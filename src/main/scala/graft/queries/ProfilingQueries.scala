@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.TextFunctions
+import graft.operators.Checkpoints
+import graft.queries.ExtensionQueries.{shinglesSql, toksSql}
+import graft.queries.QueryDef.table
+
+/** Round-4 continuation: data-profiling / explainability tier —
+  * functional-dependency discovery (the schema-inference primitive
+  * profilers like Metanome run before migration), shared-shingle
+  * evidence for near-duplicate verdicts (dedup decisions should be
+  * auditable, not oracular), and a BFS level census of the trading
+  * graph (distance structure beside the PageRank/k-core/community
+  * family). */
+object ProfilingQueries {
+
+  /** q190 — functional-dependency discovery over the order–customer
+    * frame: for each candidate A→B, the number of A-groups, how many
+    * are violated (>1 distinct B), and the violation share in exact
+    * ppm. Declared-schema FDs (orderkey→custkey, custkey→nation,
+    * custkey→segment) verify as exact; the deliberately-false
+    * candidates quantify HOW false — the evidence a migration uses
+    * to decide what becomes a key or a dimension. Each candidate is
+    * one two-level aggregate (distinct-B per A, then a bounded group
+    * frame); candidates union into one result. */
+  private val q190 = QueryDef(
+    "q190_fd_discovery",
+    (s, dir) => {
+      val frame = table(s, dir, "orders")
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"),
+          col("c_mktsegment"), col("o_orderpriority"))
+      val candidates = Seq(
+        ("o_orderkey", "o_custkey"), ("o_custkey", "c_nationkey"),
+        ("o_custkey", "c_mktsegment"), ("c_nationkey", "c_mktsegment"),
+        ("c_mktsegment", "o_orderpriority"), ("o_orderpriority", "c_nationkey"))
+      candidates.map { case (a, b) =>
+        frame.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum((col("nb") > 1).cast(LongType)).as("violated"))
+          .select(lit(s"$a->$b").as("fd"), col("n_groups"), col("violated"),
+            expr("(violated * 1000000L) div n_groups").as("viol_ppm"))
+      }.reduce(_.unionAll(_)).orderBy(col("fd"))
+    },
+    Some {
+      val cands = Seq(
+        ("o_orderkey", "o_custkey"), ("o_custkey", "c_nationkey"),
+        ("o_custkey", "c_mktsegment"), ("c_nationkey", "c_mktsegment"),
+        ("c_mktsegment", "o_orderpriority"), ("o_orderpriority", "c_nationkey"))
+      val selects = cands.map { case (a, b) =>
+        s"""SELECT '$a->$b' AS fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violated,
+               CAST((SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) * 1000000)
+                 // COUNT(*) AS BIGINT) AS viol_ppm
+            FROM (SELECT $a, COUNT(DISTINCT $b) AS nb FROM frame GROUP BY 1)"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH frame AS (
+        SELECT o_orderkey, o_custkey, c_nationkey, c_mktsegment,
+               o_orderpriority
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      $selects
+      ORDER BY fd"""
+    })
+
+  /** q191 — near-duplicate evidence spans: for the 5 highest-overlap
+    * q33-family document pairs (3-gram shingles, shared-count
+    * ranking), the 3 earliest shared shingles with their positions in
+    * BOTH documents — the human-auditable justification behind a
+    * dedup verdict. The pair list comes from the same inverted-index
+    * shape as q33 (shingle → posting list → pair counts, no
+    * all-pairs); evidence is one join back from the 5-pair frame onto
+    * the positioned shingle table. */
+  private val q191 = QueryDef(
+    "q191_dedup_evidence",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // heavy stages carry 8-byte xxhash64 shingle keys, never the
+      // strings (q33's discipline; 64-bit collisions are ~1e-11 at
+      // this vocabulary); evidence TEXT is recovered at the end by
+      // re-shingling only the ≤10 documents of the top-5 pairs
+      def shingled(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"),
+          posexplode(TextFunctions.wordShingles(col("text"), 3))
+            .as(Seq("pos0", "sh")))
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+          col("sh"))
+      // one materialization of the compact (doc, hash, pos) frame — it
+      // feeds the df filter, both pair sides, and the evidence keep-set
+      val dedupH = Checkpoints.truncate(shingled(docs)
+        .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(min(col("pos")).as("pos")))
+      // q33's stopword-gram discipline: shingles shared by > 20 docs
+      // are evidence of common phrasing, not duplication, and their
+      // posting lists explode quadratically — cap before pairing
+      val keep = dedupH.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("h"))
+      val capped = dedupH.join(keep, Seq("h"), "left_semi")
+      val top = capped.select(col("doc_id").as("id_a"), col("h"))
+        .join(capped.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy(col("shared").desc, col("id_a"), col("id_b"))
+        .limit(5)
+      val ids = top.select(col("id_a").as("doc_id"))
+        .unionAll(top.select(col("id_b"))).distinct()
+      val evSh = shingled(docs.join(broadcast(ids), Seq("doc_id"), "left_semi"))
+        .groupBy(col("doc_id"), col("sh")).agg(min(col("pos")).as("pos"))
+        .join(broadcast(keep.withColumnRenamed("h", "kh")),
+          xxhash64(col("sh")) === col("kh"), "left_semi")
+      val ev = evSh.select(col("doc_id").as("id_a"), col("sh"),
+          col("pos").as("pos_a"))
+        .join(evSh.select(col("doc_id").as("id_b"), col("sh"),
+          col("pos").as("pos_b")), Seq("sh"))
+        .join(broadcast(top), Seq("id_a", "id_b"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("id_a"), col("id_b"))
+            .orderBy(col("pos_a"), col("pos_b"), col("sh"))))
+        .filter(col("rk") <= 3)
+      ev.select(col("id_a"), col("id_b"), col("shared"),
+          col("rk").cast(LongType).as("rk"), col("sh"),
+          col("pos_a"), col("pos_b"))
+        .orderBy(col("id_a"), col("id_b"), col("rk"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      shing AS (
+        SELECT doc_id, u.i AS pos, sh[u.i] AS sh
+        FROM (SELECT doc_id, $shinglesSql AS sh FROM toks),
+             unnest(generate_series(1, len(sh))) AS u(i)),
+      dedup AS (
+        SELECT doc_id, sh, CAST(MIN(pos) AS BIGINT) AS pos
+        FROM shing GROUP BY 1, 2),
+      keep AS (SELECT sh FROM dedup GROUP BY sh HAVING COUNT(*) <= 20),
+      capped AS (SELECT d.* FROM dedup d JOIN keep USING (sh)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      top AS (
+        SELECT id_a, id_b, COUNT(*) AS shared
+        FROM pairs GROUP BY 1, 2
+        ORDER BY shared DESC, id_a, id_b LIMIT 5),
+      ev AS (
+        SELECT p.id_a, p.id_b, t.shared, p.sh, p.pos_a, p.pos_b,
+               ROW_NUMBER() OVER (PARTITION BY p.id_a, p.id_b
+                                  ORDER BY p.pos_a, p.pos_b, p.sh) AS rk
+        FROM pairs p JOIN top t ON p.id_a = t.id_a AND p.id_b = t.id_b)
+      SELECT id_a, id_b, shared, CAST(rk AS BIGINT) AS rk, sh, pos_a, pos_b
+      FROM ev WHERE rk <= 3
+      ORDER BY id_a, id_b, rk"""))
+
+  /** q192 — BFS level census from a hub supplier on the trading
+    * graph (q157's integer node encoding): synchronous frontier
+    * expansion over 3 unrolled rounds, counting nodes FIRST reached
+    * at each hop — the distance-structure audit beside PageRank
+    * (mass), k-core (density), and label propagation (communities).
+    * State is the REACHED set only (grows toward |V|, never carries
+    * the unreached majority through the rounds); the edge set is
+    * materialized once at single-direction size (q157's discipline);
+    * unreached nodes appear as one level −1 census row computed by
+    * difference. */
+  private val q192 = QueryDef(
+    "q192_bfs_levels",
+    (s, dir) => {
+      val edges = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val e = Checkpoints.truncate(edges)
+      val adj = e.select(col("a").as("v"), col("b").as("u"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+      var reached = adj.sparkSession.range(1).select(lit(3L).as("v"),
+        lit(0L).as("lvl"))
+      for (r <- 1L to 3L) {
+        val frontier = reached.filter(col("lvl") === r - 1).select(col("v"))
+        val nxt = adj.join(frontier, Seq("v"), "left_semi")
+          .select(col("u").as("v")).distinct()
+          .join(reached.select(col("v")), Seq("v"), "left_anti")
+          .withColumn("lvl", lit(r))
+        reached = Checkpoints.truncate(reached.unionAll(nxt))
+      }
+      val counts = reached.groupBy(col("lvl")).agg(count(lit(1)).as("n_nodes"))
+      val tot = adj.select(col("v")).distinct().agg(count(lit(1)).as("t"))
+      val rt = reached.agg(count(lit(1)).as("rt"))
+      tot.crossJoin(rt)
+        .select(lit(-1L).as("lvl"), (col("t") - col("rt")).as("n_nodes"))
+        .unionAll(counts)
+        .orderBy(col("lvl"))
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""f$r AS (
+            SELECT DISTINCT ed.u AS v FROM ed
+            JOIN r${r - 1} ON ed.v = r${r - 1}.v AND r${r - 1}.lvl = ${r - 1}),
+          n$r AS (
+            SELECT f$r.v, $r AS lvl FROM f$r
+            WHERE f$r.v NOT IN (SELECT v FROM r${r - 1})),
+          r$r AS (SELECT * FROM r${r - 1} UNION ALL SELECT * FROM n$r)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      ed AS (SELECT a AS v, b AS u FROM e0
+             UNION ALL SELECT b AS v, a AS u FROM e0),
+      r0 AS (SELECT CAST(3 AS BIGINT) AS v, CAST(0 AS BIGINT) AS lvl),
+      $rounds,
+      counts AS (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                 FROM r3 GROUP BY 1),
+      tot AS (SELECT COUNT(DISTINCT v) AS t FROM ed),
+      rt AS (SELECT COUNT(*) AS rt FROM r3)
+      SELECT CAST(-1 AS BIGINT) AS lvl, CAST(t - rt AS BIGINT) AS n_nodes
+      FROM tot, rt
+      UNION ALL SELECT CAST(lvl AS BIGINT), n_nodes FROM counts
+      ORDER BY lvl"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q190, q191, q192)
+}
