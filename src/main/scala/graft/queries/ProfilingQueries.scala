@@ -225,5 +225,64 @@ object ProfilingQueries {
       ORDER BY lvl"""
     })
 
-  val all: Seq[QueryDef] = Seq(q190, q191, q192)
+  /** q193 — behavioral-sequence alignment: each user's event history
+    * collapses to a string of event-type initials in (ts, event_id)
+    * order; candidate user pairs come from a ±3 sorted-neighborhood
+    * window on (sequence length, user_id) — q140's linear-candidate
+    * discipline, never the |users|² cross — and are scored by exact
+    * Levenshtein distance plus a normalized exact-ppm similarity.
+    * The behavioral-clustering primitive (bot rings and scripted
+    * sessions align suspiciously well); top 20 most-similar pairs.
+    * Per-user state is the user's own history (one collapse shuffle);
+    * the edit-distance work is bounded by the window width. */
+  private val q193 = QueryDef(
+    "q193_behavior_alignment",
+    (s, dir) => {
+      val seq0 = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c"))
+        .groupBy(col("user_id"))
+        .agg(array_join(expr(
+          "transform(sort_array(collect_list(struct(ms, event_id, c))), p -> p.c)"),
+          "").as("seq"))
+        .select(col("user_id"), col("seq"),
+          length(col("seq")).cast(LongType).as("len"))
+      val ranked = seq0.withColumn("rk", row_number().over(
+        Window.orderBy(col("len"), col("user_id"))).cast(LongType))
+      val a = ranked.select(col("user_id").as("id_a"), col("seq").as("sa"),
+        col("len").as("la"), col("rk").as("ra"))
+      val b = ranked.select(col("user_id").as("id_b"), col("seq").as("sb"),
+        col("len").as("lb"), col("rk").as("rb"))
+      a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + 3)
+        .select(col("id_a"), col("id_b"), col("la"), col("lb"),
+          levenshtein(col("sa"), col("sb")).cast(LongType).as("dist"))
+        .withColumn("sim_ppm",
+          expr("(1000000L * (greatest(la, lb) - dist)) div greatest(la, lb)"))
+        .orderBy(col("sim_ppm").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                 ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS seq
+        FROM events GROUP BY 1),
+      ranked AS (
+        SELECT user_id, seq, CAST(length(seq) AS BIGINT) AS len,
+               CAST(ROW_NUMBER() OVER (ORDER BY length(seq), user_id)
+                 AS BIGINT) AS rk
+        FROM seqs),
+      pairs AS (
+        SELECT a.user_id AS id_a, b.user_id AS id_b, a.len AS la, b.len AS lb,
+               CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS dist
+        FROM ranked a JOIN ranked b
+          ON b.rk > a.rk AND b.rk <= a.rk + 3)
+      SELECT id_a, id_b, la, lb, dist,
+             CAST((1000000 * (GREATEST(la, lb) - dist)) // GREATEST(la, lb)
+               AS BIGINT) AS sim_ppm
+      FROM pairs
+      ORDER BY sim_ppm DESC, id_a, id_b LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193)
 }
