@@ -284,5 +284,51 @@ object ProfilingQueries {
       FROM pairs
       ORDER BY sim_ppm DESC, id_a, id_b LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193)
+  /** q194 — weekday seasonal indices per event type (the
+    * seasonal-naive decomposition a capacity planner runs before
+    * anomaly thresholds): index = weekday mean value / overall mean,
+    * both means as ratios of exact DECIMAL sums over exact counts,
+    * one double division each — so the indices are engine-exact
+    * without term rounding. One aggregate per (type, weekday) cell;
+    * 35-row output frame. Weekday numbering pinned to ISO (Monday=1)
+    * on both engines. */
+  private val q194 = QueryDef(
+    "q194_seasonal_index",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val e = graft.queries.QueryDef.eventsTable(s, dir)
+        .select(col("event_type"),
+          dayofweek(col("ts")).as("dow0"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        // Spark dayofweek: Sunday=1 … map to ISO Monday=1..Sunday=7
+        .withColumn("dow", expr("((dow0 + 5) % 7) + 1").cast(LongType))
+      val cell = e.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val tot = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("tn"), sum(col("v")).as("tsv"))
+      cell.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          ((col("sv").cast(DoubleType) / col("n")) /
+            (col("tsv").cast(DoubleType) / col("tn"))).as("seasonal_index"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+               CAST(value AS DECIMAL(18, 2)) AS v
+        FROM events),
+      cell AS (
+        SELECT event_type, dow, COUNT(*) AS n, SUM(v) AS sv
+        FROM e GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, COUNT(*) AS tn, SUM(v) AS tsv
+        FROM e GROUP BY 1)
+      SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+             (CAST(sv AS DOUBLE) / n) / (CAST(tsv AS DOUBLE) / tn)
+               AS seasonal_index
+      FROM cell JOIN tot USING (event_type)
+      ORDER BY event_type, dow"""))
+
+  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194)
 }
