@@ -330,5 +330,56 @@ object ProfilingQueries {
       FROM cell JOIN tot USING (event_type)
       ORDER BY event_type, dow"""))
 
-  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194)
+  /** q195 — market-basket frequent pairs with lift (association-rule
+    * mining over order baskets): part pairs co-purchased in the same
+    * order, support-counted via a within-order self-join (pair mass =
+    * Σ C(|basket|, 2) — baskets are small, so this is linear in
+    * orders, never |parts|²), ranked by support with lift =
+    * P(a,b)/(P(a)·P(b)) computed from exact integer counts scaled to
+    * ppm (lift_ppm = co·N·10⁶ div (sa·sb) — one integer expression,
+    * no float probabilities). Top 20 by (support, lift); min support
+    * 3 kills singleton noise. The token-PMI analog (q82) for the
+    * transactional face. */
+  private val q195 = QueryDef(
+    "q195_basket_pairs",
+    (s, dir) => {
+      val items = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+        .distinct()
+      val nOrders = table(s, dir, "orders").agg(count(lit(1)).as("n"))
+      val supp = items.groupBy(col("part")).agg(count(lit(1)).as("s"))
+      val pairs = items.select(col("ok"), col("part").as("pa"))
+        .join(items.select(col("ok"), col("part").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3)
+      pairs
+        .join(broadcast(supp.select(col("part").as("pa"), col("s").as("sa"))),
+          Seq("pa"))
+        .join(broadcast(supp.select(col("part").as("pb"), col("s").as("sb"))),
+          Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("co"), col("sa"), col("sb"),
+          expr("(co * n * 1000000L) div (sa * sb)").as("lift_ppm"))
+        .orderBy(col("co").desc, col("lift_ppm").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+      n AS (SELECT COUNT(*) AS n FROM orders),
+      supp AS (SELECT part, COUNT(*) AS s FROM items GROUP BY 1),
+      pairs AS (
+        SELECT a.part AS pa, b.part AS pb, COUNT(*) AS co
+        FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT pa, pb, co, CAST(sa.s AS BIGINT) AS sa, CAST(sb.s AS BIGINT) AS sb,
+             CAST((co * n.n * 1000000) // (sa.s * sb.s) AS BIGINT) AS lift_ppm
+      FROM pairs
+      JOIN supp sa ON pairs.pa = sa.part
+      JOIN supp sb ON pairs.pb = sb.part
+      CROSS JOIN n
+      ORDER BY co DESC, lift_ppm DESC, pa, pb LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q190, q191, q192, q193, q194, q195)
 }
