@@ -24,15 +24,24 @@ object QueryDef {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as long and
-    * convert with integer division (ns values ~1.7e18 overflow double
-    * precision, so no `/`), landing on the same microsecond instants
-    * the DuckDB oracle sees after `CAST(ts AS TIMESTAMP)`. */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects outright — read nanos as long, convert with integer
+    * division since ns values ~1.7e18 overflow double precision) and
+    * TIMESTAMP(MICROS) without timezone (reads as TIMESTAMP_NTZ —
+    * cast to session-timezone TIMESTAMP, an exact instant map under
+    * the pinned UTC session). Dispatch on the inferred schema so both
+    * land on the same microsecond instants the DuckDB oracle sees
+    * after `CAST(ts AS TIMESTAMP)`. */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

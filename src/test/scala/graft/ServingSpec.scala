@@ -183,7 +183,7 @@ class ServingSpec extends SparkSpec {
   }
 
   test("q112 interval reformulation equals the naive event self-join") {
-    val e = spark.read.parquet(s"$sf/events.parquet")
+    val e = graft.queries.QueryDef.eventsTable(spark, sf)
       .select($"user_id", $"event_type", $"ts".cast("long").as("t"), $"event_id")
     // ground truth, O(events²) per user — viable only at test scale
     val naive = e.as("a").join(e.as("b"),
