@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CapstoneQueries, CoresetQueries, CurationQueries, EvalQueries, ExtensionQueries, HygieneQueries, LakehouseQueries, LayoutQueries, MiningQueries, ParityQueries, PlanningQueries, ProfilingQueries, QuantQueries, QueryDef, RetrievalQueries, ServingQueries, SketchAuditQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, CapstoneQueries, CoresetQueries, CurationQueries, EvalQueries, ExtensionQueries, HygieneQueries, LakehouseQueries, LayoutQueries, MiningQueries, OpsQueries, ParityQueries, PlanningQueries, ProfilingQueries, QuantQueries, QueryDef, RetrievalQueries, ServingQueries, SketchAuditQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
       LakehouseQueries.all ++ QuantQueries.all ++ RetrievalQueries.all ++
       LayoutQueries.all ++ CoresetQueries.all ++ WarehouseQueries.all ++
       SketchAuditQueries.all ++ PlanningQueries.all ++ HygieneQueries.all ++
-      EvalQueries.all ++ ProfilingQueries.all ++ CapstoneQueries.all
+      EvalQueries.all ++ ProfilingQueries.all ++ CapstoneQueries.all ++
+      OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
