@@ -314,5 +314,377 @@ object OpsQueries {
       GROUP BY t.tok, t.c
       ORDER BY exact DESC, t.tok"""))
 
-  val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205)
+  /** q206 — multi-touch attribution (linear + position-based 40/20/40
+    * in exact ppm): every click/view is attached to the NEXT purchase
+    * of the same user within 7 days using one reverse-ordered
+    * running-min window (q196's no-self-join discipline; the next
+    * purchase's (ms, event_id) pack into a single BIGINT so `min`
+    * orders correctly and both engines agree). Each conversion then
+    * splits 1,000,000 ppm across its ordered touch path — linear
+    * `1e6 div n` with the floor remainder to the last touch,
+    * position-based 400k/200k/400k with the middle remainder to the
+    * first — so attributed mass is conserved EXACTLY per conversion,
+    * the property float attribution loses. Complements q94's
+    * last-touch rule. Two windows over one user_id shuffle. */
+  private val q206 = QueryDef(
+    "q206_multitouch_attribution",
+    (s, dir) => {
+      val P = 1048576L
+      val e = eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touches = e.withColumn("conv",
+          min(when(col("event_type") === "purchase",
+            col("ms") * P + col("event_id"))).over(wDesc))
+        .filter(col("event_type").isin("click", "view") &&
+          col("conv").isNotNull &&
+          expr(s"conv div $P") - col("ms") <= 7L * 86400000L)
+      val wPath = Window.partitionBy(col("user_id"), col("conv"))
+        .orderBy(col("ms"), col("event_id"))
+      val wN = Window.partitionBy(col("user_id"), col("conv"))
+      val shares = touches
+        .withColumn("idx", row_number().over(wPath))
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("linear_ppm",
+          expr("1000000L div n") +
+            when(col("idx") === col("n"),
+              lit(1000000L) - expr("(1000000L div n) * n")).otherwise(0L))
+        .withColumn("position_ppm",
+          when(col("n") === 1, 1000000L)
+            .when(col("n") === 2, 500000L)
+            .otherwise(
+              when(col("idx") === 1,
+                lit(400000L) + lit(200000L) -
+                  expr("(200000L div (n - 2)) * (n - 2)"))
+                .when(col("idx") === col("n"), 400000L)
+                .otherwise(expr("200000L div (n - 2)"))))
+      shares.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("user_id"), col("conv")).as("n_conversions"),
+          sum(col("linear_ppm")).as("linear_ppm"),
+          sum(col("position_ppm")).as("position_ppm"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        FROM events),
+      t AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN ms * 1048576 + event_id END)
+                 OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS conv
+        FROM e),
+      touches AS (
+        SELECT * FROM t
+        WHERE event_type IN ('click', 'view') AND conv IS NOT NULL
+          AND conv // 1048576 - ms <= 7 * 86400000),
+      shares AS (
+        SELECT event_type, user_id, conv,
+               ROW_NUMBER() OVER (PARTITION BY user_id, conv
+                                  ORDER BY ms, event_id) AS idx,
+               COUNT(*) OVER (PARTITION BY user_id, conv) AS n
+        FROM touches)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(COUNT(DISTINCT (user_id, conv)) AS BIGINT) AS n_conversions,
+             CAST(SUM(1000000 // n + CASE WHEN idx = n
+                 THEN 1000000 - (1000000 // n) * n ELSE 0 END) AS BIGINT)
+               AS linear_ppm,
+             CAST(SUM(CASE
+                 WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN idx = 1 THEN 400000 + 200000 -
+                   (200000 // (n - 2)) * (n - 2)
+                 WHEN idx = n THEN 400000
+                 ELSE 200000 // (n - 2) END) AS BIGINT) AS position_ppm
+      FROM shares GROUP BY event_type ORDER BY event_type"""))
+
+  /** q207 — stratified proportional sampling audit: a deterministic
+    * 20% sample drawn per source stratum (md5-ranked within stratum,
+    * quota = ⌊n·0.2⌋) — the sampling design that preserves source
+    * mixture exactly, where uniform row sampling drifts on small
+    * strata. The audit reports each stratum's quota and the
+    * English-share ppm before vs after — the representativeness
+    * check a corpus release runs. One explode-free pass: two window
+    * functions over one source shuffle. */
+  private val q207 = QueryDef(
+    "q207_stratified_sample",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          md5(col("doc_id").cast(StringType)).as("mk"))
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("mk"), col("doc_id"))
+      val wSrc = Window.partitionBy(col("source"))
+      val ranked = d.withColumn("r", row_number().over(wRank))
+        .withColumn("n_src", count(lit(1)).over(wSrc))
+        .withColumn("quota", expr("(n_src * 200000L) div 1000000L"))
+        .withColumn("kept", (col("r") <= col("quota")).cast(LongType))
+      ranked.groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_docs"), max(col("quota")).as("quota"),
+          sum((col("lang") === "en").cast(LongType)).as("n_en"),
+          sum(((col("lang") === "en").cast(LongType)) * col("kept"))
+            .as("n_en_kept"))
+        .select(col("source"), col("n_docs"), col("quota"),
+          expr("(n_en * 1000000L) div n_docs").as("en_before_ppm"),
+          when(col("quota") > 0,
+            expr("(n_en_kept * 1000000L) div quota")).as("en_after_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS mk
+        FROM documents),
+      ranked AS (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY mk, doc_id)
+                 AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM d),
+      q AS (
+        SELECT *, (n_src * 200000) // 1000000 AS quota,
+               CASE WHEN r <= (n_src * 200000) // 1000000
+                    THEN 1 ELSE 0 END AS kept
+        FROM ranked)
+      SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_docs,
+             CAST(MAX(quota) AS BIGINT) AS quota,
+             CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+               // MAX(n_src) AS BIGINT) AS en_before_ppm,
+             CASE WHEN MAX(quota) > 0 THEN
+               CAST((SUM(CASE WHEN lang = 'en' THEN kept ELSE 0 END)
+                 * 1000000) // MAX(quota) AS BIGINT) END AS en_after_ppm
+      FROM q GROUP BY source ORDER BY source"""))
+
+  /** q208 — corpus shuffle (epoch-mixing) audit: training pipelines
+    * shard and shuffle the corpus before each epoch; a bad shuffle
+    * leaves same-source runs that bias gradient batches. The md5
+    * permutation assigns each document a shard (mod 32) and an
+    * order within the shard; the audit measures the adjacent-pair
+    * same-source rate per shard in exact ppm against the collision
+    * rate a perfect shuffle would give (Σ nₛ² / N² over the global
+    * source masses, one broadcast scalar frame). Deterministic —
+    * the hash IS the permutation — so the audit itself is
+    * hash-checkable, unlike a rand()-seeded shuffle. */
+  private val q208 = QueryDef(
+    "q208_shuffle_audit",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast(StringType)).as("mk"))
+        .withColumn("shard",
+          (conv(substring(col("mk"), 1, 8), 16, 10).cast(LongType) % 32)
+            .as("shard"))
+      val wOrd = Window.partitionBy(col("shard"))
+        .orderBy(col("mk"), col("doc_id"))
+      val adj = d.withColumn("prev_src", lag(col("source"), 1).over(wOrd))
+      val expected = broadcast(
+        d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+          .agg(sum(col("ns") * col("ns")).as("ss"), sum(col("ns")).as("n"))
+          .select(expr("(ss * 1000000L) div (n * n)").as("expected_ppm")))
+      adj.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("prev_src").isNotNull &&
+            col("prev_src") === col("source")).cast(LongType))
+            .as("same_adj"))
+        .crossJoin(expected)
+        .select(col("shard"), col("n_docs"),
+          when(col("n_docs") > 1,
+            expr("(same_adj * 1000000L) div (n_docs - 1)")).as("same_ppm"),
+          col("expected_ppm"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS mk,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 32 AS shard
+        FROM documents),
+      adj AS (
+        SELECT shard, source,
+               LAG(source) OVER (PARTITION BY shard ORDER BY mk, doc_id)
+                 AS prev_src
+        FROM d),
+      ex AS (
+        SELECT (SUM(ns * ns) * 1000000) // (SUM(ns) * SUM(ns))
+                 AS expected_ppm
+        FROM (SELECT COUNT(*) AS ns FROM d GROUP BY source))
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CASE WHEN COUNT(*) > 1 THEN
+               CAST((SUM(CASE WHEN prev_src IS NOT NULL
+                               AND prev_src = source THEN 1 ELSE 0 END)
+                 * 1000000) // (COUNT(*) - 1) AS BIGINT) END AS same_ppm,
+             CAST(expected_ppm AS BIGINT) AS expected_ppm
+      FROM adj CROSS JOIN ex
+      GROUP BY shard, expected_ppm ORDER BY shard"""))
+
+  /** q209 — local clustering coefficient over the token co-occurrence
+    * graph: per-node triangle membership from q131's degree-ordered
+    * triangle enumeration (each triangle touches its three vertices
+    * once), coefficient = 2·t / d·(d−1) in exact ppm. The
+    * degree-ordering discipline is what survives hubs at scale —
+    * wedge generation stays per-oriented-out-degree, never per raw
+    * degree. Top 20 most-embedded nodes (t desc), min degree 2. */
+  private val q209 = QueryDef(
+    "q209_clustering_coefficient",
+    (s, dir) => {
+      import graft.functions.TextExprs
+      val bi = table(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(TextExprs.word_shingles(col("t"), 2)).as("bigram"))
+        .select(substring_index(col("bigram"), " ", 1).as("x"),
+          substring_index(col("bigram"), " ", -1).as("y"))
+        .filter(col("x") =!= col("y"))
+      val edges = bi.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")).distinct()
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val withDeg = edges
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      val oriented = graft.operators.Checkpoints.truncate(withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst")))
+      val tri = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("v0"), col("e1.dst").as("u"),
+          col("e2.dst").as("w"))
+        .join(edges, least(col("u"), col("w")) === col("a") &&
+          greatest(col("u"), col("w")) === col("b"))
+      val perNode = tri.select(col("v0").as("v"))
+        .unionAll(tri.select(col("u")))
+        .unionAll(tri.select(col("w")))
+        .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      perNode.join(deg, "v")
+        .filter(col("d") >= 2)
+        .select(col("v").as("node"), col("t"), col("d").as("degree"),
+          expr("(2L * t * 1000000L) div (d * (d - 1))").as("coeff_ppm"))
+        .orderBy(col("t").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks),
+      xy AS (
+        SELECT string_split(bigram, ' ')[1] AS x,
+               string_split(bigram, ' ')[2] AS y
+        FROM bi
+        WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+      edges AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM xy),
+      deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY 1),
+      oriented AS (
+        SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END
+                 AS src,
+               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END
+                 AS dst
+        FROM edges e
+        JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      tri AS (
+        SELECT e1.src AS v0, e1.dst AS u, e2.dst AS w
+        FROM oriented e1 JOIN oriented e2
+          ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN edges ON least(e1.dst, e2.dst) = a
+                  AND greatest(e1.dst, e2.dst) = b),
+      per_node AS (
+        SELECT v, COUNT(*) AS t FROM (
+          SELECT v0 AS v FROM tri
+          UNION ALL SELECT u FROM tri
+          UNION ALL SELECT w FROM tri)
+        GROUP BY 1)
+      SELECT v AS node, CAST(t AS BIGINT) AS t,
+             CAST(d AS BIGINT) AS degree,
+             CAST((2 * t * 1000000) // (d * (d - 1)) AS BIGINT) AS coeff_ppm
+      FROM per_node JOIN deg USING (v)
+      WHERE d >= 2
+      ORDER BY t DESC, node LIMIT 20"""))
+
+  /** q210 — small-file compaction planning report: the 100 TB
+    * lakehouse's perpetual maintenance task, as closed-form planning
+    * math. Files are modeled per (ship-month partition, writer
+    * bucket); within each partition the planner virtually packs
+    * size-descending files into quarter-of-partition target bins
+    * (cumulative-sum ÷ target — the relaxation that lower-bounds any
+    * real bin packing) and reports file count vs planned bin count,
+    * fill ppm, and the rewrite mass — the decision input
+    * `LakeIO.compact` acts on. All integers; one partition-keyed
+    * shuffle over pre-aggregated file stats, never raw rows. */
+  private val q210 = QueryDef(
+    "q210_compaction_plan",
+    (s, dir) => {
+      val files = table(s, dir, "lineitem")
+        .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM")
+          .as("part_month"), (col("l_suppkey") % 8).as("bucket"))
+        .agg(count(lit(1)).as("bytes"))
+      val wPart = Window.partitionBy(col("part_month"))
+      val wPack = Window.partitionBy(col("part_month"))
+        .orderBy(col("bytes").desc, col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val planned = files
+        .withColumn("total", sum(col("bytes")).over(wPart))
+        .withColumn("target", expr("greatest(total div 4, 1L)"))
+        .withColumn("cum", sum(col("bytes")).over(wPack))
+        .withColumn("bin", expr("(cum - 1) div target"))
+      planned.groupBy(col("part_month"))
+        .agg(count(lit(1)).as("n_files"), max(col("total")).as("total_bytes"),
+          max(col("target")).as("target_bytes"),
+          (max(col("bin")) + 1).as("n_bins"),
+          sum((col("bytes") * 2 < col("target")).cast(LongType))
+            .as("n_small"))
+        .select(col("part_month"), col("n_files"), col("total_bytes"),
+          col("target_bytes"), col("n_bins"),
+          (col("n_files") - col("n_bins")).as("files_saved"),
+          expr("(total_bytes * 1000000L) div (n_bins * target_bytes)")
+            .as("fill_ppm"),
+          col("n_small"))
+        .orderBy(col("part_month"))
+    },
+    Some("""
+      WITH files AS (
+        SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS part_month,
+               l_suppkey % 8 AS bucket, COUNT(*) AS bytes
+        FROM lineitem GROUP BY 1, 2),
+      planned AS (
+        SELECT part_month, bucket, bytes,
+               SUM(bytes) OVER (PARTITION BY part_month) AS total,
+               greatest(SUM(bytes) OVER (PARTITION BY part_month) // 4, 1)
+                 AS target,
+               SUM(bytes) OVER (PARTITION BY part_month
+                                ORDER BY bytes DESC, bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+        FROM files)
+      SELECT part_month, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(MAX(total) AS BIGINT) AS total_bytes,
+             CAST(MAX(target) AS BIGINT) AS target_bytes,
+             CAST(MAX((cum - 1) // target) + 1 AS BIGINT) AS n_bins,
+             CAST(COUNT(*) - (MAX((cum - 1) // target) + 1) AS BIGINT)
+               AS files_saved,
+             CAST((MAX(total) * 1000000)
+               // ((MAX((cum - 1) // target) + 1) * MAX(target)) AS BIGINT)
+               AS fill_ppm,
+             CAST(SUM(CASE WHEN bytes * 2 < target THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_small
+      FROM planned GROUP BY part_month ORDER BY part_month"""))
+
+  val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205, q206, q207,
+    q208, q209, q210)
 }
