@@ -523,6 +523,48 @@ object OpsQueries {
       FROM adj CROSS JOIN ex
       GROUP BY shard, expected_ppm ORDER BY shard"""))
 
+  /** Token co-occurrence graph (q131's construction): canonical
+    * undirected edge set from adjacent-token bigrams, plus degrees.
+    * Shared by q209 (clustering coefficient) and q211 (link
+    * prediction). */
+  private def tokenGraph(s: org.apache.spark.sql.SparkSession, dir: String)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.functions.TextExprs
+    val bi = table(s, dir, "documents")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(TextExprs.word_shingles(col("t"), 2)).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("x"),
+        substring_index(col("bigram"), " ", -1).as("y"))
+      .filter(col("x") =!= col("y"))
+    val edges = bi.select(least(col("x"), col("y")).as("a"),
+      greatest(col("x"), col("y")).as("b")).distinct()
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    (edges, deg)
+  }
+
+  /** DuckDB twin of [[tokenGraph]]: CTEs `edges(a, b)` + `deg(v, d)`. */
+  private val graphCtes = s"""
+      toks AS (
+        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks),
+      xy AS (
+        SELECT string_split(bigram, ' ')[1] AS x,
+               string_split(bigram, ' ')[2] AS y
+        FROM bi
+        WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+      edges AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM xy),
+      deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY 1)"""
+
   /** q209 — local clustering coefficient over the token co-occurrence
     * graph: per-node triangle membership from q131's degree-ordered
     * triangle enumeration (each triangle touches its three vertices
@@ -533,19 +575,7 @@ object OpsQueries {
   private val q209 = QueryDef(
     "q209_clustering_coefficient",
     (s, dir) => {
-      import graft.functions.TextExprs
-      val bi = table(s, dir, "documents")
-        .select(TextFunctions.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(explode(TextExprs.word_shingles(col("t"), 2)).as("bigram"))
-        .select(substring_index(col("bigram"), " ", 1).as("x"),
-          substring_index(col("bigram"), " ", -1).as("y"))
-        .filter(col("x") =!= col("y"))
-      val edges = bi.select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b")).distinct()
-      val deg = edges.select(col("a").as("v"))
-        .unionAll(edges.select(col("b")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val (edges, deg) = tokenGraph(s, dir)
       val withDeg = edges
         .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
         .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -574,23 +604,7 @@ object OpsQueries {
         .limit(20)
     },
     Some(s"""
-      WITH toks AS (
-        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
-      bi AS (
-        SELECT unnest(list_transform(range(1, len(t)),
-                 i -> t[i] || ' ' || t[i+1])) AS bigram
-        FROM toks),
-      xy AS (
-        SELECT string_split(bigram, ' ')[1] AS x,
-               string_split(bigram, ' ')[2] AS y
-        FROM bi
-        WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
-      edges AS (
-        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM xy),
-      deg AS (
-        SELECT v, COUNT(*) AS d FROM (
-          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
-        GROUP BY 1),
+      WITH $graphCtes,
       oriented AS (
         SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END
                  AS src,
@@ -685,6 +699,168 @@ object OpsQueries {
                AS BIGINT) AS n_small
       FROM planned GROUP BY part_month ORDER BY part_month"""))
 
+  /** q211 — link prediction by the resource-allocation index (Zhou,
+    * Lü & Zhang 2009): for every NON-adjacent token pair with common
+    * neighbors, RA = Σ 1/deg(v) over the shared neighbors v — the
+    * strongest of the simple local predictors, and unlike Adamic-Adar
+    * its 1/d terms are exact in fixed-point (10⁹ div d, no
+    * logarithm). Wedge generation is per-common-neighbor (the
+    * inverted-index shape); neighbors above degree 256 are excluded
+    * by definition on BOTH engines — their contribution is < 10⁹/257
+    * each, and the cap bounds the per-node pair mass that kills
+    * all-pairs designs at scale. Existing edges drop via one
+    * left-anti join. Top 20 predicted links. */
+  private val q211 = QueryDef(
+    "q211_link_prediction",
+    (s, dir) => {
+      val (edges, deg) = tokenGraph(s, dir)
+      val adj = edges.select(col("a").as("v"), col("b").as("nbr"))
+        .unionAll(edges.select(col("b"), col("a")))
+        .join(deg.filter(col("d") <= 256), "v")
+      val pairs = adj.as("p").join(adj.as("q"),
+          col("p.v") === col("q.v") && col("p.nbr") < col("q.nbr"))
+        .select(col("p.nbr").as("u"), col("q.nbr").as("w"),
+          expr("1000000000L div p.d").as("contrib"))
+      pairs.join(edges,
+          col("u") === col("a") && col("w") === col("b"), "left_anti")
+        .groupBy(col("u"), col("w"))
+        .agg(sum(col("contrib")).as("ra_e9"),
+          count(lit(1)).as("common_neighbors"))
+        .orderBy(col("ra_e9").desc, col("u"), col("w"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $graphCtes,
+      adj AS (
+        SELECT v, nbr, d FROM (
+          SELECT a AS v, b AS nbr FROM edges
+          UNION ALL SELECT b, a FROM edges)
+        JOIN deg USING (v) WHERE d <= 256),
+      pairs AS (
+        SELECT p.nbr AS u, q.nbr AS w, 1000000000 // p.d AS contrib
+        FROM adj p JOIN adj q ON p.v = q.v AND p.nbr < q.nbr)
+      SELECT u, w, CAST(SUM(contrib) AS BIGINT) AS ra_e9,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM pairs
+      WHERE NOT EXISTS (SELECT 1 FROM edges WHERE a = u AND b = w)
+      GROUP BY u, w
+      ORDER BY ra_e9 DESC, u, w LIMIT 20"""))
+
+  /** q212 — Merkle range diff (anti-entropy reconciliation): two
+    * copies of the orders table — the replica deterministically
+    * corrupted by one cent on keys ≡ 0 mod 9973 — are compared
+    * through a two-level hash tree: 1024-key leaf ranges folded with
+    * the order-independent 60-bit XOR (q107's idiom), 16-leaf parent
+    * ranges above them. The output lists ONLY the diverging leaves
+    * with their parent range and key bounds — the O(diverged·log)
+    * drill-down that re-syncs a 100 TB replica without a full-table
+    * diff (Cassandra/Dynamo repair, as one declarative query). */
+  private val q212 = QueryDef(
+    "q212_merkle_diff",
+    (s, dir) => {
+      def hashed(priceBump: org.apache.spark.sql.Column) = {
+        val price = (col("o_totalprice").cast(Dec) + priceBump).cast(Dec)
+        table(s, dir, "orders")
+          .select(expr("o_orderkey div 1024").as("leaf"),
+            conv(substring(md5(concat_ws("|",
+              col("o_orderkey"), price.cast(StringType))), 1, 15), 16, 10)
+              .cast(LongType).as("h"))
+          .groupBy(col("leaf"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      }
+      val a = hashed(lit(0).cast(Dec))
+      val b = hashed(when(col("o_orderkey") % 9973 === 0,
+        lit("0.01").cast(Dec)).otherwise(lit(0).cast(Dec)))
+      a.as("a").join(b.as("b"), col("a.leaf") === col("b.leaf"))
+        .filter(col("a.x") =!= col("b.x") || col("a.n") =!= col("b.n"))
+        .select(expr("a.leaf div 16").as("parent_range"),
+          col("a.leaf").as("leaf"),
+          (col("a.leaf") * 1024).as("key_lo"),
+          ((col("a.leaf") + 1) * 1024 - 1).as("key_hi"),
+          col("a.n").as("n_rows"))
+        .orderBy(col("leaf"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT o_orderkey // 1024 AS leaf, COUNT(*) AS n,
+               bit_xor(CAST('0x' || substr(md5(o_orderkey || '|' ||
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+                 1, 15) AS BIGINT)) AS x
+        FROM orders GROUP BY 1),
+      b AS (
+        SELECT o_orderkey // 1024 AS leaf, COUNT(*) AS n,
+               bit_xor(CAST('0x' || substr(md5(o_orderkey || '|' ||
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+                   CASE WHEN o_orderkey % 9973 = 0
+                        THEN CAST('0.01' AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END AS DECIMAL(18,2))
+                   AS VARCHAR)), 1, 15) AS BIGINT)) AS x
+        FROM orders GROUP BY 1)
+      SELECT a.leaf // 16 AS parent_range, a.leaf AS leaf,
+             a.leaf * 1024 AS key_lo, (a.leaf + 1) * 1024 - 1 AS key_hi,
+             CAST(a.n AS BIGINT) AS n_rows
+      FROM a JOIN b ON a.leaf = b.leaf
+      WHERE a.x <> b.x OR a.n <> b.n
+      ORDER BY leaf"""))
+
+  /** q213 — 2D Pareto frontier (skyline): suppliers not dominated on
+    * (total supply volume, account balance) — "no one ships more AND
+    * holds more". The classic block-nested-loops skyline collapses to
+    * one window pass in 2D: group equal volumes to their max balance,
+    * sort volume descending, and a point survives iff the running
+    * max balance over STRICTLY greater volumes is below it. The fold
+    * runs on the per-distinct-volume collapse (bounded, never raw
+    * rows); a cluster deployment would add a partition-local frontier
+    * pre-filter first (frontiers are closed under union). Balances
+    * compare in exact cents. */
+  private val q213 = QueryDef(
+    "q213_pareto_suppliers",
+    (s, dir) => {
+      val vol = table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("volume"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          (col("s_acctbal").cast(Dec) * 100).cast(LongType).as("bal_cents"))
+        .join(vol, col("s_suppkey") === col("l_suppkey"))
+      val byVol = sup.groupBy(col("volume"))
+        .agg(max(col("bal_cents")).as("ymax"))
+      val w = Window.orderBy(col("volume").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = byVol
+        .withColumn("prev_max", max(col("ymax")).over(w))
+        .filter(col("prev_max").isNull || col("prev_max") < col("ymax"))
+        .select(col("volume").as("fv"), col("ymax"))
+      sup.join(broadcast(frontier),
+          col("volume") === col("fv") && col("bal_cents") === col("ymax"))
+        .select(col("s_name"), col("volume"), col("bal_cents"))
+        .orderBy(col("volume").desc, col("s_name"))
+    },
+    Some("""
+      WITH vol AS (
+        SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS volume
+        FROM lineitem GROUP BY 1),
+      sup AS (
+        SELECT s_name, volume,
+               CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS bal_cents
+        FROM supplier JOIN vol ON s_suppkey = l_suppkey),
+      by_vol AS (
+        SELECT volume, MAX(bal_cents) AS ymax FROM sup GROUP BY 1),
+      frontier AS (
+        SELECT volume, ymax FROM (
+          SELECT volume, ymax,
+                 MAX(ymax) OVER (ORDER BY volume DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max
+          FROM by_vol)
+        WHERE prev_max IS NULL OR prev_max < ymax)
+      SELECT s_name, CAST(sup.volume AS BIGINT) AS volume,
+             CAST(sup.bal_cents AS BIGINT) AS bal_cents
+      FROM sup JOIN frontier
+        ON sup.volume = frontier.volume AND sup.bal_cents = frontier.ymax
+      ORDER BY volume DESC, s_name"""))
+
   val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210)
+    q208, q209, q210, q211, q212, q213)
 }
