@@ -700,20 +700,34 @@ object OpsQueries {
       FROM planned GROUP BY part_month ORDER BY part_month"""))
 
   /** q211 — link prediction by the resource-allocation index (Zhou,
-    * Lü & Zhang 2009): for every NON-adjacent token pair with common
-    * neighbors, RA = Σ 1/deg(v) over the shared neighbors v — the
-    * strongest of the simple local predictors, and unlike Adamic-Adar
-    * its 1/d terms are exact in fixed-point (10⁹ div d, no
-    * logarithm). Wedge generation is per-common-neighbor (the
-    * inverted-index shape); neighbors above degree 256 are excluded
-    * by definition on BOTH engines — their contribution is < 10⁹/257
-    * each, and the cap bounds the per-node pair mass that kills
-    * all-pairs designs at scale. Existing edges drop via one
-    * left-anti join. Top 20 predicted links. */
+    * Lü & Zhang 2009) on the part co-purchase graph: for every
+    * NON-adjacent part pair with common neighbors, RA = Σ 1/deg(v)
+    * over the shared neighbors v — the strongest of the simple local
+    * predictors, and unlike Adamic-Adar its 1/d terms are exact in
+    * fixed-point (10⁹ div d, no logarithm). "Which products will be
+    * bought together next" — the recsys question one query answers.
+    * Edges are within-order part pairs with support ≥ 2 (q195's
+    * linear per-basket generation — the co-purchase graph stays
+    * sparse at every scale, where the token graph saturates); wedge
+    * generation is per-common-neighbor with a degree-256 hub cap
+    * defined on BOTH engines (a hub's contribution is < 10⁹/257
+    * each, and the cap bounds per-node pair mass). Existing edges
+    * drop via one left-anti join. Top 20 predicted links. */
   private val q211 = QueryDef(
     "q211_link_prediction",
     (s, dir) => {
-      val (edges, deg) = tokenGraph(s, dir)
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("a"), col("b"))
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val adj = edges.select(col("a").as("v"), col("b").as("nbr"))
         .unionAll(edges.select(col("b"), col("a")))
         .join(deg.filter(col("d") <= 256), "v")
@@ -729,8 +743,20 @@ object OpsQueries {
         .orderBy(col("ra_e9").desc, col("u"), col("w"))
         .limit(20)
     },
-    Some(s"""
-      WITH $graphCtes,
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a, b FROM (
+          SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
+          FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2)
+        WHERE support >= 2),
+      deg AS (
+        SELECT v, COUNT(*) AS d FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY 1),
       adj AS (
         SELECT v, nbr, d FROM (
           SELECT a AS v, b AS nbr FROM edges
