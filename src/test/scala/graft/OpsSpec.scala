@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior + scale-shape assertions for the ops/decorrelation tier
+  * (q201–q213): oracle hash-parity is the driver's job; here we pin
+  * the algorithmic guarantees — winnowing's shared-run ⇒ shared-
+  * fingerprint theorem and density bound, count-min's one-sided
+  * error, attribution mass conservation, skyline non-dominance,
+  * link-prediction parity with a brute-force reference — and the
+  * plan shapes that survive 100 TB (broadcast dim/stats sides). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q201 small-lot: stats and part sides broadcast, threshold matches a float recompute") {
+    val q = SparkEntry.queries("q201_small_lot_revenue")(spark, sf)
+    assert(finalPlan(q).contains("BroadcastExchange"))
+    val Array((nSmall, rev)) = q.as[(Long, Double)].collect()
+    // brute-force float recompute of the same predicate
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sf/part.parquet")
+      .filter($"p_brand" === "Brand#7").select("p_partkey")
+    val j = li.join(pt, $"l_partkey" === $"p_partkey")
+    val avg_ = j.groupBy($"l_partkey".as("k")).agg(avg($"l_quantity").as("m"))
+    val expect = j.join(avg_, $"l_partkey" === $"k")
+      .filter($"l_quantity" < $"m" * 0.2).count()
+    assert(nSmall == expect && rev >= 0.0)
+  }
+
+  test("q204 winnowing: density near 2/(w+1) and a duplicated run yields a shared fingerprint") {
+    // two synthetic docs sharing an exact 12-token run must share a
+    // fingerprint (guarantee: any shared run of >= w+k-1 = 6 tokens)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $shared and a suffix tail"),
+      (2L, s"$shared completely different ending material follows now")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("winnow_tmp")
+    // re-run the q204 pipeline inline on the two docs via the registry
+    // shape: easiest is to check the registered query on testdata for
+    // structural properties, then the theorem on the synthetic pair
+    // using the same window/pack constants.
+    val P = 1048576L
+    val toks = docs.select($"doc_id",
+      graft.functions.TextFunctions.tokens($"text").as("t"))
+    val pos = toks.select($"doc_id",
+        posexplode(expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")))
+      .select($"doc_id", ($"pos" + 1).as("i"),
+        (conv(substring(md5($"col"), 1, 10), 16, 10).cast("long") * P
+          + (lit(P) - 1 - ($"pos" + 1))).as("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 3)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val sel = pos.withColumn("wmin", min($"key").over(w))
+      .withColumn("np", count(lit(1)).over(n))
+      .filter($"i" <= greatest($"np" - 3, lit(1)))
+      .select($"doc_id", expr("wmin div 1048576L").as("fp")).distinct()
+    val byDoc = sel.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "a shared 12-token run must produce at least one shared fingerprint")
+    // density: for w=4 expected ~2/(w+1)=0.4 of positions selected
+    val counts = pos.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    byDoc.foreach { case (d, fps) =>
+      val density = fps.size.toDouble / counts(d)
+      assert(density > 0.15 && density < 0.75, s"doc $d density $density")
+    }
+  }
+
+  test("q205 count-min never underestimates and estimates equal exact for unique buckets") {
+    val rows = SparkEntry.queries("q205_countmin_audit")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact, s"$tok: count-min must never underestimate")
+      assert(over == est - exact)
+    }
+    // ranked by exact desc
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("q206 attribution conserves exactly 1e6 ppm per conversion under both models") {
+    // per event_type sums are registry output; conservation must hold
+    // over the total: sum(linear) == sum(position) == 1e6 * conversions
+    val rows = SparkEntry.queries("q206_multitouch_attribution")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val nConv = {
+      // conversions counted once per (user, conv) across rows — the
+      // registry groups by touch type, so recompute the distinct count
+      val e = graft.queries.QueryDef.eventsTable(spark, sf)
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ms"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ms".desc, $"event_id".desc)
+        .rowsBetween(Long.MinValue, -1)
+      e.withColumn("conv", min(when($"event_type" === "purchase",
+          $"ms" * 1048576L + $"event_id")).over(w))
+        .filter($"event_type".isin("click", "view") && $"conv".isNotNull &&
+          expr("conv div 1048576") - $"ms" <= 7L * 86400000L)
+        .select($"user_id", $"conv").distinct().count()
+    }
+    assert(rows.map(_._4).sum == 1000000L * nConv, "linear mass conserved")
+    assert(rows.map(_._5).sum == 1000000L * nConv, "position mass conserved")
+  }
+
+  test("q211 RA parity with an in-memory brute-force on the same graph") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".as[Long], $"l_partkey".as[Long]).distinct()
+      .collect()
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val support = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.values.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val edges = support.filter(_._2 >= 2).keySet
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      nbrs(a) = nbrs(a) + b; nbrs(b) = nbrs(b) + a
+    }
+    val deg = nbrs.view.mapValues(_.size).toMap
+    val scores = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    nbrs.keys.foreach { v =>
+      if (deg(v) <= 256) {
+        val ns = nbrs(v).toSeq.sorted
+        for (i <- ns.indices; j <- i + 1 until ns.length) {
+          val p = (ns(i), ns(j))
+          if (!edges.contains(p)) {
+            val (s0, c0) = scores.getOrElse(p, (0L, 0L))
+            scores(p) = (s0 + 1000000000L / deg(v), c0 + 1)
+          }
+        }
+      }
+    }
+    val expect = scores.toSeq
+      .sortBy { case ((u, w), (s, _)) => (-s, u, w) }.take(20)
+      .map { case ((u, w), (s, c)) => (u, w, s, c) }
+    val got = SparkEntry.queries("q211_link_prediction")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("q213 skyline: no returned supplier is dominated, and every dominator is returned") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy($"l_suppkey").agg(sum($"l_quantity".cast("long")).as("volume"))
+    val all = spark.read.parquet(s"$sf/supplier.parquet")
+      .join(li, $"s_suppkey" === $"l_suppkey")
+      .select($"s_name".as[String],
+        $"volume".as[Long],
+        ($"s_acctbal".cast("decimal(18,2)") * 100).cast("long").as[Long])
+      .collect()
+    val got = SparkEntry.queries("q213_pareto_suppliers")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    def dominated(p: (String, Long, Long)) = all.exists(q =>
+      (q._2 >= p._2 && q._3 >= p._3) && (q._2 > p._2 || q._3 > p._3))
+    got.foreach(p => assert(!dominated(p), s"$p is dominated"))
+    all.filterNot(dominated).foreach(p =>
+      assert(got.contains(p), s"frontier point $p missing"))
+  }
+
+  test("q212 merkle diff isolates exactly the corrupted key ranges") {
+    val rows = SparkEntry.queries("q212_merkle_diff")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val corrupted = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderkey" % 9973 === 0)
+      .select(($"o_orderkey".cast("long") / 1024).cast("long"))
+      .as[Long].collect().toSet
+    assert(rows.map(_._2).toSet == corrupted,
+      "diverging leaves must be exactly the leaves holding corrupted keys")
+    rows.foreach { case (parent, leaf, lo, hi, _) =>
+      assert(parent == leaf / 16 && lo == leaf * 1024 && hi == lo + 1023)
+    }
+  }
+}
