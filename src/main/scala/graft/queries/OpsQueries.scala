@@ -887,6 +887,273 @@ object OpsQueries {
         ON sup.volume = frontier.volume AND sup.bal_cents = frontier.ymax
       ORDER BY volume DESC, s_name"""))
 
+  /** q214 — CUSUM change-point detection (Page 1954) on the daily
+    * event-rate series: the sequential recursion `s_d = max(0,
+    * s_{d−1} + dev_d)` rewritten as `cum_d − min_{j≤d} cum_j` — a
+    * cumulative sum minus its running minimum, two window passes, no
+    * iteration. Deviations are scaled by the day count (`x_d·n −
+    * total`) so the reference mean is exact with zero division; the
+    * onset day rides the running min as an offset-packed
+    * `(cum+2⁴⁰)·4096 + day` BIGINT (min picks smallest cum, then
+    * earliest day). Complements q99's rate anomaly (pointwise) and
+    * q189's SPRT (hypothesis replay) with the classic sustained-
+    * shift detector. Per event type: the peak CUSUM, its day, and
+    * the shift onset. */
+  private val q214 = QueryDef(
+    "q214_cusum_shift",
+    (s, dir) => {
+      val daily = eventsTable(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wType = Window.partitionBy(col("event_type"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val big = 1099511627776L // 2^40 offset keeps packed cums positive
+      val cusum = daily
+        .withColumn("n_days", count(lit(1)).over(wType))
+        .withColumn("total", sum(col("x")).over(wType))
+        .withColumn("dn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        .withColumn("cum", sum(col("x") * col("n_days") - col("total"))
+          .over(wCum))
+        .withColumn("minpack", min(expr(s"(cum + $big) * 4096") + col("dn"))
+          .over(wCum))
+        .withColumn("runmin",
+          least(expr(s"minpack div 4096") - big, lit(0L)))
+        .withColumn("cusum", col("cum") - col("runmin"))
+        .withColumn("onset_dn",
+          when(expr(s"minpack div 4096") - big < 0,
+            (col("minpack") % 4096) + 1).otherwise(1L))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(col("cusum").desc, col("day"))
+      cusum.withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .join(cusum.select(col("event_type").as("et2"),
+          col("dn").as("dn2"), col("day").as("onset_day")),
+          col("event_type") === col("et2") && col("onset_dn") === col("dn2"))
+        .select(col("event_type"), col("n_days"),
+          col("cusum").as("max_cusum_scaled"),
+          col("day").as("peak_day"), col("onset_day"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT event_type, day, x,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+               SUM(x) OVER (PARTITION BY event_type) AS total,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS dn
+        FROM daily),
+      cu AS (
+        SELECT *,
+               SUM(x * n_days - total)
+                 OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM c),
+      mk AS (
+        SELECT *,
+               MIN((cum + 1099511627776) * 4096 + dn)
+                 OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS minpack
+        FROM cu),
+      cs AS (
+        SELECT *,
+               cum - least(minpack // 4096 - 1099511627776, 0) AS cusum,
+               CASE WHEN minpack // 4096 - 1099511627776 < 0
+                    THEN minpack % 4096 + 1 ELSE 1 END AS onset_dn
+        FROM mk),
+      pick AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY cusum DESC, day) AS rk
+        FROM cs)
+      SELECT p.event_type, CAST(p.n_days AS BIGINT) AS n_days,
+             CAST(p.cusum AS BIGINT) AS max_cusum_scaled,
+             p.day AS peak_day, o.day AS onset_day
+      FROM pick p JOIN cs o
+        ON p.event_type = o.event_type AND p.onset_dn = o.dn
+      WHERE p.rk = 1
+      ORDER BY p.event_type"""))
+
+  /** q215 — padding-waste batching audit: transformer training pads
+    * every sequence in a batch to the batch max, so batch composition
+    * decides how many FLOPs are spent on pad tokens. Both strategies
+    * — arrival order (md5 permutation) and length-sorted bucketing —
+    * batch 32 docs and account `Σ(batch_max − len)` exactly; the
+    * sorted variant is the standard fix and the audit prices it.
+    * Waste in exact ppm of padded mass; the global batch numbering
+    * comes from [[graft.operators.Ids.addContiguousIds]] (range-
+    * partitioned zipWithIndex — same semantics as a global
+    * row_number, without the single-partition window). */
+  private val q215 = QueryDef(
+    "q215_padding_waste",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text"))
+          .cast(LongType).as("len"),
+          md5(col("doc_id").cast(StringType)).as("mk"))
+      def audit(name: String, ord: Seq[org.apache.spark.sql.Column]) = {
+        val batched = graft.operators.Ids
+          .addContiguousIds(docs, ord, "rk")
+          .withColumn("batch", expr("(rk - 1) div 32"))
+        batched.groupBy(col("batch"))
+          .agg(count(lit(1)).as("bn"), max(col("len")).as("bmax"),
+            sum(col("len")).as("btok"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("btok")).as("real_tokens"),
+            sum(col("bmax") * col("bn")).as("padded_tokens"))
+          .select(lit(name).as("strategy"), col("n_batches"),
+            col("real_tokens"), col("padded_tokens"),
+            expr("((padded_tokens - real_tokens) * 1000000L)" +
+              " div padded_tokens").as("waste_ppm"))
+      }
+      audit("arrival", Seq(col("mk"), col("doc_id")))
+        .unionAll(audit("sorted", Seq(col("len"), col("doc_id"))))
+        .orderBy(col("strategy"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS len,
+               md5(CAST(doc_id AS VARCHAR)) AS mk
+        FROM documents),
+      arrival AS (
+        SELECT len, (ROW_NUMBER() OVER (ORDER BY mk, doc_id) - 1) // 32
+                 AS batch
+        FROM docs),
+      sorted_ AS (
+        SELECT len, (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // 32
+                 AS batch
+        FROM docs),
+      a AS (
+        SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
+               SUM(btok) AS real_tokens, SUM(bmax * bn) AS padded_tokens
+        FROM (SELECT batch, COUNT(*) AS bn, MAX(len) AS bmax,
+                     SUM(len) AS btok
+              FROM arrival GROUP BY 1)),
+      b AS (
+        SELECT 'sorted' AS strategy, COUNT(*) AS n_batches,
+               SUM(btok) AS real_tokens, SUM(bmax * bn) AS padded_tokens
+        FROM (SELECT batch, COUNT(*) AS bn, MAX(len) AS bmax,
+                     SUM(len) AS btok
+              FROM sorted_ GROUP BY 1))
+      SELECT strategy, CAST(n_batches AS BIGINT) AS n_batches,
+             CAST(real_tokens AS BIGINT) AS real_tokens,
+             CAST(padded_tokens AS BIGINT) AS padded_tokens,
+             CAST(((padded_tokens - real_tokens) * 1000000)
+               // padded_tokens AS BIGINT) AS waste_ppm
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      ORDER BY strategy"""))
+
+  /** q216 — corpus release diff card: the one-row delta report
+    * between two dataset versions (deterministic even/odd doc_id
+    * halves stand in for v1/v2), pairing q200's dataset card with
+    * the release-over-release question: how much vocabulary is
+    * novel, how far did the source and language mixtures drift
+    * (exact L1 distance in ppm), how did mean length move. Vocab
+    * novelty is a distinct-level anti-join (first-occurrence
+    * attribution, q174's discipline — never a per-row set diff);
+    * mixture L1 folds over the tiny (dimension × version) frame. */
+  private val q216 = QueryDef(
+    "q216_release_diff",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("v", (col("doc_id") % 2 === 0).cast(LongType))
+      val toks = d.select(col("v"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(max(when(col("v") === 1, 1L).otherwise(0L)).as("in_v1"),
+          max(when(col("v") === 0, 1L).otherwise(0L)).as("in_v2"))
+      val vocabStats = broadcast(vocab.agg(
+        sum(col("in_v1")).as("vocab_v1"), sum(col("in_v2")).as("vocab_v2"),
+        sum(col("in_v2") * (lit(1L) - col("in_v1"))).as("novel_v2")))
+      // L1 over shares needs the totals inside the fold: compute as
+      // Σ|n1·T2 − n2·T1| ppm-scaled by 2·T1·T2 (exact, no per-cell division)
+      def l1dist(dim: String) = {
+        val cells = d.groupBy(col(dim))
+          .agg(sum(col("v")).as("n1"), sum(lit(1L) - col("v")).as("n2"))
+        val tot = cells.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+        broadcast(cells.crossJoin(broadcast(tot))
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            sum(abs(col("n1") * col("t2") - col("n2") * col("t1")))
+              .as("num"))
+          .select(expr("(num * 1000000L) div (2L * t1 * t2)")))
+      }
+      val lens = d.select(col("v"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("len"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n"), sum(col("len")).as("tl"))
+      val lenStats = broadcast(lens.agg(
+        sum(when(col("v") === 1, col("n"))).as("docs_v1"),
+        sum(when(col("v") === 0, col("n"))).as("docs_v2"),
+        max(when(col("v") === 1, expr("(tl * 1000L) div n"))).as("mlen_v1_e3"),
+        max(when(col("v") === 0, expr("(tl * 1000L) div n"))).as("mlen_v2_e3")))
+      lenStats.crossJoin(vocabStats)
+        .crossJoin(l1dist("source").toDF("source_l1_ppm"))
+        .crossJoin(l1dist("lang").toDF("lang_l1_ppm"))
+        .select(col("docs_v1"), col("docs_v2"),
+          col("mlen_v1_e3"), col("mlen_v2_e3"),
+          col("vocab_v1"), col("vocab_v2"),
+          expr("(novel_v2 * 1000000L) div vocab_v2").as("novel_vocab_ppm"),
+          col("source_l1_ppm"), col("lang_l1_ppm"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, lang, text,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS v
+        FROM documents),
+      toks AS (
+        SELECT v, unnest($toksSql) AS tok FROM d),
+      vocab AS (
+        SELECT tok, MAX(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS in_v1,
+               MAX(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS in_v2
+        FROM toks GROUP BY 1),
+      vs AS (
+        SELECT SUM(in_v1) AS vocab_v1, SUM(in_v2) AS vocab_v2,
+               SUM(in_v2 * (1 - in_v1)) AS novel_v2
+        FROM vocab),
+      src AS (
+        SELECT SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n2
+        FROM d GROUP BY source),
+      srcl1 AS (
+        SELECT (SUM(ABS(n1 * (SELECT SUM(n2) FROM src)
+                      - n2 * (SELECT SUM(n1) FROM src))) * 1000000)
+               // (2 * (SELECT SUM(n1) FROM src) * (SELECT SUM(n2) FROM src))
+                 AS source_l1_ppm
+        FROM src),
+      lng AS (
+        SELECT SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n2
+        FROM d GROUP BY lang),
+      lngl1 AS (
+        SELECT (SUM(ABS(n1 * (SELECT SUM(n2) FROM lng)
+                      - n2 * (SELECT SUM(n1) FROM lng))) * 1000000)
+               // (2 * (SELECT SUM(n1) FROM lng) * (SELECT SUM(n2) FROM lng))
+                 AS lang_l1_ppm
+        FROM lng),
+      lens AS (
+        SELECT v, COUNT(*) AS n, SUM(len($toksSql)) AS tl FROM d GROUP BY 1),
+      ls AS (
+        SELECT SUM(CASE WHEN v = 1 THEN n END) AS docs_v1,
+               SUM(CASE WHEN v = 0 THEN n END) AS docs_v2,
+               MAX(CASE WHEN v = 1 THEN (tl * 1000) // n END) AS mlen_v1_e3,
+               MAX(CASE WHEN v = 0 THEN (tl * 1000) // n END) AS mlen_v2_e3
+        FROM lens)
+      SELECT CAST(docs_v1 AS BIGINT) AS docs_v1,
+             CAST(docs_v2 AS BIGINT) AS docs_v2,
+             CAST(mlen_v1_e3 AS BIGINT) AS mlen_v1_e3,
+             CAST(mlen_v2_e3 AS BIGINT) AS mlen_v2_e3,
+             CAST(vocab_v1 AS BIGINT) AS vocab_v1,
+             CAST(vocab_v2 AS BIGINT) AS vocab_v2,
+             CAST((novel_v2 * 1000000) // vocab_v2 AS BIGINT)
+               AS novel_vocab_ppm,
+             CAST(source_l1_ppm AS BIGINT) AS source_l1_ppm,
+             CAST(lang_l1_ppm AS BIGINT) AS lang_l1_ppm
+      FROM ls CROSS JOIN vs CROSS JOIN srcl1 CROSS JOIN lngl1"""))
+
   val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }
