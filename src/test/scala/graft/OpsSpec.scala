@@ -168,6 +168,53 @@ class OpsSpec extends SparkSpec {
       assert(got.contains(p), s"frontier point $p missing"))
   }
 
+  test("q214 CUSUM equals the sequential max(0, s+dev) recursion") {
+    val daily = graft.queries.QueryDef.eventsTable(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    val expect = daily.map { case (et, days) =>
+      val n = days.length.toLong
+      val total = days.map(_._3).sum
+      var s = 0L
+      var best = 0L
+      var bestDay = days.head._2
+      days.foreach { case (_, d, x) =>
+        s = math.max(0L, s + (x * n - total))
+        if (s > best) { best = s; bestDay = d }
+      }
+      et -> (best, bestDay)
+    }
+    val got = SparkEntry.queries("q214_cusum_shift")(spark, sf)
+      .as[(String, Long, Long, java.sql.Date, java.sql.Date)].collect()
+    got.foreach { case (et, _, maxC, peak, onset) =>
+      assert((maxC, peak) == expect(et), s"$et cusum/peak mismatch")
+      assert(!onset.after(peak), s"$et onset must not follow the peak")
+    }
+    assert(got.map(_._1).toSet == expect.keySet)
+  }
+
+  test("q215 length-sorted batching never wastes more than arrival order") {
+    val rows = SparkEntry.queries("q215_padding_waste")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (arr, srt) = (rows("arrival"), rows("sorted"))
+    assert(arr._3 == srt._3, "real token mass is strategy-invariant")
+    assert(srt._4 <= arr._4, "sorted padded mass must not exceed arrival")
+    assert(srt._5 <= arr._5, "sorted waste ppm must not exceed arrival")
+    assert(arr._2 == srt._2, "batch count is strategy-invariant")
+  }
+
+  test("q216 release diff card: masses partition and ppm fields bounded") {
+    val Array(r) = SparkEntry.queries("q216_release_diff")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r._1 + r._2 == total, "v1+v2 docs partition the corpus")
+    Seq(r._7, r._8, r._9).foreach(p => assert(p >= 0 && p <= 1000000L))
+    assert(r._5 > 0 && r._6 > 0)
+  }
+
   test("q212 merkle diff isolates exactly the corrupted key ranges") {
     val rows = SparkEntry.queries("q212_merkle_diff")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
