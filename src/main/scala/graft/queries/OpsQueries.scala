@@ -1154,6 +1154,222 @@ object OpsQueries {
              CAST(lang_l1_ppm AS BIGINT) AS lang_l1_ppm
       FROM ls CROSS JOIN vs CROSS JOIN srcl1 CROSS JOIN lngl1"""))
 
+  /** q217 — multi-window SLO burn-rate alerting (the SRE workbook
+    * policy): the error-rate of the event stream against a
+    * 250,000 ppm error budget, evaluated over a 1-hour and a trailing
+    * 6-hour window simultaneously — paging only when BOTH exceed 1.2×
+    * budget, which filters blips (short window alone) and stale
+    * incidents (long window alone). The 6-hour window is a RANGE
+    * frame over the hourly collapse keyed by epoch-hour — gap-proof
+    * where a ROWS frame would silently span missing hours. Exact
+    * integer ppm throughout; one shuffle to the hourly collapse. */
+  private val q217 = QueryDef(
+    "q217_slo_burn",
+    (s, dir) => {
+      val hourly = eventsTable(s, dir)
+        .groupBy(expr("unix_millis(ts) div 3600000").as("hr"))
+        .agg(count(lit(1)).as("total"),
+          sum((col("event_type") === "error").cast(LongType)).as("errors"))
+      val w6 = Window.orderBy(col("hr")).rangeBetween(-5, 0)
+      hourly
+        .withColumn("t6", sum(col("total")).over(w6))
+        .withColumn("e6", sum(col("errors")).over(w6))
+        .select(col("hr"), col("total"), col("errors"),
+          expr("(errors * 1000000L) div total").as("rate1h_ppm"),
+          expr("(e6 * 1000000L) div t6").as("rate6h_ppm"))
+        .filter(col("rate1h_ppm") > 300000L && col("rate6h_ppm") > 300000L)
+        .select((col("hr") * 3600000L).as("hour_start_ms"),
+          col("total"), col("errors"), col("rate1h_ppm"), col("rate6h_ppm"))
+        .orderBy(col("hour_start_ms"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hr,
+               COUNT(*) AS total,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS errors
+        FROM events GROUP BY 1),
+      win AS (
+        SELECT hr, total, errors,
+               SUM(total) OVER (ORDER BY hr
+                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS t6,
+               SUM(errors) OVER (ORDER BY hr
+                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6
+        FROM hourly)
+      SELECT hr * 3600000 AS hour_start_ms,
+             CAST(total AS BIGINT) AS total,
+             CAST(errors AS BIGINT) AS errors,
+             CAST((errors * 1000000) // total AS BIGINT) AS rate1h_ppm,
+             CAST((e6 * 1000000) // t6 AS BIGINT) AS rate6h_ppm
+      FROM win
+      WHERE (errors * 1000000) // total > 300000
+        AND (e6 * 1000000) // t6 > 300000
+      ORDER BY hour_start_ms"""))
+
+  /** q218 — Roaring-bitmap container census (Chambi et al. 2016):
+    * per event type, the distinct-user posting set chunked into
+    * 4,096-id containers, each priced under Roaring's three
+    * encodings — sorted array (2 B/id), fixed bitmap (1,024 B for
+    * the 4,096-id chunk), run-length (4 B/run, runs counted exactly
+    * via a lag-within-container pass) — and assigned its cheapest.
+    * The census (containers per encoding, bytes vs 8 B/id raw) is
+    * the sizing input for bitmap secondary indexes over a 100 TB
+    * fact's position space. Ties break array < bitmap < run. */
+  private val q218 = QueryDef(
+    "q218_roaring_census",
+    (s, dir) => {
+      val posts = eventsTable(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("container", expr("user_id div 4096"))
+      val wc = Window.partitionBy(col("event_type"), col("container"))
+        .orderBy(col("user_id"))
+      val runs = posts
+        .withColumn("prev", lag(col("user_id"), 1).over(wc))
+        .withColumn("run_start",
+          (col("prev").isNull || col("prev") =!= col("user_id") - 1)
+            .cast(LongType))
+      val conts = runs.groupBy(col("event_type"), col("container"))
+        .agg(count(lit(1)).as("n_set"), sum(col("run_start")).as("n_runs"))
+        .withColumn("array_b", col("n_set") * 2)
+        .withColumn("bitmap_b", lit(1024L))
+        .withColumn("run_b", col("n_runs") * 4)
+        .withColumn("enc",
+          when(col("array_b") <= col("bitmap_b") &&
+            col("array_b") <= col("run_b"), "array")
+            .when(col("bitmap_b") <= col("run_b"), "bitmap")
+            .otherwise("run"))
+        .withColumn("bytes", least(col("array_b"), col("bitmap_b"),
+          col("run_b")))
+      conts.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_containers"),
+          sum(col("n_set")).as("n_ids"),
+          sum((col("enc") === "array").cast(LongType)).as("n_array"),
+          sum((col("enc") === "bitmap").cast(LongType)).as("n_bitmap"),
+          sum((col("enc") === "run").cast(LongType)).as("n_run"),
+          sum(col("bytes")).as("bytes"))
+        .withColumn("vs_raw_ppm", expr("(bytes * 1000000L) div (n_ids * 8)"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH posts AS (
+        SELECT DISTINCT event_type, user_id, user_id // 4096 AS container
+        FROM events),
+      runs AS (
+        SELECT event_type, container, user_id,
+               CASE WHEN LAG(user_id) OVER (PARTITION BY event_type, container
+                                            ORDER BY user_id) IS NULL
+                      OR LAG(user_id) OVER (PARTITION BY event_type, container
+                                            ORDER BY user_id) <> user_id - 1
+                    THEN 1 ELSE 0 END AS run_start
+        FROM posts),
+      conts AS (
+        SELECT event_type, container, COUNT(*) AS n_set,
+               SUM(run_start) AS n_runs,
+               COUNT(*) * 2 AS array_b, 1024 AS bitmap_b,
+               SUM(run_start) * 4 AS run_b
+        FROM runs GROUP BY 1, 2),
+      enc AS (
+        SELECT *,
+               CASE WHEN array_b <= bitmap_b AND array_b <= run_b
+                      THEN 'array'
+                    WHEN bitmap_b <= run_b THEN 'bitmap'
+                    ELSE 'run' END AS enc,
+               least(array_b, bitmap_b, run_b) AS bytes
+        FROM conts)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_containers,
+             CAST(SUM(n_set) AS BIGINT) AS n_ids,
+             CAST(SUM(CASE WHEN enc = 'array' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_array,
+             CAST(SUM(CASE WHEN enc = 'bitmap' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bitmap,
+             CAST(SUM(CASE WHEN enc = 'run' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_run,
+             CAST(SUM(bytes) AS BIGINT) AS bytes,
+             CAST((SUM(bytes) * 1000000) // (SUM(n_set) * 8) AS BIGINT)
+               AS vs_raw_ppm
+      FROM enc GROUP BY event_type ORDER BY event_type"""))
+
+  /** q219 — delta-encoding (frame-of-reference) effectiveness audit:
+    * the surrogate-key column priced under Parquet-style block delta
+    * encoding in TWO physical layouts — key-sorted vs arrival order
+    * (md5 permutation) — with contiguous ranks from
+    * `Ids.addContiguousIds` (never a single-partition window),
+    * 128-key blocks, per-block max |Δ| → zigzag bit width
+    * (`length(bin(Δ)) + 1`), block cost = 8 B reference + packed
+    * deltas. Sorted keys pack into ~2-bit deltas; the md5 layout
+    * needs full-width deltas — the audit prices exactly what sort
+    * order buys storage (q156's Z-order audit priced read skipping).
+    * All integers, two aggregates over each ranked collapse. */
+  private val q219 = QueryDef(
+    "q219_delta_encoding",
+    (s, dir) => {
+      def audit(name: String, ord: org.apache.spark.sql.Column) = {
+        val keys = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            md5(col("o_orderkey").cast(StringType)).as("mk"))
+        val ranked = graft.operators.Ids
+          .addContiguousIds(keys, Seq(ord, col("o_orderkey")), "rk")
+          .withColumn("block", expr("(rk - 1) div 128"))
+        val wb = Window.partitionBy(col("block")).orderBy(col("rk"))
+        val deltas = ranked
+          .withColumn("delta", abs(col("o_orderkey") -
+            lag(col("o_orderkey"), 1).over(wb)))
+        val blocks = deltas.groupBy(col("block"))
+          .agg(count(lit(1)).as("n_keys"),
+            max(coalesce(col("delta"), lit(0L))).as("max_delta"))
+          .withColumn("bits",
+            when(col("max_delta") === 0, 0L)
+              // +1: zigzag sign bit — arrival-order deltas go negative
+              .otherwise(length(bin(col("max_delta"))).cast(LongType) + 1))
+          .withColumn("bytes",
+            lit(8L) + expr("((n_keys - 1) * bits + 7) div 8"))
+        blocks.agg(count(lit(1)).as("n_blocks"),
+            sum(col("n_keys")).as("n_keys"),
+            max(col("bits")).as("max_bits"), sum(col("bytes")).as("bytes"))
+          .select(lit(name).as("layout"), col("n_blocks"), col("n_keys"),
+            col("max_bits"), col("bytes"),
+            expr("(bytes * 1000000L) div (n_keys * 8)").as("vs_raw_ppm"))
+      }
+      audit("arrival", col("mk")).unionAll(audit("sorted", col("o_orderkey")))
+        .orderBy(col("layout"))
+    },
+    Some("""
+      WITH arrival AS (
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                           o_orderkey) AS rk
+        FROM orders),
+      sorted_ AS (
+        SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rk
+        FROM orders),
+      priced AS (
+        SELECT layout, block, n_keys,
+               CASE WHEN max_delta = 0 THEN 0
+                    ELSE length(printf('%b', max_delta)) + 1 END AS bits
+        FROM (
+          SELECT layout, block, COUNT(*) AS n_keys,
+                 MAX(COALESCE(delta, 0)) AS max_delta
+          FROM (
+            SELECT 'arrival' AS layout, (rk - 1) // 128 AS block,
+                   ABS(o_orderkey - LAG(o_orderkey)
+                     OVER (PARTITION BY (rk - 1) // 128 ORDER BY rk))
+                     AS delta
+            FROM arrival
+            UNION ALL
+            SELECT 'sorted', (rk - 1) // 128,
+                   ABS(o_orderkey - LAG(o_orderkey)
+                     OVER (PARTITION BY (rk - 1) // 128 ORDER BY rk))
+            FROM sorted_)
+          GROUP BY 1, 2))
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+             CAST(MAX(bits) AS BIGINT) AS max_bits,
+             CAST(SUM(8 + ((n_keys - 1) * bits + 7) // 8) AS BIGINT)
+               AS bytes,
+             CAST((SUM(8 + ((n_keys - 1) * bits + 7) // 8) * 1000000)
+               // (SUM(n_keys) * 8) AS BIGINT) AS vs_raw_ppm
+      FROM priced GROUP BY layout ORDER BY layout"""))
+
   val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
 }
