@@ -215,6 +215,38 @@ class OpsSpec extends SparkSpec {
     assert(r._5 > 0 && r._6 > 0)
   }
 
+  test("q217 SLO alerts require BOTH windows above threshold and 6h covers 1h") {
+    val rows = SparkEntry.queries("q217_slo_burn")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (_, total, errors, r1, r6) =>
+      assert(r1 > 300000L && r6 > 300000L)
+      assert(r1 == errors * 1000000L / total)
+    }
+    assert(rows.map(_._1) sameElements rows.map(_._1).sorted)
+  }
+
+  test("q218 roaring: every container priced at its cheapest encoding") {
+    val rows = SparkEntry.queries("q218_roaring_census")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nc, nids, na, nb, nr, bytes, vsRaw) =>
+      assert(na + nb + nr == nc, "encodings partition the containers")
+      assert(bytes <= nids * 2,
+        "cheapest-of-three can never beat-lose to the pure array pricing")
+      assert(vsRaw == bytes * 1000000L / (nids * 8))
+    }
+  }
+
+  test("q219 sorted layout never stores more than arrival layout") {
+    val rows = SparkEntry.queries("q219_delta_encoding")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (arr, srt) = (rows("arrival"), rows("sorted"))
+    assert(arr._3 == srt._3, "key mass is layout-invariant")
+    assert(srt._5 <= arr._5, "sorted bytes must not exceed arrival bytes")
+    assert(srt._4 <= arr._4, "sorted max bit width must not exceed arrival")
+  }
+
   test("q212 merkle diff isolates exactly the corrupted key ranges") {
     val rows = SparkEntry.queries("q212_merkle_diff")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
