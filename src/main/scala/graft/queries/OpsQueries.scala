@@ -200,12 +200,14 @@ object OpsQueries {
       val wWin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
         .rowsBetween(Window.currentRow, 3)
       val nWin = Window.partitionBy(col("doc_id"))
-      val sel = pos
+      // the fingerprint set feeds three consumers (sizes + both sides
+      // of the pair self-join) — materialize the window pass once
+      val sel = graft.operators.Checkpoints.truncate(pos
         .withColumn("wmin", min(col("key")).over(wWin))
         .withColumn("np", count(lit(1)).over(nWin))
         .filter(col("i") <= greatest(col("np") - 3, lit(1)))
         .select(col("doc_id"), expr("wmin div 1048576L").as("fp"))
-        .distinct()
+        .distinct())
       val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
       val shared = sel.as("x").join(sel.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -718,13 +720,16 @@ object OpsQueries {
     (s, dir) => {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("a"), col("b"))
+      // the edge table feeds three consumers (degrees, adjacency, the
+      // final anti-join) — materialize the basket self-join once
+      val edges = graft.operators.Checkpoints.truncate(
+        li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("a"), col("b")))
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
