@@ -343,9 +343,12 @@ object ProfilingQueries {
   private val q195 = QueryDef(
     "q195_basket_pairs",
     (s, dir) => {
-      val items = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-        .distinct()
+      // the basket table feeds three consumers (support + both sides
+      // of the pair self-join) — materialize the distinct once
+      val items = graft.operators.Checkpoints.truncate(
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+          .distinct())
       val nOrders = table(s, dir, "orders").agg(count(lit(1)).as("n"))
       val supp = items.groupBy(col("part")).agg(count(lit(1)).as("s"))
       val pairs = items.select(col("ok"), col("part").as("pa"))

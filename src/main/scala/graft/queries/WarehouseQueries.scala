@@ -184,13 +184,16 @@ object WarehouseQueries {
     "q183_item_similarity",
     (s, dir) => {
       import org.apache.spark.sql.types.StringType
-      val edges = table(s, dir, "orders")
-        .join(table(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-        .filter(conv(substring(md5(col("c").cast(StringType)), 1, 15), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType) % 100 < 20)
+      // the sampled edge table feeds three consumers (sizes + both
+      // sides of the pair self-join) — materialize the join+distinct once
+      val edges = graft.operators.Checkpoints.truncate(
+        table(s, dir, "orders")
+          .join(table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+          .filter(conv(substring(md5(col("c").cast(StringType)), 1, 15), 16, 10)
+            .cast(org.apache.spark.sql.types.LongType) % 100 < 20))
       val sizes = edges.groupBy(col("sp")).agg(count(lit(1)).as("n"))
       val a = edges.select(col("c"), col("sp").as("sa"))
       val b = edges.select(col("c"), col("sp").as("sb"))
