@@ -1375,6 +1375,78 @@ object OpsQueries {
                // (SUM(n_keys) * 8) AS BIGINT) AS vs_raw_ppm
       FROM priced GROUP BY layout ORDER BY layout"""))
 
+  /** q220 — dictionary-encoding storage audit (the RLE_DICTIONARY
+    * face of the q218/q219 encoding trilogy): each low-cardinality
+    * lineitem column priced as dictionary pages (Σ value lengths of
+    * the distinct set) plus bit-packed indices (⌈log₂ ndv⌉ bits per
+    * row — `length(bin(ndv−1))`), against plain encoding (4 B length
+    * prefix + bytes per value). The compression ratio is WHY columnar
+    * engines dictionary-encode flags and enums by default, and the
+    * ndv-vs-rows frame is exactly what a writer consults when it
+    * decides a column's encoding at flush time. One aggregate per
+    * column over the distinct collapse; all integers. */
+  private val q220 = QueryDef(
+    "q220_dictionary_audit",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def audit(c: String) = {
+        val vals = li.select(col(c).cast(StringType).as("v"))
+        val dict = vals.groupBy(col("v")).agg(count(lit(1)).as("n"))
+        dict.agg(count(lit(1)).as("ndv"), sum(col("n")).as("n_rows"),
+            sum(length(col("v")) * col("n")).as("plain_val_bytes"),
+            sum(length(col("v"))).as("dict_bytes"))
+          .select(lit(c).as("column"), col("ndv"), col("n_rows"),
+            (col("plain_val_bytes") + col("n_rows") * 4).as("plain_bytes"),
+            col("dict_bytes"),
+            when(col("ndv") === 1, lit(0L))
+              .otherwise(length(bin(col("ndv") - 1)).cast(LongType))
+              .as("index_bits"))
+          .withColumn("dict_total_bytes",
+            col("dict_bytes") + expr("(n_rows * index_bits + 7) div 8"))
+          .withColumn("vs_plain_ppm",
+            expr("(dict_total_bytes * 1000000L) div plain_bytes"))
+          .select(col("column"), col("ndv"), col("n_rows"),
+            col("plain_bytes"), col("index_bits"), col("dict_total_bytes"),
+            col("vs_plain_ppm"))
+      }
+      audit("l_returnflag").unionAll(audit("l_linestatus"))
+        .unionAll(audit("l_linenumber"))
+        .orderBy(col("column"))
+    },
+    Some("""
+      WITH cols AS (
+        SELECT 'l_returnflag' AS col_, CAST(l_returnflag AS VARCHAR) AS v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem),
+      dict AS (
+        SELECT col_, v, COUNT(*) AS n FROM cols GROUP BY 1, 2),
+      agg AS (
+        SELECT col_, COUNT(*) AS ndv, SUM(n) AS n_rows,
+               SUM(length(v) * n) + SUM(n) * 4 AS plain_bytes,
+               SUM(length(v)) AS dict_bytes
+        FROM dict GROUP BY 1),
+      priced AS (
+        SELECT col_, ndv, n_rows, plain_bytes,
+               CASE WHEN ndv = 1 THEN 0
+                    ELSE length(printf('%b', ndv - 1)) END AS index_bits,
+               dict_bytes + (n_rows *
+                 CASE WHEN ndv = 1 THEN 0
+                      ELSE length(printf('%b', ndv - 1)) END + 7) // 8
+                 AS dict_total_bytes
+        FROM agg)
+      SELECT col_ AS "column", CAST(ndv AS BIGINT) AS ndv,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(plain_bytes AS BIGINT) AS plain_bytes,
+             CAST(index_bits AS BIGINT) AS index_bits,
+             CAST(dict_total_bytes AS BIGINT) AS dict_total_bytes,
+             CAST((dict_total_bytes * 1000000) // plain_bytes AS BIGINT)
+               AS vs_plain_ppm
+      FROM priced ORDER BY "column""""))
+
   val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219,
+    q220)
 }
