@@ -357,12 +357,16 @@ object TextAnalysis {
       transform(sequence(lit(1), size(col("t")) - 1), i =>
         concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val feats = toks
+    // the hashed-feature frame feeds FOUR consumers (per-doc counts,
+    // raw and target bucket tables, the corpus totals) — materialize
+    // the explode+hash once instead of replaying it per consumer
+    val feats = Checkpoints.truncate(toks
       .select(col(idCol), col("is_t"),
         explode(concat(col("t"), bigrams)).as("f"))
       .withColumn("b",
         conv(substring(md5(col("f")), 1, 15), 16, 10).cast(LongType)
           % buckets)
+      .select(col(idCol), col("is_t"), col("b")))
     val perDoc = feats.groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("n"))
     val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
