@@ -101,7 +101,10 @@ object ProfilingQueries {
       // posting lists explode quadratically — cap before pairing
       val keep = dedupH.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20).select(col("h"))
-      val capped = dedupH.join(keep, Seq("h"), "left_semi")
+      // both pair sides read the capped postings — materialize the
+      // semi-join once on top of the already-truncated hash frame
+      val capped = Checkpoints.truncate(
+        dedupH.join(keep, Seq("h"), "left_semi"))
       val top = capped.select(col("doc_id").as("id_a"), col("h"))
         .join(capped.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
         .filter(col("id_a") < col("id_b"))
