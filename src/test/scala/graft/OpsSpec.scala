@@ -247,6 +247,57 @@ class OpsSpec extends SparkSpec {
     assert(srt._4 <= arr._4, "sorted max bit width must not exceed arrival")
   }
 
+  test("q207 stratified quotas are exact floors and ppm fields bounded") {
+    val rows = SparkEntry.queries("q207_stratified_sample")(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, quota, before, after) =>
+      assert(quota == n * 200000L / 1000000L, "quota is the exact floor")
+      assert(before >= 0 && before <= 1000000L)
+      after.foreach(a => assert(a >= 0 && a <= 1000000L))
+      assert(quota > 0 == after.isDefined)
+    }
+  }
+
+  test("q208 shards partition the corpus and expectation matches source masses") {
+    val rows = SparkEntry.queries("q208_shuffle_audit")(spark, sf)
+      .as[(Long, Long, Option[Long], Long)].collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == total, "shards partition the corpus")
+    val masses = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source").count().as[(String, Long)].collect().map(_._2)
+    val expected = masses.map(n => n * n).sum * 1000000L / (total * total)
+    assert(rows.map(_._4).distinct.toSeq == Seq(expected))
+  }
+
+  test("q210 compaction plan: bins never exceed files, fill bounded") {
+    val rows = SparkEntry.queries("q210_compaction_plan")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nFiles, total, target, nBins, saved, fill, _) =>
+      assert(nBins <= 5, "quarter-target packing plans at most 5 bins")
+      assert(saved == nFiles - nBins)
+      assert(target == math.max(total / 4, 1L))
+      assert(nBins >= 1 && fill > 0 && fill <= 1400000L,
+        s"fill ppm $fill out of the floor-division band")
+    }
+  }
+
+  test("q220 dictionary wins on low-cardinality columns with exact bit widths") {
+    val rows = SparkEntry.queries("q220_dictionary_audit")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("l_linenumber", "l_linestatus", "l_returnflag"))
+    rows.foreach { case (_, ndv, _, plain, bits, dictB, vsPlain) =>
+      val expectBits =
+        if (ndv == 1) 0L
+        else 64 - java.lang.Long.numberOfLeadingZeros(ndv - 1)
+      assert(bits == expectBits, "index width is length(bin(ndv-1))")
+      assert(dictB < plain && vsPlain < 1000000L,
+        "dictionary must beat plain on these enum-like columns")
+    }
+  }
+
   test("q212 merkle diff isolates exactly the corrupted key ranges") {
     val rows = SparkEntry.queries("q212_merkle_diff")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
