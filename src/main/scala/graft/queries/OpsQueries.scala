@@ -1446,7 +1446,202 @@ object OpsQueries {
                AS vs_plain_ppm
       FROM priced ORDER BY "column""""))
 
+  /** q221 — dedup mixture-cost report: what exact deduplication costs
+    * each source's share of the corpus — per source, docs and tokens
+    * before vs after md5-fingerprint dedup (keep = min doc_id per
+    * fingerprint, the q30 policy) with removal ppm. Dedup never
+    * removes uniformly: template-heavy sources lose disproportionate
+    * mass and the post-dedup mixture DRIFTS from the one the data
+    * card promised (q200/q216) — this is the report that catches it.
+    * One fingerprint shuffle; survivors rejoin stats by doc_id. */
+  private val q221 = QueryDef(
+    "q221_dedup_mixture_cost",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("len"),
+          md5(col("text")).as("fp"))
+      val keep = d.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val flagged = d.join(keep.withColumn("kept", lit(1L)),
+          Seq("doc_id"), "left")
+        .withColumn("kept", coalesce(col("kept"), lit(0L)))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_before"),
+          sum(col("kept")).as("docs_after"),
+          sum(col("len")).as("tokens_before"),
+          sum(col("len") * col("kept")).as("tokens_after"))
+        .select(col("source"), col("docs_before"), col("docs_after"),
+          col("tokens_before"), col("tokens_after"),
+          expr("((docs_before - docs_after) * 1000000L) div docs_before")
+            .as("docs_removed_ppm"),
+          expr("((tokens_before - tokens_after) * 1000000L)" +
+            " div tokens_before").as("tokens_removed_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS len,
+               md5(text) AS fp
+        FROM documents),
+      keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM d GROUP BY fp),
+      flagged AS (
+        SELECT d.source, d.len,
+               CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+        FROM d LEFT JOIN keep k ON d.doc_id = k.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_before,
+             CAST(SUM(kept) AS BIGINT) AS docs_after,
+             CAST(SUM(len) AS BIGINT) AS tokens_before,
+             CAST(SUM(len * kept) AS BIGINT) AS tokens_after,
+             CAST(((COUNT(*) - SUM(kept)) * 1000000) // COUNT(*) AS BIGINT)
+               AS docs_removed_ppm,
+             CAST(((SUM(len) - SUM(len * kept)) * 1000000) // SUM(len)
+               AS BIGINT) AS tokens_removed_ppm
+      FROM flagged GROUP BY source ORDER BY source"""))
+
+  /** q222 — join-cardinality estimation audit (the CBO's homework,
+    * shown): for the three fact-dimension joins of the schema, the
+    * uniform-ndv estimate every cost model starts from
+    * (|A|·|B| div max(ndv_a, ndv_b)), the exact histogram product
+    * (Σ cntₐ(k)·cnt_b(k) — what a perfect per-key histogram would
+    * predict), and the TRUE join size, plus max key multiplicity —
+    * the skew number that decides broadcast vs shuffle vs salting
+    * (q166's planning input, derived rather than assumed). The
+    * histogram product equals the true size for equi-joins, making
+    * the uniform estimate's error measurable in ppm. Per-key count
+    * tables are one aggregate each; everything downstream is a
+    * bounded fold. */
+  private val q222 = QueryDef(
+    "q222_join_estimate_audit",
+    (s, dir) => {
+      def audit(name: String, a: org.apache.spark.sql.DataFrame,
+                ka: String, b: org.apache.spark.sql.DataFrame, kb: String) = {
+        val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("na"))
+        val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("nb"))
+        val sa = ca.agg(sum(col("na")).as("ra"), count(lit(1)).as("da"),
+          max(col("na")).as("ma"))
+        val sb = cb.agg(sum(col("nb")).as("rb"), count(lit(1)).as("db"),
+          max(col("nb")).as("mb"))
+        val hist = ca.join(cb, Seq("k"))
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact"))
+        broadcast(sa).crossJoin(broadcast(sb))
+          .crossJoin(broadcast(hist))
+          .select(lit(name).as("join"),
+            col("ra"), col("rb"),
+            greatest(col("da"), col("db")).as("ndv_max"),
+            expr("(ra * rb) div greatest(da, db)").as("uniform_est"),
+            col("exact").as("true_rows"),
+            greatest(col("ma"), col("mb")).as("max_key_mult"),
+            expr("(abs((ra * rb) div greatest(da, db) - exact) * 1000000L)" +
+              " div greatest(exact, 1L)").as("uniform_err_ppm"))
+      }
+      val li = table(s, dir, "lineitem")
+      audit("customer-orders", table(s, dir, "customer"), "c_custkey",
+          table(s, dir, "orders"), "o_custkey")
+        .unionAll(audit("orders-lineitem", table(s, dir, "orders"),
+          "o_orderkey", li, "l_orderkey"))
+        .unionAll(audit("part-lineitem", table(s, dir, "part"),
+          "p_partkey", li, "l_partkey"))
+        .orderBy(col("join"))
+    },
+    Some("""
+      WITH pairs(jn, ka, kb) AS (VALUES
+        ('customer-orders', 1, 1), ('orders-lineitem', 2, 2),
+        ('part-lineitem', 3, 3)),
+      ca AS (
+        SELECT jn, k, COUNT(*) AS n FROM (
+          SELECT 'customer-orders' AS jn, c_custkey AS k FROM customer
+          UNION ALL SELECT 'orders-lineitem', o_orderkey FROM orders
+          UNION ALL SELECT 'part-lineitem', p_partkey FROM part)
+        GROUP BY 1, 2),
+      cb AS (
+        SELECT jn, k, COUNT(*) AS n FROM (
+          SELECT 'customer-orders' AS jn, o_custkey AS k FROM orders
+          UNION ALL SELECT 'orders-lineitem', l_orderkey FROM lineitem
+          UNION ALL SELECT 'part-lineitem', l_partkey FROM lineitem)
+        GROUP BY 1, 2),
+      sa AS (SELECT jn, SUM(n) AS ra, COUNT(*) AS da, MAX(n) AS ma
+             FROM ca GROUP BY 1),
+      sb AS (SELECT jn, SUM(n) AS rb, COUNT(*) AS db, MAX(n) AS mb
+             FROM cb GROUP BY 1),
+      hist AS (
+        SELECT ca.jn, COALESCE(SUM(ca.n * cb.n), 0) AS exact
+        FROM ca JOIN cb ON ca.jn = cb.jn AND ca.k = cb.k
+        GROUP BY 1)
+      SELECT sa.jn AS "join",
+             CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb,
+             CAST(greatest(da, db) AS BIGINT) AS ndv_max,
+             CAST((ra * rb) // greatest(da, db) AS BIGINT) AS uniform_est,
+             CAST(exact AS BIGINT) AS true_rows,
+             CAST(greatest(ma, mb) AS BIGINT) AS max_key_mult,
+             CAST((ABS((ra * rb) // greatest(da, db) - exact) * 1000000)
+               // greatest(exact, 1) AS BIGINT) AS uniform_err_ppm
+      FROM sa JOIN sb ON sa.jn = sb.jn JOIN hist ON sa.jn = hist.jn
+      ORDER BY "join""""))
+
+  /** q223 — watermark-lateness audit: before a streaming job picks
+    * `withWatermark(delay)`, this batch query prices every candidate
+    * delay — events arrive in event_id order (the feed's arrival
+    * sequence), the watermark trails the running max event time by
+    * the delay, and an event is DROPPED if its time is already
+    * behind the watermark on arrival. The running max is a global
+    * prefix scan computed scalably in two levels: block-local
+    * running max (partitioned window over event_id div 4096), plus
+    * the exclusive running max of block maxima folded on the tiny
+    * block frame — never a single-partition window over raw events
+    * (the same discipline as q215's batch numbering). One row per
+    * candidate delay {1 h, 6 h, 24 h} with dropped ppm — the
+    * latency-vs-completeness curve, priced from history. */
+  private val q223 = QueryDef(
+    "q223_watermark_audit",
+    (s, dir) => {
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("blk", expr("event_id div 4096"))
+      val wLoc = Window.partitionBy(col("blk")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = e.withColumn("loc_max", max(col("ms")).over(wLoc))
+      val blocks = e.groupBy(col("blk")).agg(max(col("ms")).as("bmax"))
+      val wBlk = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prev = blocks.withColumn("prev_max", max(col("bmax")).over(wBlk))
+        .select(col("blk"), col("prev_max"))
+      val scanned = local.join(broadcast(prev), Seq("blk"))
+        .withColumn("run_max",
+          greatest(col("loc_max"), coalesce(col("prev_max"), lit(0L))))
+      val delays = Seq(("1h", 3600000L), ("6h", 21600000L),
+        ("24h", 86400000L))
+      delays.map { case (nm, d) =>
+        scanned.agg(count(lit(1)).as("n_events"),
+            sum((col("ms") < col("run_max") - d).cast(LongType))
+              .as("n_dropped"))
+          .select(lit(nm).as("delay"), col("n_events"), col("n_dropped"),
+            expr("(n_dropped * 1000000L) div n_events").as("dropped_ppm"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("delay"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        FROM events),
+      scanned AS (
+        SELECT ms,
+               MAX(ms) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS run_max
+        FROM e),
+      delays(delay, d) AS (VALUES
+        ('1h', 3600000), ('6h', 21600000), ('24h', 86400000))
+      SELECT delay, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN ms < run_max - d THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped,
+             CAST((SUM(CASE WHEN ms < run_max - d THEN 1 ELSE 0 END)
+               * 1000000) // COUNT(*) AS BIGINT) AS dropped_ppm
+      FROM scanned CROSS JOIN delays
+      GROUP BY delay ORDER BY delay"""))
+
   val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219,
-    q220)
+    q220, q221, q222, q223)
 }
