@@ -298,6 +298,59 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q221 dedup mixture: per-source masses partition and survivors are distinct texts") {
+    val rows = SparkEntry.queries("q221_dedup_mixture_cost")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.map(_._3).sum ==
+      docs.select($"text").distinct().count(),
+      "survivors count one doc per distinct text")
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._5 <= r._4)
+      assert(r._6 >= 0 && r._6 <= 1000000L && r._7 >= 0 && r._7 <= 1000000L)
+    }
+  }
+
+  test("q222 histogram product equals the true join count; uniform estimate errs") {
+    val rows = SparkEntry.queries("q222_join_estimate_audit")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val sfd = sf
+    def actual(a: String, ka: String, b: String, kb: String) =
+      spark.read.parquet(s"$sfd/$a.parquet")
+        .join(spark.read.parquet(s"$sfd/$b.parquet"),
+          col(ka) === col(kb)).count()
+    val truth = Map(
+      "customer-orders" -> actual("customer", "c_custkey", "orders", "o_custkey"),
+      "orders-lineitem" -> actual("orders", "o_orderkey", "lineitem", "l_orderkey"),
+      "part-lineitem" -> actual("part", "p_partkey", "lineitem", "l_partkey"))
+    rows.foreach { case (name, _, _, _, est, exact, mult, err) =>
+      assert(exact == truth(name), s"$name histogram product must be exact")
+      assert(mult >= 1 && est > 0)
+      assert(err == math.abs(est - exact) * 1000000L / math.max(exact, 1L))
+    }
+  }
+
+  test("q223 two-level prefix scan equals the single-window running max") {
+    val e = graft.queries.QueryDef.eventsTable(spark, sf)
+      .select($"event_id".as[Long], unix_millis($"ts").as[Long]).collect()
+      .sortBy(_._1)
+    var run = Long.MinValue
+    val expect = Seq(3600000L, 21600000L, 86400000L).map { d =>
+      run = Long.MinValue
+      var dropped = 0L
+      e.foreach { case (_, ms) =>
+        if (run != Long.MinValue && ms < run - d) dropped += 1
+        run = math.max(run, ms)
+      }
+      dropped
+    }
+    val got = SparkEntry.queries("q223_watermark_audit")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(r => Seq("1h", "6h", "24h").indexOf(r._1)).map(_._3).toSeq
+    assert(got == expect, s"two-level scan must equal the sequential scan: $got vs $expect")
+  }
+
   test("q212 merkle diff isolates exactly the corrupted key ranges") {
     val rows = SparkEntry.queries("q212_merkle_diff")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
