@@ -171,7 +171,9 @@ object EvalQueries {
           val n = col("n_points").cast(DoubleType)
           val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
           val sxy = col("sxy").cast(DoubleType); val sxx = col("sxx").cast(DoubleType)
-          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("beta")
+          // + 0.0 folds IEEE -0.0 (tiny negative slope rounded to zero) to
+          // +0.0 so both engines print the same zero.
+          (round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + lit(0.0)).as("beta")
         })
         .orderBy(col("source"))
     },
@@ -209,7 +211,7 @@ object EvalQueries {
              ROUND((n_points * CAST(sxy AS DOUBLE) -
                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
              (n_points * CAST(sxx AS DOUBLE) -
-               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS beta
       FROM moments ORDER BY source"""))
 
   /** q177 — exact Mann–Whitney AUC of a stopword-ratio English
