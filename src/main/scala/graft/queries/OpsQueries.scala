@@ -331,7 +331,13 @@ object OpsQueries {
   private val q206 = QueryDef(
     "q206_multitouch_attribution",
     (s, dir) => {
-      val P = 1048576L
+      // Pack bound: event_id must stay < 2^22 (4,194,304) or it bleeds
+      // into the ms field and min-ordering can pick a later purchase.
+      // epoch-ms (~1.8e12) * 2^22 ≈ 7.4e18 still fits a BIGINT; the
+      // fixture tops out at 1e5 ids at sf0.1 (sf1 ≈ 1e6, sf10 ≈ 1e7 —
+      // re-pack on (ms, dense per-user rank) before running past 2^22).
+      // Same discipline as q204's 2^20 position field.
+      val P = 4194304L
       val e = eventsTable(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_millis(col("ts")).as("ms"))
@@ -378,7 +384,7 @@ object OpsQueries {
       t AS (
         SELECT *,
                MIN(CASE WHEN event_type = 'purchase'
-                        THEN ms * 1048576 + event_id END)
+                        THEN ms * 4194304 + event_id END)
                  OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  AS conv
@@ -386,7 +392,7 @@ object OpsQueries {
       touches AS (
         SELECT * FROM t
         WHERE event_type IN ('click', 'view') AND conv IS NOT NULL
-          AND conv // 1048576 - ms <= 7 * 86400000),
+          AND conv // 4194304 - ms <= 7 * 86400000),
       shares AS (
         SELECT event_type, user_id, conv,
                ROW_NUMBER() OVER (PARTITION BY user_id, conv
@@ -659,10 +665,13 @@ object OpsQueries {
         .withColumn("target", expr("greatest(total div 4, 1L)"))
         .withColumn("cum", sum(col("bytes")).over(wPack))
         .withColumn("bin", expr("(cum - 1) div target"))
+      // n_bins is clamped to n_files: a single file larger than the
+      // target spans several virtual bins in the cumsum relaxation,
+      // which would otherwise report negative files_saved.
       planned.groupBy(col("part_month"))
         .agg(count(lit(1)).as("n_files"), max(col("total")).as("total_bytes"),
           max(col("target")).as("target_bytes"),
-          (max(col("bin")) + 1).as("n_bins"),
+          least(count(lit(1)), max(col("bin")) + 1).as("n_bins"),
           sum((col("bytes") * 2 < col("target")).cast(LongType))
             .as("n_small"))
         .select(col("part_month"), col("n_files"), col("total_bytes"),
@@ -691,11 +700,13 @@ object OpsQueries {
       SELECT part_month, CAST(COUNT(*) AS BIGINT) AS n_files,
              CAST(MAX(total) AS BIGINT) AS total_bytes,
              CAST(MAX(target) AS BIGINT) AS target_bytes,
-             CAST(MAX((cum - 1) // target) + 1 AS BIGINT) AS n_bins,
-             CAST(COUNT(*) - (MAX((cum - 1) // target) + 1) AS BIGINT)
-               AS files_saved,
+             CAST(least(COUNT(*), MAX((cum - 1) // target) + 1) AS BIGINT)
+               AS n_bins,
+             CAST(COUNT(*) - least(COUNT(*), MAX((cum - 1) // target) + 1)
+               AS BIGINT) AS files_saved,
              CAST((MAX(total) * 1000000)
-               // ((MAX((cum - 1) // target) + 1) * MAX(target)) AS BIGINT)
+               // (least(COUNT(*), MAX((cum - 1) // target) + 1)
+                   * MAX(target)) AS BIGINT)
                AS fill_ppm,
              CAST(SUM(CASE WHEN bytes * 2 < target THEN 1 ELSE 0 END)
                AS BIGINT) AS n_small
@@ -913,7 +924,13 @@ object OpsQueries {
       val wType = Window.partitionBy(col("event_type"))
       val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val big = 1099511627776L // 2^40 offset keeps packed cums positive
+      // 2^40 offset keeps packed cums positive. Pack bounds: the dn
+      // field is 12 bits, so the series must span < 4,096 days per
+      // event type (~11 years of dailies — the fixture spans ~1), and
+      // |cum| must stay < 2^40 (|x·n − total| summed; safe while daily
+      // counts × days < 1e12 — re-derive before running on a decade of
+      // petabyte-scale feeds). Same discipline as q206's 2^22 id field.
+      val big = 1099511627776L
       val cusum = daily
         .withColumn("n_days", count(lit(1)).over(wType))
         .withColumn("total", sum(col("x")).over(wType))
@@ -1236,7 +1253,10 @@ object OpsQueries {
       val conts = runs.groupBy(col("event_type"), col("container"))
         .agg(count(lit(1)).as("n_set"), sum(col("run_start")).as("n_runs"))
         .withColumn("array_b", col("n_set") * 2)
-        .withColumn("bitmap_b", lit(1024L))
+        // 4,096-id container → 4,096-bit bitmap = 512 B (Roaring's
+        // 8 KiB / 65,536-id model scaled down); array-vs-bitmap
+        // crossover at 256 ids, as in the cited cost model.
+        .withColumn("bitmap_b", lit(512L))
         .withColumn("run_b", col("n_runs") * 4)
         .withColumn("enc",
           when(col("array_b") <= col("bitmap_b") &&
@@ -1270,7 +1290,7 @@ object OpsQueries {
       conts AS (
         SELECT event_type, container, COUNT(*) AS n_set,
                SUM(run_start) AS n_runs,
-               COUNT(*) * 2 AS array_b, 1024 AS bitmap_b,
+               COUNT(*) * 2 AS array_b, 512 AS bitmap_b,
                SUM(run_start) * 4 AS run_b
         FROM runs GROUP BY 1, 2),
       enc AS (
@@ -1546,10 +1566,7 @@ object OpsQueries {
         .orderBy(col("join"))
     },
     Some("""
-      WITH pairs(jn, ka, kb) AS (VALUES
-        ('customer-orders', 1, 1), ('orders-lineitem', 2, 2),
-        ('part-lineitem', 3, 3)),
-      ca AS (
+      WITH ca AS (
         SELECT jn, k, COUNT(*) AS n FROM (
           SELECT 'customer-orders' AS jn, c_custkey AS k FROM customer
           UNION ALL SELECT 'orders-lineitem', o_orderkey FROM orders
