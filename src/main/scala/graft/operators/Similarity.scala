@@ -162,6 +162,39 @@ object Similarity {
       assigned.select(col("n_id"), col("n_v"), col("cell")),
       zones, s"${name}_cells", partitionCols = Seq("cell"))
     graft.sources.LakeIO.replaceGold(cents, zones, s"${name}_codebook")
+    // Index stats sidecar: the cell count is fixed at build time, so
+    // persist it once (a driver-side FS write, same single-writer
+    // assumption as replaceGold) instead of paying a count() Spark job
+    // on every later search to pick the probe-pruning path.
+    val nCells = cents.count()
+    val meta = ivfMetaPath(zones, name)
+    val fs = meta.getFileSystem(
+      corpus.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(meta, true)
+    try out.write(s"""{"n_cells":$nCells}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def ivfMetaPath(zones: graft.sources.LakeZones, name: String) =
+    new org.apache.hadoop.fs.Path(zones.gold(s"${name}_ivf_meta.json"))
+
+  /** Cell count of a persisted IVF index: read from the build-time
+    * sidecar (no Spark job); fall back to counting the codebook for
+    * indexes built before the sidecar existed. */
+  private def ivfCellCount(spark: org.apache.spark.sql.SparkSession,
+                           zones: graft.sources.LakeZones, name: String,
+                           codebook: DataFrame): Long = {
+    val meta = ivfMetaPath(zones, name)
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"n_cells"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toLong)
+        .getOrElse(codebook.count())
+    } else codebook.count()
   }
 
   /** Search a [[buildIvfIndex]] lake index: the codebook ranks
@@ -197,7 +230,7 @@ object Similarity {
       .select(col("q_id"), col("q_v"), col("c_id").as("cell"))
     val idxAll = graft.sources.LakeIO.readGold(spark, zones, s"${name}_cells")
     val idx =
-      if (codebook.count() <= maxInlineCells) {
+      if (ivfCellCount(spark, zones, name, codebook) <= maxInlineCells) {
         val cells = probes.select(col("cell")).distinct()
           .collect().map(_.getLong(0)).toSeq
         idxAll.filter(col("cell").isin(cells: _*))

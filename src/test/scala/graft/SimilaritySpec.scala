@@ -139,6 +139,11 @@ class SimilaritySpec extends SparkSpec {
     val cellDirs = new java.io.File(s"$lake/gold/ann_cells")
       .listFiles().filter(_.getName.startsWith("cell="))
     assert(cellDirs.length > 1, "index must be hive-partitioned by cell")
+    // build persists the cell count so search never pays a count() job
+    val metaBody = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$lake/gold/ann_ivf_meta.json")), "UTF-8")
+    assert(metaBody.contains(s""""n_cells":${cents.count()}"""),
+      s"sidecar must record the codebook size: $metaBody")
 
     val q = e.filter($"vec_id" % 100 === 0)
     val fromIndex = Similarity.searchIvfIndex(spark, zones, "ann", q,
