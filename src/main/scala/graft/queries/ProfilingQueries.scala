@@ -182,7 +182,13 @@ object ProfilingQueries {
       val e = Checkpoints.truncate(edges)
       val adj = e.select(col("a").as("v"), col("b").as("u"))
         .unionAll(e.select(col("b").as("v"), col("a").as("u")))
-      var reached = adj.sparkSession.range(1).select(lit(3L).as("v"),
+      // BFS seed: supplier s_suppkey=1 in the bipartite packing
+      // (customers = key*2, suppliers = key*2+1 → 1*2+1 = 3). Every
+      // sf of the fixture contains supplier 1 and it sits in the
+      // giant component, so the 3-hop census is non-degenerate. The
+      // DuckDB oracle unrolls the same seed literal.
+      val bfsSeedNode = 3L
+      var reached = adj.sparkSession.range(1).select(lit(bfsSeedNode).as("v"),
         lit(0L).as("lvl"))
       for (r <- 1L to 3L) {
         val frontier = reached.filter(col("lvl") === r - 1).select(col("v"))

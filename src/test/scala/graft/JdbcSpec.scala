@@ -69,6 +69,28 @@ class JdbcSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(10L, 11L, 12L))
   }
 
+  test("filters and projections push down into the JDBC scan") {
+    val target = freshTarget()
+    val df = (1L to 500L).map(i => (i, s"v$i", i % 7)).toDF("id", "v", "grp")
+    LakeIO.writeJdbc(df, target, "t_push", mode = "overwrite")
+    val q = LakeIO.readJdbc(spark, target, "t_push")
+      .filter($"id" > 400L && $"grp" === 3L)
+      .select($"id")
+    // the predicate must reach the JDBCRelation as PushedFilters, not
+    // run as a post-scan Spark Filter over the full table
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = """PushedFilters:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pushed.contains("id") && pushed.contains("grp"),
+      s"both predicates must be pushed to the JDBC source:\n${plan.take(1200)}")
+    // column pruning: the generated SELECT reads only the needed columns
+    assert("ReadSchema:[^\n]*".r.findFirstIn(plan)
+      .exists(rs => rs.contains("id") && !rs.contains("\"v\"")),
+      s"scan must prune the unused string column:\n${plan.take(1200)}")
+    assert(q.as[Long].collect().toSet ==
+      (401L to 500L).filter(_ % 7 == 3).toSet)
+  }
+
   test("publishGoldJdbc truncate-loads a gold table into the serving DB") {
     val target = freshTarget()
     val zones = LakeZones(Files.createTempDirectory("graft_lake").toString)
