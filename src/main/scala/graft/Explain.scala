@@ -19,11 +19,22 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v,k=v" → extra session confs (e.g.
+    // graft.checkpoint.reliable=true to time the durable-checkpoint path)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
+    // SPARK_GRAFT_REBUILD=1 → rebuild the query each timed run, so
+    // construction-time work (iterative operators' checkpoint rounds)
+    // is inside the measurement, not amortized away
+    val rebuild = sys.env.get("SPARK_GRAFT_REBUILD").contains("1")
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      val c = df.count()
+      val c = (if (rebuild) SparkEntry.queries(name)(spark, sfDir) else df).count()
       println(f"[explain] run $i: $c rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

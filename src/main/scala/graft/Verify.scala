@@ -18,13 +18,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // local artifact beside the driver's: per-query rows/seconds/status
+    // → target/correctness.json, so the correctness pass leaves a
+    // complete record even if the driver's stdout capture truncates
+    val local = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        local(name) = f"""{"status":"written","rows":$rows,"sec":$sec%.2f}"""
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        local(name) = s"""{"status":"error","class":"${e.getClass.getSimpleName}"}"""
       }
     }
+    val localOut = java.nio.file.Paths.get("target", "correctness.json")
+    java.nio.file.Files.createDirectories(localOut.getParent)
+    java.nio.file.Files.writeString(localOut,
+      local.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",\n ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
