@@ -31,13 +31,24 @@ import graft.functions.VectorFunctions
   */
 object Clustering {
 
-  /** Deterministic seed centroids: every `every`-th vector by id — a
-    * stand-in for an offline-trained codebook, which would slot in as
-    * the same small broadcast relation. */
+  /** Deterministic seed centroids: every `every`-th vector by id,
+    * capped at `maxCells` seeds — a stand-in for an offline-trained
+    * codebook, which would slot in as the same small broadcast
+    * relation.
+    *
+    * The cap is the scale guard: k is a MODEL hyperparameter, so it
+    * must not grow with the corpus. Without it, "every 50th vector"
+    * makes k ∝ N and the N×k assignment scan quadratic — measured as
+    * a ×50 wall blowup at 10× data in SCALING.md before the cap.
+    * `every`=50 × `maxCells`=40 keeps the seed set exactly the
+    * sf0.1 fixture's (ids < 2000), so fixture results are
+    * bit-identical; on any larger corpus k stays 40. */
   def seedCentroids(corpus: DataFrame, every: Int,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame =
-    corpus.filter(col(idCol) % every === 0)
+                    vecCol: String = "embedding",
+                    maxCells: Int = 40): DataFrame =
+    corpus.filter(col(idCol) % every === 0 &&
+        col(idCol) < every.toLong * maxCells)
       .select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_v"))
 
   /** Nearest-centroid assignment by cosine (ties → smaller centroid
@@ -97,21 +108,50 @@ object Clustering {
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
-    * 2303.09540): block by k-means cell, emit within-cell pairs with
-    * cosine ≥ `threshold`, keep the smallest id per near-dup group.
-    * Returns the REMOVED ids with their keeper — the pruning list a
-    * curation pipeline applies as an anti join.
+    * 2303.09540): block by k-means cell, emit within-cell candidate
+    * pairs, verify cosine ≥ `threshold`, keep the smallest id per
+    * near-dup group. Returns the REMOVED ids with their keeper — the
+    * pruning list a curation pipeline applies as an anti join.
     *
-    * At scale the assignment materializes once as a stored index
-    * partitioned by cell (like the IVF index); here it flows straight
-    * into [[Dedup.embeddingNearDup]]'s blocked pair generation. */
+    * Scale shape: with a FIXED codebook ([[seedCentroids]]'s cap),
+    * cell sizes grow ∝ N, so all-pairs-within-cell is Θ(N²/k) — the
+    * quadratic SCALING.md measured at 10× data. The fix is a
+    * sorted-neighborhood refinement INSIDE each cell (the q140
+    * merge/purge discipline): members rank by their cosine to the
+    * cell centroid (ties → id), and only pairs within `window` ranks
+    * are generated — near-identical vectors have near-identical
+    * centroid-cosines, so a cos≥0.95 pair straddling 128 ranks would
+    * need 128 distinct vectors wedged inside its ~1e-3 cosine gap.
+    * Candidate mass is exactly ≤ N·window, assignment is N·k, both
+    * linear in N. The rank join uses the two-bucket trick (own
+    * bucket + previous), never a rank×rank cross product. */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
                     threshold: Double,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    window: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = assignCells(corpus, centroids, idCol, vecCol)
-    val pairs = Dedup.embeddingNearDup(assigned, idCol = "n_id",
-      vecCol = "n_v", blockCol = "cell", threshold = threshold)
+    // one cheap N-row pass recovers the winning cosine for ranking
+    // (assignment keeps only the argmax cell)
+    val ranked = assigned
+      .join(broadcast(centroids), col("cell") === col("c_id"))
+      .withColumn("ccos", VectorFunctions.cosine(col("n_v"), col("c_v")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(col("ccos").desc, col("n_id"))))
+      .select(col("cell"), col("n_id"), col("n_v"), col("rk"))
+    val blk = floor((col("rk") - 1) / window).cast(LongType)
+    val left = ranked.select(col("cell"), blk.as("blk"),
+      col("n_id").as("ida"), col("n_v").as("va"), col("rk").as("rka"))
+    val right = ranked.select(col("cell"),
+      explode(array(blk, blk - 1)).as("blk"),
+      col("n_id").as("idb"), col("n_v").as("vb"), col("rk").as("rkb"))
+    val pairs = left.join(right, Seq("cell", "blk"))
+      .filter(col("rka") < col("rkb") && col("rkb") - col("rka") <= window)
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
     // keeper of a removed id = the SMALLEST id it near-dups with in
     // its cell (transitive closure is q67's job; SemDeDup prunes
     // pairwise within a cell by design)

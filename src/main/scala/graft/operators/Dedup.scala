@@ -328,17 +328,22 @@ object Dedup {
           ceil((col("a.n") + col("b.n")) * lit(threshold) / lit(1.0 + threshold)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification as a COUNT over the hashed exploded table
-    // (skinny long rows) rather than array payloads: candidates pick
-    // up side a's shingles, then an equi join on (id_b, shingle)
-    // keeps exactly the shared ones — two shuffle joins, no string
-    // arrays in motion
+    // exact verification against per-document hash ARRAYS, not the
+    // exploded table: candidate × exploded-side joins multiply the
+    // join mass by shingles-per-doc (~50× — measured 750M rows and
+    // 158 s at gen-sf1 before this rewrite, SCALING.md), whereas two
+    // equi joins onto the doc-array table move ONE ~400 B array per
+    // candidate, and `array_intersect` over sorted int64 hashes is a
+    // codegen'd exact intersection count
+    val docsH = ex.groupBy(col("id"))
+      .agg(first(col("n")).as("nn"), collect_list(col("s")).as("hs"))
     val verified = cand
-      .join(ex.select(col("id").as("id_a"), col("n").as("n_a"), col("s")), "id_a")
-      .join(ex.select(col("id").as("id_b"), col("n").as("n_b"), col("s")),
-        Seq("id_b", "s"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .join(docsH.select(col("id").as("id_a"), col("nn").as("n_a"),
+        col("hs").as("hs_a")), "id_a")
+      .join(docsH.select(col("id").as("id_b"), col("nn").as("n_b"),
+        col("hs").as("hs_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
       .select(col("id_a"), col("id_b"), col("n_inter"),
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
       .withColumn("jaccard",

@@ -182,12 +182,21 @@ object Quantization {
     * Lloyd iterations with exact per-dimension DECIMAL means (the
     * [[Clustering.centroidUpdate]] discipline, grouped by subspace so
     * all M codebooks train in ONE plan per round). Lineage truncates
-    * per round via [[Checkpoints]]. Output: (m, c_id, c_v). */
+    * per round via [[Checkpoints]]. Output: (m, c_id, c_v).
+    *
+    * Seeds are capped at `maxCells` per subspace (the
+    * [[Clustering.seedCentroids]] scale guard): codebook size is a
+    * hyperparameter, so it must not grow with the corpus — uncapped,
+    * the N×cells ADC/assignment scans go quadratic (×30 at 10× data,
+    * SCALING.md). every=50 × maxCells=40 reproduces the sf0.1
+    * fixture seed set exactly. */
   def pqTrain(corpus: DataFrame, nSub: Int, subDim: Int, every: Int,
               rounds: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              maxCells: Int = 40): DataFrame = {
     val subs = subVectors(corpus, nSub, subDim, idCol, vecCol)
-    var cents = subs.filter(col("vec_id") % every === 0)
+    var cents = subs.filter(col("vec_id") % every === 0 &&
+        col("vec_id") < every.toLong * maxCells)
       .select(col("m"), col("vec_id").as("c_id"), col("sv").as("c_v"))
     for (_ <- 0 until rounds) {
       val assigned = pqAssign(subs, cents, carrySv = true)

@@ -95,9 +95,14 @@ object Similarity {
     * deterministic and SQL-oracle-reproducible. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 50, nProbe: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxCells: Int = 40): DataFrame =
     ivfTopKWith(corpus, queries,
-      corpus.filter(col(idCol) % centroidEvery === 0)
+      // maxCells cap = the [[Clustering.seedCentroids]] scale guard:
+      // codebook size is a hyperparameter, not a function of corpus
+      // size (uncapped, the N×cells assignment goes quadratic)
+      corpus.filter(col(idCol) % centroidEvery === 0 &&
+          col(idCol) < centroidEvery.toLong * maxCells)
         .select(col(idCol).cast(LongType).as("c_id"), col(vecCol).as("c_v")),
       k, nProbe, idCol, vecCol)
 

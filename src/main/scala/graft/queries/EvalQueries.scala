@@ -33,11 +33,11 @@ object EvalQueries {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
       val quantized = Quantization.scalarQuantize(e, Quantization.dimScales(e))
-      val qIds = e.filter(col("vec_id") % 200 === 0).select(col("vec_id"))
+      val qIds = QueryDef.annWorkload(e).select(col("vec_id"))
       val approx = Quantization.quantizedTopK(quantized, qIds, k = 5)
         .select(col("q_id"), col("rank").as("p"), col("n_id"))
       val exact = Similarity
-        .bruteForceTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5)
+        .bruteForceTopK(e, QueryDef.annWorkload(e), k = 5)
         .select(col("q_id"), col("n_id"), col("rank"),
           (lit(6L) - col("rank")).as("rel"))
       val dcg = approx.join(exact.select(col("q_id"), col("n_id"), col("rel")),
@@ -80,7 +80,7 @@ object EvalQueries {
                     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n
              FROM qz),
       q AS (SELECT vec_id AS q_id, qv AS q_qv, n AS q_n
-            FROM qn WHERE vec_id % 200 = 0),
+            FROM qn WHERE vec_id % 200 = 0 AND vec_id < 2000),
       sc2 AS (
         SELECT q_id, vec_id AS n_id,
                CAST(list_sum(list_transform(generate_series(1, len(q_qv)),
@@ -98,7 +98,7 @@ object EvalQueries {
                CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                                        ORDER BY qcos DESC, n_id) AS BIGINT) AS p
         FROM scored QUALIFY p <= 5),
-      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0),
+      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0 AND vec_id < 2000),
       esc AS (SELECT a.q_id, b.vec_id AS n_id, $cosSql AS cos
               FROM eq a JOIN e b ON a.q_id <> b.vec_id),
       etop AS (

@@ -394,13 +394,13 @@ object ExtensionQueries {
     "q35_knn_bruteforce",
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5)
+      Similarity.bruteForceTopK(e, QueryDef.annWorkload(e), k = 5)
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""
       WITH q AS (
         SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 200 = 0),
+        FROM embeddings WHERE vec_id % 200 = 0 AND vec_id < 2000),
       c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
         SELECT q_id, n_id, $cosSql AS cos
@@ -432,7 +432,7 @@ object ExtensionQueries {
     "q36_knn_srp_lsh",
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.srpTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5, nBits = 4)
+      Similarity.srpTopK(e, QueryDef.annWorkload(e), k = 5, nBits = 4)
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""
@@ -443,7 +443,7 @@ object ExtensionQueries {
                      [${(0 until 4).map(t => srpTableBucketSql(t, 4)).mkString(",\n                      ")}] AS bkts
               FROM e),
              UNNEST(bkts) AS u(bkt)),
-      q AS (SELECT vec_id AS q_id, bkt FROM bl WHERE vec_id % 200 = 0),
+      q AS (SELECT vec_id AS q_id, bkt FROM bl WHERE vec_id % 200 = 0 AND vec_id < 2000),
       cand AS (
         SELECT DISTINCT q.q_id, c.vec_id AS n_id
         FROM q JOIN bl c ON q.bkt = c.bkt AND q.q_id <> c.vec_id),
@@ -466,7 +466,7 @@ object ExtensionQueries {
     "q37_knn_ivf",
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5,
+      Similarity.ivfTopK(e, QueryDef.annWorkload(e), k = 5,
           centroidEvery = 50, nProbe = 2)
         .orderBy(col("q_id"), col("rank"))
     },
@@ -474,7 +474,7 @@ object ExtensionQueries {
       WITH corp AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
       cents AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
-                FROM embeddings WHERE vec_id % 50 = 0),
+                FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
       assign AS (
         SELECT n_id, v, c_id AS cell FROM (
           SELECT n_id, v, c_id,
@@ -485,7 +485,7 @@ object ExtensionQueries {
                 FROM corp, cents))
         WHERE rn = 1),
       qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-             FROM embeddings WHERE vec_id % 200 = 0),
+             FROM embeddings WHERE vec_id % 200 = 0 AND vec_id < 2000),
       probes AS (
         SELECT q_id, qv, c_id AS cell FROM (
           SELECT q_id, qv, c_id,

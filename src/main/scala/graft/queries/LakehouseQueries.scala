@@ -1101,7 +1101,7 @@ object LakehouseQueries {
         SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cents0 AS (
         SELECT CAST(vec_id AS BIGINT) AS c_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id % 50 = 0),
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
       scored AS (
         SELECT a.n_id, a.v AS nv, b.c_id, ${ExtensionQueries.cosSql} AS cos
         FROM c a CROSS JOIN cents0 b),

@@ -32,10 +32,10 @@ object QuantQueries {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
       val quantized = Quantization.scalarQuantize(e, Quantization.dimScales(e))
-      val qIds = e.filter(col("vec_id") % 200 === 0).select(col("vec_id"))
+      val qIds = QueryDef.annWorkload(e).select(col("vec_id"))
       val top = Quantization.quantizedTopK(quantized, qIds, k = 5)
       val exact = Similarity
-        .bruteForceTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5)
+        .bruteForceTopK(e, QueryDef.annWorkload(e), k = 5)
         .select(col("q_id"), col("n_id"), lit(true).as("hit"))
       top.join(exact, Seq("q_id", "n_id"), "left")
         .select(col("q_id"), col("rank"), col("n_id"), col("qcos"),
@@ -60,7 +60,7 @@ object QuantQueries {
                     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n
              FROM qz),
       q AS (SELECT vec_id AS q_id, qv AS q_qv, n AS q_n
-            FROM qn WHERE vec_id % 200 = 0),
+            FROM qn WHERE vec_id % 200 = 0 AND vec_id < 2000),
       sc2 AS (
         SELECT q_id, vec_id AS n_id,
                CAST(list_sum(list_transform(generate_series(1, len(q_qv)),
@@ -78,7 +78,7 @@ object QuantQueries {
                ROW_NUMBER() OVER (PARTITION BY q_id
                                   ORDER BY qcos DESC, n_id) AS rn
         FROM scored),
-      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0),
+      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0 AND vec_id < 2000),
       esc AS (SELECT a.q_id, b.vec_id AS n_id, $cosSql AS cos
               FROM eq a JOIN e b ON a.q_id <> b.vec_id),
       etop AS (SELECT q_id, n_id FROM (
@@ -107,7 +107,7 @@ object QuantQueries {
       val cb = Quantization.pqTrain(e, nSub = 4, subDim = 16,
         every = 50, rounds = 1)
       val codes = Quantization.pqEncode(e, cb, nSub = 4, subDim = 16)
-      val qs = e.filter(col("vec_id") % 200 === 0)
+      val qs = QueryDef.annWorkload(e)
       val top = Quantization.pqSearch(qs, codes, cb, nSub = 4, subDim = 16,
         k = 5)
       val exact = Similarity.bruteForceTopK(e, qs, k = 5)
@@ -123,7 +123,7 @@ object QuantQueries {
         SELECT vec_id, m, list_slice(v, m * 16 + 1, (m + 1) * 16) AS sv
         FROM e, unnest([0, 1, 2, 3]) AS u(m)),
       seeds AS (SELECT m, vec_id AS c_id, sv AS cv
-                FROM sub WHERE vec_id % 50 = 0),
+                FROM sub WHERE vec_id % 50 = 0 AND vec_id < 2000),
       a0s AS (
         SELECT s.vec_id, s.m, s.sv, c.c_id,
                (list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
@@ -151,7 +151,7 @@ object QuantQueries {
                                              ORDER BY d, c_id) AS rn
                 FROM encs) WHERE rn = 1),
       qsub AS (SELECT vec_id AS q_id, m, sv AS qv
-               FROM sub WHERE vec_id % 200 = 0),
+               FROM sub WHERE vec_id % 200 = 0 AND vec_id < 2000),
       lut AS (
         SELECT q.q_id, q.m, c.c_id,
                CAST(ROUND((list_dot_product(q.qv, q.qv)
@@ -169,7 +169,7 @@ object QuantQueries {
                ROW_NUMBER() OVER (PARTITION BY q_id
                                   ORDER BY adc, n_id) AS rn
         FROM adc),
-      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0),
+      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0 AND vec_id < 2000),
       esc AS (SELECT a.q_id, b.vec_id AS n_id, $cosSql AS cos
               FROM eq a JOIN e b ON a.q_id <> b.vec_id),
       etop AS (SELECT q_id, n_id FROM (
@@ -195,10 +195,10 @@ object QuantQueries {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
       val bits = Quantization.binarize(e)
-      val qIds = e.filter(col("vec_id") % 200 === 0).select(col("vec_id"))
+      val qIds = QueryDef.annWorkload(e).select(col("vec_id"))
       val top = Quantization.hammingTopK(bits, qIds, k = 5)
       val exact = Similarity
-        .bruteForceTopK(e, e.filter(col("vec_id") % 200 === 0), k = 5)
+        .bruteForceTopK(e, QueryDef.annWorkload(e), k = 5)
         .select(col("q_id"), col("n_id"), lit(true).as("hit"))
       top.join(exact, Seq("q_id", "n_id"), "left")
         .select(col("q_id"), col("rank"), col("n_id"), col("hamming"),
@@ -217,7 +217,7 @@ object QuantQueries {
                       ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b1
         FROM e),
       q AS (SELECT vec_id AS q_id, b0 AS q_b0, b1 AS q_b1
-            FROM bits WHERE vec_id % 200 = 0),
+            FROM bits WHERE vec_id % 200 = 0 AND vec_id < 2000),
       scored AS (
         SELECT q_id, vec_id AS n_id,
                CAST(bit_count(xor(q_b0, b0)) + bit_count(xor(q_b1, b1))
@@ -228,7 +228,7 @@ object QuantQueries {
                ROW_NUMBER() OVER (PARTITION BY q_id
                                   ORDER BY hamming, n_id) AS rn
         FROM scored),
-      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0),
+      eq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 200 = 0 AND vec_id < 2000),
       esc AS (SELECT a.q_id, b.vec_id AS n_id, $cosSql AS cos
               FROM eq a JOIN e b ON a.q_id <> b.vec_id),
       etop AS (SELECT q_id, n_id FROM (

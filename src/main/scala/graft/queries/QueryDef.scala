@@ -24,6 +24,20 @@ object QueryDef {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fixed ANN/eval query workload: every 200th vector of the
+    * ids < 2000 reference prefix — 10 queries regardless of corpus
+    * size. An evaluation workload is a benchmark constant, not a
+    * function of the corpus; left proportional, every query×corpus
+    * scan grows quadratically with scale (measured ×30 at 10× data
+    * in SCALING.md before the cap). Identical to the uncapped filter
+    * at fixture scale factors, where all embedding ids are < 2000.
+    * SQL twin: `vec_id % 200 = 0 AND vec_id < 2000`. Same cap
+    * discipline as [[graft.operators.Clustering.seedCentroids]]. */
+  def annWorkload(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    e.filter(col("vec_id") % 200 === 0 && col("vec_id") < 2000)
+  }
+
   /** The events table's `ts` physical type has varied across testdata
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
     * rejects outright — read nanos as long, convert with integer
