@@ -1511,19 +1511,26 @@ object LakehouseQueries {
     (s, dir) => {
       import graft.functions.JaroWinklerExpr.jaro_winkler
       import org.apache.spark.sql.expressions.Window
-      val parts = table(s, dir, "part")
+      // neighbor pairs via lead() on the rank window, NOT a rank-range
+      // theta join: `rb > ra AND rb <= ra + 2` plans a nested-loop
+      // join (O(N²) compares — measured ×63 wall at ×10 data in
+      // SCALING.md), while two leads are one linear window pass over
+      // the same sorted run producing the identical pair set
+      val w = Window.orderBy(col("p_name"), col("p_partkey"))
+      table(s, dir, "part")
         .filter(col("p_partkey") % 20 === 0)
         .select(col("p_partkey"), col("p_name"))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("p_name"), col("p_partkey"))))
-      val a = parts.select(col("p_partkey").as("a_key"),
-        col("p_name").as("a_name"), col("rnk").as("ra"))
-      val b = parts.select(col("p_partkey").as("b_key"),
-        col("p_name").as("b_name"), col("rnk").as("rb"))
-      a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + 2)
-        .withColumn("jw", round(jaro_winkler(col("a_name"), col("b_name")), 6))
+        .withColumn("nbrs", array(
+          struct(lead(col("p_partkey"), 1).over(w).as("b_key"),
+            lead(col("p_name"), 1).over(w).as("b_name")),
+          struct(lead(col("p_partkey"), 2).over(w).as("b_key"),
+            lead(col("p_name"), 2).over(w).as("b_name"))))
+        .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+          explode(col("nbrs")).as("b"))
+        .filter(col("b.b_key").isNotNull)
+        .withColumn("jw", round(jaro_winkler(col("a_name"), col("b.b_name")), 6))
         .filter(col("jw") >= 0.5)
-        .select(col("a_key"), col("b_key"), col("jw"))
+        .select(col("a_key"), col("b.b_key").as("b_key"), col("jw"))
         .orderBy(col("a_key"), col("b_key"))
     },
     Some("""

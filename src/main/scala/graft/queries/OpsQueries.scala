@@ -180,9 +180,12 @@ object OpsQueries {
     * q125's chunker enforces this upstream at scale), so `min` alone
     * implements robust winnowing and both engines agree bit-for-bit.
     * Short documents (< w windows) fall back to one whole-doc window.
-    * Output: top-10 document pairs by winnowed-set Jaccard (exact
-    * ppm), via an inverted index on selected hashes — fingerprint
-    * sets, never shingle sets, shuffle. */
+    * Fingerprints selected by > 20 documents are masked as
+    * boilerplate (MOSS's own noise filter; also the scale guard that
+    * keeps the pair join's posting lists bounded). Output: top-10
+    * document pairs by rare-fingerprint-set Jaccard (exact ppm), via
+    * an inverted index on selected hashes — fingerprint sets, never
+    * shingle sets, shuffle. */
   private val q204 = QueryDef(
     "q204_winnow_fingerprints",
     (s, dir) => {
@@ -202,12 +205,23 @@ object OpsQueries {
       val nWin = Window.partitionBy(col("doc_id"))
       // the fingerprint set feeds three consumers (sizes + both sides
       // of the pair self-join) — materialize the window pass once
-      val sel = graft.operators.Checkpoints.truncate(pos
+      val sel0 = pos
         .withColumn("wmin", min(col("key")).over(wWin))
         .withColumn("np", count(lit(1)).over(nWin))
         .filter(col("i") <= greatest(col("np") - 3, lit(1)))
         .select(col("doc_id"), expr("wmin div 1048576L").as("fp"))
-        .distinct())
+        .distinct()
+      // MOSS's boilerplate mask, same df ≤ 20 discipline as q33/q191:
+      // a fingerprint selected by > 20 documents is common phrasing,
+      // not shared provenance, and its posting list drives the pair
+      // join quadratic (×15 wall at ×10 data before the cap,
+      // SCALING.md); masked fingerprints leave BOTH the pair counts
+      // and the per-doc set sizes, so jaccard stays a true Jaccard
+      // over the rare-fingerprint sets
+      val sel = graft.operators.Checkpoints.truncate(sel0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("df") <= 20)
+        .select(col("doc_id"), col("fp")))
       val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
       val shared = sel.as("x").join(sel.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -238,9 +252,11 @@ object OpsQueries {
                  AS wmin,
                COUNT(*) OVER (PARTITION BY doc_id) AS np
         FROM pos),
-      sel AS (
+      sel0 AS (
         SELECT DISTINCT doc_id, wmin // 1048576 AS fp
         FROM win WHERE i <= greatest(np - 3, 1)),
+      fdf AS (SELECT fp FROM sel0 GROUP BY fp HAVING COUNT(*) <= 20),
+      sel AS (SELECT sel0.* FROM sel0 JOIN fdf USING (fp)),
       sizes AS (SELECT doc_id, COUNT(*) AS nf FROM sel GROUP BY 1),
       shared AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared

@@ -91,20 +91,26 @@ object ProfilingQueries {
             .as(Seq("pos0", "sh")))
         .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
           col("sh"))
-      // one materialization of the compact (doc, hash, pos) frame — it
-      // feeds the df filter, both pair sides, and the evidence keep-set
-      val dedupH = Checkpoints.truncate(shingled(docs)
+      // the compact (doc, hash, pos) frame, df-capped in ONE pass:
+      // q33's stopword-gram discipline (shingles shared by > 20 docs
+      // are common phrasing, not duplication, and their posting lists
+      // explode quadratically) lands as a count window in the same
+      // shuffle that brings the frame together by hash — no separate
+      // df aggregate + semi-join + second materialization (the round-4
+      // floor analysis found q191's cost was stage overhead, not data)
+      // partitioning by h up front serves BOTH the (doc,h) aggregate
+      // (h-clustering is a valid distribution for a (doc,h) group) and
+      // the df window — one exchange instead of two
+      val capped = Checkpoints.truncate(shingled(docs)
         .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("h"))
-        .groupBy(col("doc_id"), col("h")).agg(min(col("pos")).as("pos")))
-      // q33's stopword-gram discipline: shingles shared by > 20 docs
-      // are evidence of common phrasing, not duplication, and their
-      // posting lists explode quadratically — cap before pairing
-      val keep = dedupH.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select(col("h"))
-      // both pair sides read the capped postings — materialize the
-      // semi-join once on top of the already-truncated hash frame
-      val capped = Checkpoints.truncate(
-        dedupH.join(keep, Seq("h"), "left_semi"))
+        .repartition(col("h"))
+        .groupBy(col("doc_id"), col("h")).agg(min(col("pos")).as("pos"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("df") <= 20)
+        .select(col("doc_id"), col("h"), col("pos")))
+      // evidence keep-set: the capped hashes themselves (small after
+      // the cap), instead of re-deriving df from scratch
+      val keep = capped.select(col("h")).distinct()
       val top = capped.select(col("doc_id").as("id_a"), col("h"))
         .join(capped.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
         .filter(col("id_a") < col("id_b"))
