@@ -457,8 +457,14 @@ object Dedup {
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")
+    lastCcRounds = i
     labels.select(col("id"), col("lbl").as("component"))
   }
+
+  /** Rounds used by the most recent [[connectedComponents]] call on
+    * this JVM — diagnostic only (scaling harness reads it to tell
+    * "more rounds" from "slower rounds" across scale factors). */
+  @volatile private[graft] var lastCcRounds: Int = 0
 
   // ------------------------------------------------- embedding near-dup
 
@@ -472,7 +478,15 @@ object Dedup {
                        maxIdGap: Option[Long] = None): DataFrame = {
     val prepped = embs.select(col(idCol).cast(LongType).as("id"),
       col(blockCol).as("blk"), col(vecCol).as("v"))
-    val a = prepped.as("a"); val b = prepped.as("b")
+    // pre-partition the probe side by block: pair generation is the
+    // CPU-heavy stage (per-bucket cosine mass never shuffles), and
+    // under a broadcast join its parallelism would otherwise be the
+    // INPUT FILE COUNT — a 2-file table probes on 2 cores no matter
+    // how many the cluster has. Hash-distributing on blk restores
+    // full-width parallelism; when both sides are big and Spark
+    // plans a sort-merge join instead, this exchange is the one the
+    // join needs anyway, so it costs nothing extra.
+    val a = prepped.repartition(col("blk")).as("a"); val b = prepped.as("b")
     val gapCond = maxIdGap
       .map(g => col("b.id") - col("a.id") <= g)
       .getOrElse(lit(true))
