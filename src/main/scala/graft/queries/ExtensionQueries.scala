@@ -222,7 +222,7 @@ object ExtensionQueries {
 
   /** documents ∪ near-dup mutants: every 7th doc re-appears with one
     * appended token and id+1,000,000. */
-  private[queries] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0).select(
       (col("doc_id") + 1000000L).as("doc_id"),

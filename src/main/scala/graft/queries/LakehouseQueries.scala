@@ -669,6 +669,55 @@ object LakehouseQueries {
       WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
       ORDER BY id_a, id_b"""))
 
+  /** q224 — PPJoin lossless-proof on a deterministic stratum: the
+    * SAME exact prefix-filtered join as q129, restricted to an
+    * md5-keyed decile of documents (the q52/q183 sampling
+    * discipline: stratum membership is a pure hash, so any engine
+    * draws the identical stratum). The hash key is the BASE id
+    * (doc_id mod 1e6) — the q137 cluster-safe rule: a dedup audit
+    * whose stratum splits a near-dup pair can never observe it, so
+    * docs and their +1e6 mutants co-stratify by construction; a real
+    * deployment strata by a grouping key it trusts (domain, URL
+    * host) or accepts the pair-split recall discount of a Bernoulli
+    * sample. q129's all-pairs oracle
+    * costs ~N^1.5 and stops being payable past bench scale; this
+    * query keeps the exactness audit alive at ANY corpus size —
+    * stratum pair mass is (N/10)^1.5, and the brute-force oracle
+    * reproduces it exactly. A hash-match here at gen-scale is the
+    * evidence that prefix pruning stays lossless on data 10-40× the
+    * fixture, where q129 itself is no longer re-checkable. */
+  private val q224 = QueryDef(
+    "q224_ppjoin_stratum",
+    (s, dir) => {
+      val stratum = ExtensionQueries.augmentedDocs(s, dir)
+        .filter(conv(substring(md5((col("doc_id") % 1000000L).cast("string")), 1, 15),
+          16, 10).cast(LongType) % 10 === 0)
+      graft.operators.Dedup.prefixFilterJoin(stratum, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH ${ExtensionQueries.augmentedDocsSql},
+      strat AS (
+        SELECT * FROM aug
+        WHERE CAST('0x' || substr(md5(CAST(doc_id % 1000000 AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 10 = 0),
+      toks AS (SELECT doc_id, $toksSql AS t FROM strat),
+      sh AS (SELECT doc_id AS id,
+                    list_distinct(${ExtensionQueries.shinglesSql}) AS shs
+             FROM toks),
+      e AS (SELECT id, len(shs) AS n, unnest(shs) AS s FROM sh),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, ANY_VALUE(a.n) AS n_a,
+               ANY_VALUE(b.n) AS n_b, COUNT(*) AS n_inter
+        FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id)
+      SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+             CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+             CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+      FROM pairs
+      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.6
+      ORDER BY id_a, id_b"""))
+
   /** q130 — duplicate-span detection (the exact-substring dedup
     * signal of "Deduplicating Training Data Makes Language Models
     * Better", Lee et al. 2022, arXiv 2107.06499, re-expressed
@@ -1504,30 +1553,65 @@ object LakehouseQueries {
     * codegen expression and oracle-checked character-for-character
     * against DuckDB's `jaro_winkler_similarity`. Candidate pairs
     * come from a sorted-neighborhood window over sampled part names
-    * (the q140 blocking pattern — linear candidate mass); at scale
-    * the window ranks per block key instead of globally. */
+    * (the q140 blocking pattern — linear candidate mass), ranked PER
+    * NAME-PREFIX BLOCK — not globally — so the big window is a
+    * partitioned exchange that parallelizes across blocks at any
+    * scale. Because a block key that is a prefix function of the sort
+    * key partitions the sorted sequence into contiguous runs,
+    * within-block lead() pairs plus cross-boundary pairs stitched
+    * from each block's first/last two rows reproduce EXACTLY the
+    * global sorted-neighborhood pair set (every element between a
+    * cross-boundary pair at offset ≤2 is itself a block head or tail,
+    * so offsets are preserved in the reduced frame). The one global
+    * window left runs over that boundary frame — bounded by 4 rows
+    * per block, independent of corpus size. The oracle deliberately
+    * stays in the GLOBAL rank formulation: the hash-match is the
+    * proof that the block-keyed decomposition loses/invents no pair. */
   private val q149 = QueryDef(
     "q149_jaro_winkler_linkage",
     (s, dir) => {
       import graft.functions.JaroWinklerExpr.jaro_winkler
       import org.apache.spark.sql.expressions.Window
-      // neighbor pairs via lead() on the rank window, NOT a rank-range
+      // neighbor pairs via lead() on rank windows, NOT a rank-range
       // theta join: `rb > ra AND rb <= ra + 2` plans a nested-loop
       // join (O(N²) compares — measured ×63 wall at ×10 data in
-      // SCALING.md), while two leads are one linear window pass over
-      // the same sorted run producing the identical pair set
-      val w = Window.orderBy(col("p_name"), col("p_partkey"))
-      table(s, dir, "part")
+      // SCALING.md), while leads are one linear window pass over
+      // the same sorted runs producing the identical pair set
+      val base = table(s, dir, "part")
         .filter(col("p_partkey") % 20 === 0)
-        .select(col("p_partkey"), col("p_name"))
-        .withColumn("nbrs", array(
-          struct(lead(col("p_partkey"), 1).over(w).as("b_key"),
-            lead(col("p_name"), 1).over(w).as("b_name")),
-          struct(lead(col("p_partkey"), 2).over(w).as("b_key"),
-            lead(col("p_name"), 2).over(w).as("b_name"))))
+        .select(col("p_partkey"), col("p_name"),
+          substring(col("p_name"), 1, 7).as("blk"))
+      val wb = Window.partitionBy(col("blk"))
+        .orderBy(col("p_name"), col("p_partkey"))
+      val ranked = base
+        .withColumn("rn", row_number().over(wb))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("blk"))))
+        .withColumn("l1", struct(lead(col("p_partkey"), 1).over(wb).as("b_key"),
+          lead(col("p_name"), 1).over(wb).as("b_name")))
+        .withColumn("l2", struct(lead(col("p_partkey"), 2).over(wb).as("b_key"),
+          lead(col("p_name"), 2).over(wb).as("b_name")))
+      val within = ranked
         .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-          explode(col("nbrs")).as("b"))
+          explode(array(col("l1"), col("l2"))).as("b"))
         .filter(col("b.b_key").isNotNull)
+      // boundary stitch: ≤4 rows per block (first two + last two), so
+      // this global window is over a block-count-bounded frame
+      val wg = Window.orderBy(col("p_name"), col("p_partkey"))
+      val cross = ranked
+        .filter(col("rn") <= 2 || col("rn") > col("cnt") - 2)
+        .select(col("p_partkey"), col("p_name"), col("blk"))
+        .withColumn("g1", struct(lead(col("p_partkey"), 1).over(wg).as("b_key"),
+          lead(col("p_name"), 1).over(wg).as("b_name"),
+          lead(col("blk"), 1).over(wg).as("b_blk")))
+        .withColumn("g2", struct(lead(col("p_partkey"), 2).over(wg).as("b_key"),
+          lead(col("p_name"), 2).over(wg).as("b_name"),
+          lead(col("blk"), 2).over(wg).as("b_blk")))
+        .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+          col("blk"), explode(array(col("g1"), col("g2"))).as("b"))
+        .filter(col("b.b_key").isNotNull && col("b.b_blk") =!= col("blk"))
+        .select(col("a_key"), col("a_name"),
+          struct(col("b.b_key").as("b_key"), col("b.b_name").as("b_name")).as("b"))
+      within.unionByName(cross)
         .withColumn("jw", round(jaro_winkler(col("a_name"), col("b.b_name")), 6))
         .filter(col("jw") >= 0.5)
         .select(col("a_key"), col("b.b_key").as("b_key"), col("jw"))
@@ -1641,5 +1725,6 @@ object LakehouseQueries {
   val all: Seq[QueryDef] =
     Seq(q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
       q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q139,
-      q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+      q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+      q224)
 }

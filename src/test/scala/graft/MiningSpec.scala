@@ -119,6 +119,37 @@ class MiningSpec extends SparkSpec {
     assert(got == Map(2L -> 1L, 3L -> 1L, 5L -> 4L))
   }
 
+  test("semanticDedup window-128 refinement: measured recall vs brute-force within-cell") {
+    // A corpus big enough that the rank window BINDS: 14,400 sphere-
+    // uniform vectors (ScaleGen's fixture distribution) + every-5th
+    // near-dup mutants (q75's augmentation) over ≤40 seeded cells →
+    // ~430 members/cell, 3.4× the window. Brute force = the same
+    // operator with the window wider than any cell, i.e. exact
+    // all-pairs-within-cell SemDeDup.
+    val base = ScaleGen.embeddingsDf(spark, 14400L)
+      .select(col("vec_id"), col("embedding"))
+    val aug = base.unionByName(base.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x.cast("double") * 1.01).as("embedding")))
+    val cents = Clustering.seedCentroids(base, 50)
+      .select(col("c_id"), transform(col("c_v"), x => x.cast("double")).as("c_v"))
+    def removed(window: Int): Set[Long] =
+      Clustering.semanticDedup(aug, cents, threshold = 0.95, window = window)
+        .select("removed_id").as[Long].collect().toSet
+    val exact = removed(1 << 24)
+    val windowed = removed(128)
+    assert(exact.nonEmpty, "degenerate corpus: brute force removed nothing")
+    val recall = (windowed & exact).size.toDouble / exact.size
+    info(f"semanticDedup window=128 recall vs brute force: $recall%.4f " +
+      s"(${(windowed & exact).size}/${exact.size} removed ids)")
+    // docstring claim: near-identical vectors have near-identical
+    // centroid cosines, so a true ≥0.95 pair >128 ranks apart is
+    // vanishingly rare — measured here, not argued
+    assert(recall >= 0.99, f"windowed recall $recall%.4f below 0.99")
+    // restriction ⇒ no invented removals
+    assert((windowed -- exact).isEmpty, "windowed removed ids not in exact set")
+  }
+
   test("misraGries retains every item above the frequency guarantee") {
     val stream = Seq.fill(400)("hot") ++ Seq.tabulate(300)(i => s"cold$i") ++
       Seq.fill(200)("warm")

@@ -329,4 +329,51 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set(Checkpoints.ReliableConf, "false")
     }
   }
+
+  test("q149 block-keyed windows: partitioned big window, bounded boundary frame, " +
+    "pair set equals the global formulation") {
+    import graft.functions.JaroWinklerExpr.jaro_winkler
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    val q149 = SparkEntry.queries("q149_jaro_winkler_linkage")
+    val df = q149(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-sized window ranks per name-prefix block: its exchange
+    // hash-partitions on blk, so it parallelizes at any scale
+    assert(plan.contains("hashpartitioning(blk"),
+      s"expected a blk-partitioned window exchange:\n${plan.take(1200)}")
+    // the one remaining global window runs over the boundary frame only,
+    // which is bounded by 4 rows per block regardless of corpus size
+    val base = spark.read.parquet(s"$dir/part.parquet")
+      .filter($"p_partkey" % 20 === 0)
+      .select($"p_partkey", $"p_name", substring($"p_name", 1, 7).as("blk"))
+    val nBlocks = base.select(countDistinct($"blk")).head().getLong(0)
+    val wb = Window.partitionBy($"blk").orderBy($"p_name", $"p_partkey")
+    val boundaryRows = base
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"blk")))
+      .filter($"rn" <= 2 || $"rn" > $"cnt" - 2)
+      .count()
+    assert(boundaryRows <= 4 * nBlocks,
+      s"boundary frame $boundaryRows rows > 4 x $nBlocks blocks")
+    // lossless decomposition: identical pair set to the one global
+    // sorted-neighborhood window (the formulation the oracle uses)
+    val wg = Window.orderBy($"p_name", $"p_partkey")
+    val global = base
+      .withColumn("nbrs", array(
+        struct(lead($"p_partkey", 1).over(wg).as("b_key"),
+          lead($"p_name", 1).over(wg).as("b_name")),
+        struct(lead($"p_partkey", 2).over(wg).as("b_key"),
+          lead($"p_name", 2).over(wg).as("b_name"))))
+      .select($"p_partkey".as("a_key"), $"p_name".as("a_name"),
+        explode($"nbrs").as("b"))
+      .filter($"b.b_key".isNotNull)
+      .withColumn("jw", round(jaro_winkler($"a_name", $"b.b_name"), 6))
+      .filter($"jw" >= 0.5)
+      .select($"a_key", $"b.b_key".as("b_key"), $"jw")
+    val got = df.as[(Long, Long, Double)].collect().sorted.toSeq
+    val want = global.as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == want, s"pair sets differ: ${got.size} vs ${want.size} rows")
+    assert(got.nonEmpty)
+  }
 }

@@ -37,8 +37,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if "--skip-verify" not in FLAGS:
+    names = " " + " ".join(ONLY) if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{names}'],
         capture_output=True, text=True, cwd="/root/repo")
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
@@ -47,7 +48,9 @@ if "--skip-verify" not in FLAGS:
 con = duckdb.connect()
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
-    if Path(p).exists():
+    if Path(p).is_dir():  # ScaleGen writes directory-style parquet
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif Path(p).exists():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
