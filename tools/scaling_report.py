@@ -62,14 +62,15 @@ def slope(xs, ys):
 
 def main():
     path = os.path.join(REPO, "target", "scaling.jsonl")
-    best = {}
+    best, diverse = {}, {}
     for line in open(path):
         r = json.loads(line)
         if "error" in r:
             continue
         key = (r["query"], sf_of(r["dir"]))
-        if key not in best or r["sec"] < best[key]["sec"]:
-            best[key] = r
+        tgt = diverse if "diverse" in r["dir"] else best
+        if key not in tgt or r["sec"] < tgt[key]["sec"]:
+            tgt[key] = r
     queries = sorted({q for q, _ in best})
     extra_sfs = sorted({s for _, s in best if s not in BASE_SFS})
 
@@ -123,6 +124,29 @@ def main():
         for q in queries:
             pts = sorted((s, best[(q, s)]) for s in [1.0] + extra_sfs
                          if (q, s) in best)
+            for (s0, c0), (s1, c1) in zip(pts, pts[1:]):
+                rr = c1["shuffle_records"] / max(c0["shuffle_records"], 1)
+                e = math.log(rr) / math.log(s1 / s0)
+                print(f"| {q} | sf{s0:g}→sf{s1:g} | x{rr:.2f} | {e:.2f} "
+                      f"| {c1['sec']:.2f} | {c1['rows']:,} |")
+        print()
+
+    if diverse:
+        print("## Diverse-vocabulary control corpus (graft.DiverseGen)")
+        print()
+        print("Same doc-length and dup-injection structure as the fixture but")
+        print("the vocabulary grows with the corpus (like real text), so the")
+        print("3-shingle space does NOT saturate. Per-doubling record")
+        print("exponents for the uncapped exact queries — the control for the")
+        print("claim that their sf2-sf4 drift on the fixture corpus is shingle-")
+        print("space saturation, not operator design:")
+        print()
+        print("| query | span | rec ratio | rec-exp | sec | rows |")
+        print("|---|---|---|---|---|---|")
+        dqueries = sorted({q for q, _ in diverse})
+        for q in dqueries:
+            pts = sorted((s, diverse[(q, s)]) for s in {s for _, s in diverse}
+                         if (q, s) in diverse)
             for (s0, c0), (s1, c1) in zip(pts, pts[1:]):
                 rr = c1["shuffle_records"] / max(c0["shuffle_records"], 1)
                 e = math.log(rr) / math.log(s1 / s0)
