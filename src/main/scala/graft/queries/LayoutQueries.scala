@@ -130,9 +130,15 @@ object LayoutQueries {
         .orderBy(col("node"))
     },
     Some {
+      // each round references the previous round TWICE — without
+      // MATERIALIZED, DuckDB inlines both references and the plan
+      // tree doubles per round (2^8 copies of the base join; measured
+      // as a >70 GB temp-spill abort at gen-sf0.25). Materializing
+      // keeps the oracle linear in rounds, exactly like the Spark
+      // side's per-round truncation.
       val rounds = (1 to 8).map { i =>
         val prev = if (i == 1) "n0" else s"n${i - 1}"
-        s"""n$i AS (
+        s"""n$i AS MATERIALIZED (
             SELECT ed.v, COUNT(*) AS deg
             FROM ed
             JOIN $prev pa ON ed.v = pa.v
@@ -143,9 +149,9 @@ object LayoutQueries {
       WITH e0 AS (
         SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      ed AS (SELECT a AS v, b AS u FROM e0
+      ed AS MATERIALIZED (SELECT a AS v, b AS u FROM e0
              UNION ALL SELECT b AS v, a AS u FROM e0),
-      n0 AS (SELECT DISTINCT v FROM ed),
+      n0 AS MATERIALIZED (SELECT DISTINCT v FROM ed),
       $rounds
       SELECT v AS node, CAST(deg AS BIGINT) AS deg
       FROM n8 ORDER BY node"""
