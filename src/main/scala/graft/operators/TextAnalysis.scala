@@ -245,6 +245,41 @@ object TextAnalysis {
     * symbol array — the BPE rewrite step, as a pure fold (no UDF):
     * state carries (output, held symbol); a held `a` followed by `b`
     * emits the merged token, anything else flushes the held symbol. */
+  /** Apply a whole INTERFERENCE-FREE merge batch in one greedy
+    * left-to-right fold: `(carry, next) ∈ rules` → emit the merged
+    * token, else emit the carry. Correctness requires what
+    * [[bpeTrain]]'s taboo set enforces — no two rules in the batch
+    * share a symbol and no rule's side equals another's merged
+    * output — under which disjoint rules commute and one scan equals
+    * chained single-rule application in any order. Rules ride as a
+    * literal MAP keyed by `"a b"` (space-joined; symbols come from
+    * whitespace tokenization so cannot contain a space) (one hash probe per adjacency,
+    * vs one nested fold per rule before). */
+  private def mergeBatch(syms: org.apache.spark.sql.Column,
+                         rules: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val sep = " "
+    val m = map(rules.flatMap { case (a, b) =>
+      Seq(lit(a + sep + b), lit(a + b))
+    }: _*)
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("carry")),
+      (acc, x) => {
+        val carry = acc.getField("carry")
+        val out = acc.getField("out")
+        val merged = element_at(m, concat(carry, lit(sep), x))
+        when(carry.isNull, struct(out.as("out"), x.as("carry")))
+          .when(merged.isNotNull,
+            struct(concat(out, array(merged)).as("out"),
+              lit(null).cast("string").as("carry")))
+          .otherwise(
+            struct(concat(out, array(carry)).as("out"), x.as("carry")))
+      },
+      acc => when(acc.getField("carry").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("carry")))))
+  }
+
   private def mergePair(syms: org.apache.spark.sql.Column, a: String,
                         b: String): org.apache.spark.sql.Column = {
     val (qa, qb) = (lit(a), lit(b))
@@ -524,15 +559,21 @@ object TextAnalysis {
         batch.foreach { case (a, b, c) =>
           merges += ((merges.size + 1L, a, b, c))
         }
-        // chained greedy rewrites — identical to applying the merges
-        // one at a time; chunked so no single expression tree nests
-        // more than a handful of fold states
-        batch.grouped(8).foreach { chunk =>
-          val rewritten = chunk.foldLeft(words) { case (acc, (a, b, _)) =>
-            acc.select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
-          }
-          words = Checkpoints.truncate(rewritten)
-        }
+        // one-scan batch rewrite — identical to applying the merges
+        // one at a time BECAUSE the batch is interference-free: the
+        // taboo set guarantees no two accepted rules share a symbol
+        // and no rule consumes another's merged output, so
+        // disjoint-symbol rules commute and a single greedy
+        // left-to-right pass with a map lookup equals any chained
+        // order (BpeSpec re-proves batched ≡ sequential end-to-end).
+        // Previously this chained 8-rule folds with a checkpoint per
+        // chunk — 32 sequential materializations of the words table
+        // per 256-merge round, which priced an 8192-merge run at
+        // hours; one pass + one truncation per round removes that.
+        words = Checkpoints.truncate(
+          words.select(col("freq"),
+            mergeBatch(col("syms"), batch.map(r => (r._1, r._2)).toSeq)
+              .as("syms")))
       }
     }
     lastTrainRounds = rounds
