@@ -430,9 +430,11 @@ object HygieneQueries {
     (s, dir) => {
       val c = table(s, dir, "customer")
       val n = c.agg(count(lit(1)).as("n"))
-      val ranked = c
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast(LongType))
+      // global balance rank via range-partitioned zipWithIndex (the
+      // q215/q219 discipline) — a row_number() window here would drag
+      // every customer through ONE partition at any scale
+      val ranked = graft.operators.Ids
+        .addContiguousIds(c, Seq(col("c_acctbal"), col("c_custkey")), "rk")
         .crossJoin(broadcast(n))
         .withColumn("decile", expr("((rk - 1) * 10L) div n"))
       ranked.groupBy(col("c_nationkey"), col("c_mktsegment"), col("decile"))

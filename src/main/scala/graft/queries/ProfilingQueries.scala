@@ -263,13 +263,21 @@ object ProfilingQueries {
           "").as("seq"))
         .select(col("user_id"), col("seq"),
           length(col("seq")).cast(LongType).as("len"))
-      val ranked = seq0.withColumn("rk", row_number().over(
-        Window.orderBy(col("len"), col("user_id"))).cast(LongType))
+      // rank via range-partitioned zipWithIndex, neighbor pairs via
+      // the two-bucket trick (bucket = own + previous) — the
+      // rank-range theta join this replaced planned as a broadcast
+      // nested-loop (O(N²) compares, the q149 failure mode), and the
+      // row_number() window dragged every user through one partition
+      val ranked = graft.operators.Ids.addContiguousIds(seq0,
+        Seq(col("len"), col("user_id")), "rk")
+      val blk = floor((col("rk") - 1) / 3).cast(LongType)
       val a = ranked.select(col("user_id").as("id_a"), col("seq").as("sa"),
-        col("len").as("la"), col("rk").as("ra"))
+        col("len").as("la"), col("rk").as("ra"),
+        explode(array(blk, blk + 1L)).as("probe"))
       val b = ranked.select(col("user_id").as("id_b"), col("seq").as("sb"),
-        col("len").as("lb"), col("rk").as("rb"))
-      a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + 3)
+        col("len").as("lb"), col("rk").as("rb"), blk.as("probe"))
+      a.join(b, Seq("probe"))
+        .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= 3)
         .select(col("id_a"), col("id_b"), col("la"), col("lb"),
           levenshtein(col("sa"), col("sb")).cast(LongType).as("dist"))
         .withColumn("sim_ppm",
