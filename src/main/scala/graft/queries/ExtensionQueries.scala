@@ -142,7 +142,15 @@ object ExtensionQueries {
   /** q49 — gap sessionization via Spark's BUILT-IN `session_window`
     * operator (the Spark-first twin of q22's manual lag+cumsum
     * formulation; same shuffle shape, one groupBy on user_id). Window
-    * end is exclusive: last event + gap. */
+    * end is exclusive: last event + gap — and that exclusivity is a
+    * REAL boundary semantic: an event arriving at EXACTLY
+    * previous + gap starts a NEW session here, while q22's manual
+    * `Δ > gap` predicate merges it. The two formulations agree on
+    * every non-boundary gap and deliberately differ on the exact-gap
+    * tie; the oracle mirrors each one's own rule (`>=` here, `>` in
+    * q22). Found by the round-6 full-registry sweep at gen-sf0.5 —
+    * the first corpus with an exact 30:00.000 inter-event gap (one
+    * session in 477k). */
   private val q49 = QueryDef(
     "q49_session_window",
     (s, dir) => eventsTable(s, dir)
@@ -159,7 +167,7 @@ object ExtensionQueries {
       WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       f AS (
         SELECT *, CASE WHEN prev IS NULL
-                       OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+                       OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
                   THEN 1 ELSE 0 END AS is_new
         FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
       s AS (
