@@ -41,6 +41,8 @@ NOTES = {
     "q157_kcore_peel": "iterative peel; rounds grow slowly with sf",
     "q191_dedup_evidence": "df cap folded into one window pass",
     "q192_bfs_levels": "frontier BFS; edge scans per level",
+    "q186_k_anonymity": "zipWithIndex rank; no single-partition window (round 6)",
+    "q193_behavior_alignment": "two-bucket rank pairs; was a nested-loop theta join (round 6)",
     "q195_basket_pairs": "support-capped co-purchase pairs",
     "q204_winnow_fingerprints": "winnowing + df<=20 boilerplate mask",
     "q211_link_prediction": "hub-capped wedge generation",
