@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Contiguous surrogate-key assignment without a single-partition
@@ -55,5 +56,31 @@ object Ids {
       Row.fromSeq(r.toSeq :+ (offset + i + 1L))
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Exact SQL `NTILE(k)` bucket computed from a 1-based contiguous
+    * global rank instead of a single-partition window.
+    *
+    * NTILE(k) over n rows deals the first `n % k` buckets
+    * `ceil(n / k)` rows and the remaining buckets `floor(n / k)` —
+    * so for rank r the bucket is pure arithmetic in (r, n, k). Paired
+    * with [[addContiguousIds]] (range-partitioned rank), this gives
+    * bit-identical NTILE semantics with no corpus-sized frame ever
+    * passing through one task: the `ntile(k).over(Window.orderBy(…))`
+    * formulation collapses the whole frame onto a single partition,
+    * which serializes at 100 TB; rank + arithmetic scales with
+    * executors. `rank` and `n` must be BIGINT-safe (< 2⁵³ for the
+    * intermediate double divisions — row counts always are).
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val m = pmod(n, lit(k.toLong))                 // buckets with the extra row
+    val q = ((n - m) / k).cast(LongType)           // base bucket size floor(n/k)
+    val t = m * (q + lit(1L))                      // rows in the fat buckets
+    when(rank <= t, floor((rank - lit(1L)) / (q + lit(1L))) + lit(1L))
+      // greatest(q, 1): when q = 0 every row satisfies rank <= t, so
+      // the branch is never taken — the guard only keeps the division
+      // total under ANSI evaluation
+      .otherwise(m + floor((rank - t - lit(1L)) / greatest(q, lit(1L))) + lit(1L))
+      .cast(LongType)
   }
 }

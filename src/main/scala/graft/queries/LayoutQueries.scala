@@ -30,13 +30,22 @@ object LayoutQueries {
     * arithmetic; ntile over a unique total order on both engines.
     *
     * At 100 TB the binning is a write-time `repartitionByRange` on
-    * the Morton key (the audit's ntile stands in for the range
-    * partitioner at test scale); min/max zone maps are what parquet
-    * row-group statistics give every reader for free — so files_hit
-    * IS the fraction of the table a selective scan touches. Z-order
-    * bounds BOTH dimensions per file (each file spans a curve
-    * segment), the linear layout bounds only x, insertion order
-    * bounds neither. */
+    * the Morton key; min/max zone maps are what parquet row-group
+    * statistics give every reader for free — so files_hit IS the
+    * fraction of the table a selective scan touches. Z-order bounds
+    * BOTH dimensions per file (each file spans a curve segment), the
+    * linear layout bounds only x, insertion order bounds neither.
+    *
+    * Scale shape: the oracle's three `ntile(32) OVER (ORDER BY …)`
+    * windows would each serialize the ENTIRE orders table through one
+    * task. The Spark side instead bins via a range-partitioned global
+    * rank ([[graft.operators.Ids.addContiguousIds]] — exactly the
+    * `repartitionByRange` the audit models, with zipWithIndex making
+    * the bin boundaries deterministic rather than sample-approximate)
+    * plus [[graft.operators.Ids.ntileFromRank]] arithmetic: NTILE-
+    * identical bins (oracle unchanged, hash-exact), three parallel
+    * range sorts, no single-partition frame. [[graft.LakehouseSpec]]
+    * pins result ≡ the window formulation and the plan shape. */
   private val zbits = 5
   private val zSql: String = (0 until zbits).map(b =>
     s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
@@ -44,8 +53,10 @@ object LayoutQueries {
 
   private def layoutSummary(base: DataFrame, layout: String,
                             ord: Seq[Column]): DataFrame = {
-    val f = ntile(32).over(Window.orderBy(ord: _*))
-    base.withColumn("f", f)
+    val ranked = graft.operators.Ids.addContiguousIds(base, ord, "rk")
+    val n = broadcast(ranked.groupBy().agg(count(lit(1)).as("n_rows")))
+    ranked.crossJoin(n)
+      .withColumn("f", graft.operators.Ids.ntileFromRank(col("rk"), col("n_rows"), 32))
       .groupBy(col("f"))
       .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"),

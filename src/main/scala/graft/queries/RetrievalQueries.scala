@@ -4,7 +4,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.TextFunctions
-import graft.operators.Similarity
 import graft.queries.ExtensionQueries.{cosSql, toksSql}
 import graft.queries.QueryDef.{eventsTable, table}
 
@@ -30,11 +29,17 @@ object RetrievalQueries {
     * means the hybrid ranking is bit-identical in any engine.
     *
     * Plan shape: the lexical side shuffles only matching postings
-    * (token filter BEFORE explode) and ranks the tiny match set; the
-    * semantic side is one broadcast-query corpus pass (q35's shape).
-    * The fusion join keys on doc_id — at 100 TB both inputs arrive
-    * already ranked and small (top-k per system), so the fused join
-    * is a broadcast of two rank lists, never a corpus shuffle. */
+    * (token filter BEFORE explode); the semantic side is one
+    * broadcast-query corpus pass (q35's shape). Both rankings need
+    * EXACT global ranks (the fused output reports them), so neither
+    * can be top-k-truncated without changing the query — instead each
+    * rank comes from [[graft.operators.Ids.addContiguousIds]] (range-
+    * partitioned sort + zipWithIndex), never a global `row_number`
+    * window: for a high-df term the lexical match set — and always
+    * the semantic corpus pass — is corpus-proportional, and the
+    * window form would serialize it through one task. Oracles stay in
+    * window form and hash-match; [[graft.ServingSpec]] pins the
+    * no-single-partition plan shape. */
   private val hybridTerms = Seq("spark", "vector", "stream")
 
   private val q153 = QueryDef(
@@ -59,15 +64,23 @@ object RetrievalQueries {
           expr("(1000000L * (2L * n - 2L * df + 1L)) div (2L * df + 1L)"))
         .withColumn("term_score", expr("(si * wi) div 1000000L"))
         .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score"))
-      // the ranked frame is the match set (tiny), not the corpus
-      val lex = lexScore.withColumn("lex_rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
-          .cast(LongType))
+      val lex = graft.operators.Ids
+        .addContiguousIds(lexScore, Seq(col("score").desc, col("doc_id")), "lex_rank")
         .select(col("doc_id"), col("lex_rank"))
+      // single query ⇒ bruteForceTopK's per-query window would hold
+      // the whole corpus in one partition; score inline and rank with
+      // the same range-partitioned discipline as the lexical side
       val e = table(s, dir, "embeddings")
-      val sem = Similarity
-        .bruteForceTopK(e, e.filter(col("vec_id") === 0), k = Int.MaxValue)
-        .select(col("n_id").as("doc_id"), col("rank").as("sem_rank"))
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("vec_id").cast(LongType).as("q_id"), col("embedding").as("q_v")))
+      val semScored = e
+        .select(col("vec_id").cast(LongType).as("n_id"), col("embedding").as("n_v"))
+        .join(qv, col("q_id") =!= col("n_id"))
+        .select(col("n_id"),
+          graft.functions.VectorFunctions.cosine(col("q_v"), col("n_v")).as("cos"))
+      val sem = graft.operators.Ids
+        .addContiguousIds(semScored, Seq(col("cos").desc, col("n_id")), "sem_rank")
+        .select(col("n_id").as("doc_id"), col("sem_rank"))
       lex.join(sem, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),

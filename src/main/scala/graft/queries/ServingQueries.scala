@@ -231,12 +231,19 @@ object ServingQueries {
     * quintiles per customer), the classic serving-mart scoring query.
     * Metrics aggregate exactly (dates, counts, DECIMAL money); the
     * quintiles are NTILE(5) over total orders (metric, custkey) so
-    * ties break deterministically. The ntile runs on the POST-
-    * aggregation frame (one row per customer); at 100 TB-scale
-    * customer counts the same scores come from rank over a range-
-    * partitioned sort (Spark's global orderBy) against broadcast
-    * quintile boundaries — the metric aggregation, which carries all
-    * the data volume, is unchanged. */
+    * ties break deterministically.
+    *
+    * Scale shape: the oracle's three `NTILE(5) OVER (ORDER BY …)`
+    * windows would each serialize the whole per-customer frame (which
+    * grows with the corpus) through ONE task. Instead each quintile
+    * comes from a range-partitioned global rank
+    * ([[graft.operators.Ids.addContiguousIds]] — the q186 discipline)
+    * plus [[graft.operators.Ids.ntileFromRank]] arithmetic against
+    * the broadcast row count: bit-identical NTILE semantics (the
+    * oracle stays in window form and hash-matches), three parallel
+    * range sorts, no single-partition frame anywhere.
+    * [[graft.ServingSpec]] pins result ≡ the window formulation and
+    * the absence of Window/SinglePartition operators in the plan. */
   private val q106 = QueryDef(
     "q106_rfm_segments",
     (s, dir) => {
@@ -245,11 +252,20 @@ object ServingQueries {
         .agg(max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
           count(lit(1)).as("frequency"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m_dec"))
-      def quintile(order: org.apache.spark.sql.Column*) =
-        ntile(5).over(Window.orderBy(order: _*)).cast(LongType)
-      m.withColumn("r_q", quintile(col("last_ms").desc, col("o_custkey")))
-        .withColumn("f_q", quintile(col("frequency").desc, col("o_custkey")))
-        .withColumn("m_q", quintile(col("m_dec").desc, col("o_custkey")))
+      val Ids = graft.operators.Ids
+      val ranked = Ids.addContiguousIds(
+        Ids.addContiguousIds(
+          Ids.addContiguousIds(m,
+            Seq(col("last_ms").desc, col("o_custkey")), "r_rk"),
+          Seq(col("frequency").desc, col("o_custkey")), "f_rk"),
+        Seq(col("m_dec").desc, col("o_custkey")), "m_rk")
+      // the count branch re-reads the final zipWithIndex RDD (persisted
+      // parent) — one cheap pass, not a recomputation of the aggregate
+      val n = broadcast(ranked.groupBy().agg(count(lit(1)).as("n_rows")))
+      ranked.crossJoin(n)
+        .withColumn("r_q", Ids.ntileFromRank(col("r_rk"), col("n_rows"), 5))
+        .withColumn("f_q", Ids.ntileFromRank(col("f_rk"), col("n_rows"), 5))
+        .withColumn("m_q", Ids.ntileFromRank(col("m_rk"), col("n_rows"), 5))
         .select(col("o_custkey"), col("last_ms"), col("frequency"),
           col("m_dec").cast(DoubleType).as("monetary"),
           col("r_q"), col("f_q"), col("m_q"),

@@ -46,6 +46,23 @@ class IdsSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length == a.length)
   }
 
+  test("ntileFromRank is bit-identical to the NTILE window for every (n, k) shape") {
+    import org.apache.spark.sql.expressions.Window
+    // covers n < k, n = k, n % k = 0, and both fat/thin bucket mixes
+    for (k <- Seq(5, 32); n <- Seq(1, 3, k - 1, k, k + 1, 2 * k + 3, 100, 101, 1500)) {
+      val df = spark.range(n).select($"id".as("key")).repartition(4)
+      val want = df.withColumn("t",
+        ntile(k).over(Window.orderBy($"key")).cast("long"))
+        .select("key", "t").as[(Long, Long)].collect().toMap
+      val ranked = Ids.addContiguousIds(df, Seq(col("key")), "rk")
+      val got = ranked.crossJoin(
+          broadcast(ranked.groupBy().agg(count(lit(1)).as("n_rows"))))
+        .select($"key", Ids.ntileFromRank($"rk", $"n_rows", k).as("t"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n k=$k: $got vs $want")
+    }
+  }
+
   test("distinct ids under skewed multi-column ordering") {
     val df = Seq(("a", 3), ("a", 1), ("b", 2), ("a", 2), ("b", 1))
       .toDF("g", "k")

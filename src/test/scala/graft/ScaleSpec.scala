@@ -330,6 +330,93 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q106/q156/q153: no Window or SinglePartition exchange survives in any plan") {
+    // round-6 verdict's two `weak` queries (three global ntile windows
+    // each) plus the q153 global row_number nit: all corpus-frame
+    // ranks now come from Ids.addContiguousIds (range partition +
+    // zipWithIndex) + ntileFromRank arithmetic, so the executed plans
+    // must carry NO window operator and NO single-partition exchange
+    // at all (the final orderBy plans as rangepartitioning /
+    // TakeOrderedAndProject)
+    for (q <- Seq("q106_rfm_segments", "q156_zorder_skipping", "q153_rrf_hybrid")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Window"),
+        s"$q must not plan a window:\n${plan.take(900)}")
+      // a SinglePartition exchange is only legitimate under a scalar
+      // aggregate, where the partial aggregate collapses each input
+      // partition to ONE row before the exchange — never for data
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val child = lines.lift(i + 1).getOrElse("")
+          assert(child.contains("HashAggregate") && child.contains("partial_"),
+            s"$q: SinglePartition exchange over non-aggregated data:\n" +
+              lines.slice(i - 2, i + 3).mkString("\n"))
+        }
+    }
+  }
+
+  test("q106 quintiles and q156 bins are bit-identical to the global NTILE windows") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    // q106: the oracle's three NTILE(5) windows, rebuilt in Spark —
+    // the rank+arithmetic form must reproduce them exactly (15000
+    // orders / 1500 customers: n % 5 = 0 here; non-divisible shapes
+    // are pinned by IdsSpec's (n, k) grid)
+    val m = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy($"o_custkey")
+      .agg(max(unix_millis($"o_orderdate".cast("timestamp"))).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("m_dec"))
+    def quint(order: org.apache.spark.sql.Column*) =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    val want106 = m
+      .withColumn("r_q", quint($"last_ms".desc, $"o_custkey"))
+      .withColumn("f_q", quint($"frequency".desc, $"o_custkey"))
+      .withColumn("m_q", quint($"m_dec".desc, $"o_custkey"))
+      .select($"o_custkey", $"r_q", $"f_q", $"m_q")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got106 = SparkEntry.queries("q106_rfm_segments")(spark, dir)
+      .select($"o_custkey", $"r_q", $"f_q", $"m_q")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got106 == want106 && got106.nonEmpty)
+
+    // q156: 15000 orders with 15000 % 32 = 24 — the fat/thin bucket
+    // mix is exercised; ntile binning vs rank arithmetic must agree
+    // on the final 3-row audit
+    val zSqlT = (0 until 5).map(b =>
+      s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderkey", ($"o_custkey" % 32).as("x"),
+        (dayofyear($"o_orderdate").cast("long") % 32).as("y"))
+      .withColumn("z", expr(zSqlT))
+      .withColumn("matched",
+        ($"x".between(8, 15) && $"y".between(8, 15)).cast("long"))
+    def ntileSummary(layout: String, ord: Seq[org.apache.spark.sql.Column]) =
+      base.withColumn("f", ntile(32).over(Window.orderBy(ord: _*)))
+        .groupBy($"f")
+        .agg(min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"),
+          sum($"matched").as("m"))
+        .agg(count(lit(1)).as("files_total"),
+          sum(($"min_x" <= 15 && $"max_x" >= 8 &&
+            $"min_y" <= 15 && $"max_y" >= 8).cast("long")).as("files_hit"),
+          sum($"m").as("rows_matched"))
+        .select(lit(layout).as("layout"), $"files_total", $"files_hit",
+          $"rows_matched")
+    val want156 = ntileSummary("a_insertion", Seq($"o_orderkey"))
+      .unionAll(ntileSummary("b_linear_x", Seq($"x", $"o_orderkey")))
+      .unionAll(ntileSummary("c_zorder", Seq($"z", $"o_orderkey")))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got156 = SparkEntry.queries("q156_zorder_skipping")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got156 == want156 && got156.size == 3)
+  }
+
   test("q149 block-keyed windows: partitioned big window, bounded boundary frame, " +
     "pair set equals the global formulation") {
     import graft.functions.JaroWinklerExpr.jaro_winkler
