@@ -48,12 +48,17 @@ object Bench {
     }
     val pass1 = named.map { case (name, fn) => name -> once(fn) }.toMap
     val pass2 = named.map { case (name, fn) => name -> once(fn) }.toMap
+    // >2x cold/warm disagreement (host steal) triggers a third sample;
+    // recorded separately so consumers reconciling the three maps can
+    // see why queries[q] may be below min(cold, warm)
+    val tiebreaks = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = named.map { case (name, fn) =>
       val (a, b) = (pass1(name), pass2(name))
       val best =
         if (a < 0 || b < 0) -1.0
         else if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) - math.min(a, b) > 0.5) {
           val c = once(fn)
+          tiebreaks(name) = c
           if (c < 0) math.min(a, b) else math.min(math.min(a, b), c)
         } else math.min(a, b)
       name -> best
@@ -67,8 +72,11 @@ object Bench {
     def passJson(p: Map[String, Double]) = named
       .map { case (name, _) => "\"" + name + "\":" + p(name) }
       .mkString("{", ",", "}")
+    val tbJson = tiebreaks
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_cold":${passJson(pass1)},"queries_warm":${passJson(pass2)},"sf":"$sfDir"}"""
+      s""""queries_cold":${passJson(pass1)},"queries_warm":${passJson(pass2)},""" +
+      s""""queries_tiebreak":$tbJson,"sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver captures a bounded tail of stdout, which
     // truncated the r03 artifact; the file survives regardless of log noise.

@@ -59,7 +59,13 @@ object CcDiag {
     }
     for (dir <- dirs) {
       val cs = cells(dir)
-      println(f"[cc-diag MIN] $dir: pairs=${cs.head.nPairs} " +
+      // pair/row counts are deterministic — if reps ever disagreed
+      // (a code or caching bug) the summary must say so, not silently
+      // print one rep's number
+      val pairCounts = cs.map(_.nPairs).distinct
+      require(pairCounts.size == 1,
+        s"[cc-diag] $dir: reps disagree on nPairs: $pairCounts")
+      println(f"[cc-diag MIN] $dir: pairs=${pairCounts.head} " +
         f"pair_s=${cs.map(_.pairSec).min}%.2f cc_s=${cs.map(_.ccSec).min}%.2f " +
         f"rounds=${cs.map(_.rounds).max}")
     }

@@ -689,6 +689,17 @@ object LakehouseQueries {
   private val q224 = QueryDef(
     "q224_ppjoin_stratum",
     (s, dir) => {
+      // the `% 1e6` base-key extraction and augmentedDocs' +1e6
+      // mutant-id convention alias if the base corpus ever exceeds 1M
+      // documents (ScaleGen tops out at 200k at sf4) — fail loudly
+      // instead of silently co-stratifying unrelated docs. One
+      // doc_id-column max via parquet stats: negligible beside the
+      // O((N/10)^1.5) join this query exists to audit.
+      val maxId = table(s, dir, "documents")
+        .agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 1000000L,
+        s"q224 stratum key aliases with the +1e6 mutant convention: " +
+          s"max base doc_id $maxId >= 1e6 — re-key the stratum first")
       val stratum = ExtensionQueries.augmentedDocs(s, dir)
         .filter(conv(substring(md5((col("doc_id") % 1000000L).cast("string")), 1, 15),
           16, 10).cast(LongType) % 10 === 0)

@@ -89,6 +89,35 @@ class ScaleGenFidelitySpec extends SparkSpec {
     within(gP99, fP99, 0.15, "p99 shingle df")
   }
 
+  test("DiverseGen control corpus: doc lengths and dup-injection rate match " +
+    "the fixture; vocabulary actually diversifies") {
+    // the control's evidentiary weight in SCALING.md rests on exactly
+    // two invariants — same doc-length distribution, same dup
+    // structure — plus the one deliberate difference (vocab ∝ N)
+    val div = DiverseGen.documentsDf(spark, 5000)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+    val fix = tbl(fixDir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+    def lenQ(df: DataFrame) = df.select(size(col("t")).cast("double").as("n"))
+      .stat.approxQuantile("n", Array(0.25, 0.5, 0.75, 0.95), 0.001)
+    val (dq, fq) = (lenQ(div), lenQ(fix))
+    for (i <- dq.indices)
+      within(dq(i), fq(i), 0.05, s"control token-length quantile #$i")
+    // dup-injection rate via each corpus's marker token; the control's
+    // marker can be clobbered by the 8% word mutation (~8% relative
+    // undercount), inside the 15% tolerance
+    def dupRate(df: DataFrame, marker: String) = df
+      .select(avg(array_contains(col("t"), marker).cast("double")))
+      .head().getDouble(0)
+    within(dupRate(div, "dupmark"), dupRate(fix, "dup"), 0.15,
+      "control dup-injection rate")
+    // and the point of the control: vocabulary grows with the corpus
+    // instead of the fixture's fixed 31 words
+    val vocab = div.select(explode(col("t")).as("tok"))
+      .select(countDistinct(col("tok"))).head().getLong(0)
+    assert(vocab > 1000, s"control vocabulary must diversify, got $vocab")
+  }
+
   test("basket size, event values, and embedding geometry match") {
     def basket(dir: String) = tbl(dir, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))

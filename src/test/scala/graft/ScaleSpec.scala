@@ -417,6 +417,39 @@ class ScaleSpec extends SparkSpec {
     assert(got156 == want156 && got156.size == 3)
   }
 
+  test("q31 verification joins: broadcast regime and shuffle regime produce " +
+    "identical pairs (the sf4 byte step is ONLY the planned strategy flip)") {
+    // SCALING_NOTES attributes q31's one-time sf4 shuffle-byte step to
+    // the shingle-set side crossing the broadcast threshold; this pins
+    // that attribution as an asserted fact: both physical strategies
+    // exist, are chosen by the threshold, and agree bit-for-bit
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def run() = Dedup.minhashLsh(docs)
+      .orderBy($"id_a", $"id_b")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val bc = run(); bc.collect()
+      val planBc = bc.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(planBc.contains("BroadcastHashJoin"),
+        s"small-sf regime must broadcast the shingle sets:\n${planBc.take(900)}")
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sh = run(); sh.collect()
+      val planSh = sh.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!planSh.contains("BroadcastHashJoin") &&
+        (planSh.contains("SortMergeJoin") || planSh.contains("ShuffledHashJoin")),
+        s"above-threshold regime must shuffle the verification joins:\n${planSh.take(900)}")
+
+      val a = bc.as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val b = sh.as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(a == b && a.nonEmpty, s"regimes disagree: ${a.size} vs ${b.size} pairs")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("q149 block-keyed windows: partitioned big window, bounded boundary frame, " +
     "pair set equals the global formulation") {
     import graft.functions.JaroWinklerExpr.jaro_winkler

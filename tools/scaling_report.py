@@ -128,7 +128,9 @@ def main():
             pts = sorted((s, best[(q, s)]) for s in [1.0] + extra_sfs
                          if (q, s) in best)
             for (s0, c0), (s1, c1) in zip(pts, pts[1:]):
-                rr = c1["shuffle_records"] / max(c0["shuffle_records"], 1)
+                # guard both ends: a zero-record cell would otherwise
+                # crash the whole report with a log(0) domain error
+                rr = max(c1["shuffle_records"], 1) / max(c0["shuffle_records"], 1)
                 e = math.log(rr) / math.log(s1 / s0)
                 print(f"| {q} | sf{s0:g}→sf{s1:g} | x{rr:.2f} | {e:.2f} "
                       f"| {c1['sec']:.2f} | {c1['rows']:,} |")
@@ -151,7 +153,9 @@ def main():
             pts = sorted((s, diverse[(q, s)]) for s in {s for _, s in diverse}
                          if (q, s) in diverse)
             for (s0, c0), (s1, c1) in zip(pts, pts[1:]):
-                rr = c1["shuffle_records"] / max(c0["shuffle_records"], 1)
+                # guard both ends: a zero-record cell would otherwise
+                # crash the whole report with a log(0) domain error
+                rr = max(c1["shuffle_records"], 1) / max(c0["shuffle_records"], 1)
                 e = math.log(rr) / math.log(s1 / s0)
                 print(f"| {q} | sf{s0:g}→sf{s1:g} | x{rr:.2f} | {e:.2f} "
                       f"| {c1['sec']:.2f} | {c1['rows']:,} |")
