@@ -25,7 +25,16 @@ object SketchAuditQueries {
     * estimate AND its error vs the exact count — replays exactly in
     * any engine. Per event_type: one pass, tiny per-type state (the
     * 100 TB contract a distinct-count sketch must meet); the exact
-    * count beside it is the audit column. */
+    * count beside it is the audit column.
+    *
+    * Saturation contract (round 7 — the gen-sf1 full-registry sweep
+    * caught this): −m·ln(V/m) is UNDEFINED at V = 0 empty buckets,
+    * and the engines disagreed on undefined (Spark's ln(0) → −∞ →
+    * decimal NULL silently; DuckDB ln(0) errors). A saturated
+    * bitmap now reports an explicit NULL estimate in both engines —
+    * the "resize m or switch sketches" signal linear counting
+    * defines at full occupancy — making the audit's answer
+    * well-defined at every scale. */
   private val q164 = QueryDef(
     "q164_linear_counting",
     (s, dir) => {
@@ -39,9 +48,11 @@ object SketchAuditQueries {
           countDistinct(col("bkt")).as("occupied"),
           countDistinct(col("user_id")).as("exact_distinct"))
         .withColumn("lc_estimate",
-          round(-lit(m.toDouble) *
-            log((lit(m.toDouble) - col("occupied")) / m.toDouble), 6)
-            .cast(DecimalType(28, 6)).cast(DoubleType))
+          when(col("occupied") < m,
+            round(-lit(m.toDouble) *
+              log((lit(m.toDouble) - col("occupied")) / m.toDouble), 6)
+              .cast(DecimalType(28, 6)).cast(DoubleType))
+            .otherwise(lit(null).cast(DoubleType)))
         .select(col("event_type"), col("n_events"), col("occupied"),
           col("exact_distinct"), col("lc_estimate"))
         .orderBy(col("event_type"))
@@ -58,8 +69,9 @@ object SketchAuditQueries {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
         FROM e GROUP BY 1)
       SELECT event_type, n_events, occupied, exact_distinct,
-             CAST(CAST(ROUND(-1024.0 * ln((1024.0 - occupied) / 1024.0), 6)
-               AS DECIMAL(28, 6)) AS DOUBLE) AS lc_estimate
+             CASE WHEN occupied >= 1024 THEN NULL
+                  ELSE CAST(CAST(ROUND(-1024.0 * ln((1024.0 - occupied) / 1024.0), 6)
+                    AS DECIMAL(28, 6)) AS DOUBLE) END AS lc_estimate
       FROM g ORDER BY event_type"""))
 
   /** q165 — fixed-bin histogram percentile estimator + exact-error

@@ -43,6 +43,9 @@ NOTES = {
     "q192_bfs_levels": "frontier BFS; edge scans per level",
     "q186_k_anonymity": "zipWithIndex rank; no single-partition window (round 6)",
     "q193_behavior_alignment": "two-bucket rank pairs; was a nested-loop theta join (round 6)",
+    "q106_rfm_segments": "3x range-partitioned rank + ntile arithmetic; was 3x global ntile (round 7)",
+    "q156_zorder_skipping": "rank-arithmetic file bins; was 3x global ntile (round 7)",
+    "q153_rrf_hybrid": "range-partitioned rank fusion; was a global row_number (round 7)",
     "q195_basket_pairs": "support-capped co-purchase pairs",
     "q204_winnow_fingerprints": "winnowing + df<=20 boilerplate mask",
     "q211_link_prediction": "hub-capped wedge generation",
