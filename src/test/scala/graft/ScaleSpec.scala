@@ -417,6 +417,33 @@ class ScaleSpec extends SparkSpec {
     assert(got156 == want156 && got156.size == 3)
   }
 
+  test("ANN top-k: rank<=k plans a map-side PARTIAL WindowGroupLimit, " +
+    "so per-task window frames are k-bounded at any corpus size") {
+    // bruteForceTopK's per-query window partitions on q_id; without
+    // pruning, one task would hold a query's ENTIRE scored corpus.
+    // Spark's WindowGroupLimit rewrite inserts a Partial-mode limit
+    // BELOW the exchange — each map partition ships at most k rows per
+    // query — and a Final-mode limit above it. Pinning that here makes
+    // the brute-force baseline's shuffle k-bounded by assertion, not
+    // assumption (the cosine scoring pass stays O(N·|Q|), which is
+    // what the SRP/IVF tiers exist to beat).
+    import org.apache.spark.sql.execution.window.{Partial, WindowGroupLimitExec}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (q <- Seq("q35_knn_bruteforce", "q36_knn_srp_lsh", "q37_knn_ivf")) {
+        val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        val wgls = df.queryExecution.executedPlan.collect {
+          case w: WindowGroupLimitExec => w
+        }
+        assert(wgls.exists(_.mode == Partial),
+          s"$q: expected a map-side Partial WindowGroupLimit; saw modes " +
+            s"${wgls.map(_.mode).mkString(",")}")
+        assert(df.count() > 0)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q31 verification joins: broadcast regime and shuffle regime produce " +
     "identical pairs (the sf4 byte step is ONLY the planned strategy flip)") {
     // SCALING_NOTES attributes q31's one-time sf4 shuffle-byte step to
