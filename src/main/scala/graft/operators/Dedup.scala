@@ -109,38 +109,72 @@ object Dedup {
                  textCol: String = "text", numHashes: Int = 16,
                  numBands: Int = 4, shingleSize: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
-    // tokens → shingles → base hashes → signature as separate
-    // projections: each stage's array materializes once per row, not
-    // once per downstream reference (16 hash families would otherwise
-    // re-derive the stage per family — quadratic in doc length).
-    val shingled = docs
+    val shingled = shingleSets(docs, idCol, textCol, shingleSize)
+    val candidates = lshCandidatePairs(
+      minhashSignatures(shingled, numHashes), numHashes, numBands)
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** Stage 1 of the LSH pipeline: (id, sh) — the distinct word-shingle
+    * set per document. tokens → shingles as separate projections so
+    * each stage's array materializes once per row, not once per
+    * downstream reference. */
+  private[graft] def shingleSets(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 shingleSize: Int): DataFrame =
+    docs
       .select(col(idCol).cast(LongType).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), array_distinct(
         graft.functions.TextExprs.word_shingles(col("toks"), shingleSize)).as("sh"))
-    val hashed = shingled
+
+  /** Stage 2: (id, sig) minhash signatures from staged shingle sets.
+    * (16 hash families over a staged base-hash array — the unstaged
+    * form would re-derive the shingle stage per family, quadratic in
+    * doc length.) */
+  private[graft] def minhashSignatures(shingled: DataFrame,
+                                       numHashes: Int): DataFrame =
+    shingled
       .select(col("id"), col("sh"),
         graft.functions.MinhashExprs.minhash_base_hashes(col("sh")).as("hs"))
-    val withSig = hashed
       .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
-    val banded = withSig.select(col("id"),
-      explode(bandKeys(col("sig"), numHashes, numBands)).as("band"))
-    // pairs within each band bucket via groupBy + collect_list instead
-    // of a self-join: the signature pipeline (the expensive part) runs
-    // ONCE, not once per join side; singleton buckets — the vast
-    // majority — are pruned before any pair is generated. Bucket
-    // sizes are bounded by LSH design (docs sharing a band prefix).
-    val candidates = banded.groupBy(col("band"))
+
+  /** Stage 3: candidate pairs (id_a < id_b) from signatures, distinct
+    * across bands. Pairs within each band bucket via groupBy +
+    * collect_list instead of a self-join: the signature pipeline (the
+    * expensive part) runs ONCE, not once per join side; singleton
+    * buckets — the vast majority — are pruned before any pair is
+    * generated. Bucket sizes are bounded by LSH design (docs sharing
+    * a band prefix). */
+  private[graft] def lshCandidatePairs(sigs: DataFrame, numHashes: Int,
+                                       numBands: Int): DataFrame =
+    bandedIds(sigs, numHashes, numBands)
+      .groupBy(col("band"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val shingledSets = shingled
+
+  /** (id, band) rows — one per LSH band bucket membership. Shared by
+    * the batch self-bucketing in [[lshCandidatePairs]] and the
+    * streaming state join in `StreamingOps.nearDupAdmit` (identical
+    * band keys on both paths is what makes the streaming candidates
+    * a superset-free match of the batch candidates). */
+  private[graft] def bandedIds(sigs: DataFrame, numHashes: Int,
+                               numBands: Int): DataFrame =
+    sigs.select(col("id"),
+      explode(bandKeys(col("sig"), numHashes, numBands)).as("band"))
+
+  /** Stage 4: exact shingle-Jaccard verification of candidate pairs
+    * against the staged (id, sh) sets, keeping pairs ≥ `threshold`. */
+  private[graft] def verifyJaccard(candidates: DataFrame,
+                                   shingled: DataFrame,
+                                   threshold: Double): DataFrame = {
     val withSets = candidates
-      .join(shingledSets.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
+      .join(shingled.withColumnRenamed("sh", "sh_a"), col("id_a") === col("id"))
       .drop("id")
-      .join(shingledSets.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
+      .join(shingled.withColumnRenamed("sh", "sh_b"), col("id_b") === col("id"))
       .drop("id")
     withSets
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
@@ -468,6 +502,96 @@ object Dedup {
     * time (CcDiag / ScalingBench); concurrent callers would race and
     * must not read it. */
   @volatile private[graft] var lastCcRounds: Int = 0
+
+  // ------------------------------------------- greedy arrival admission
+
+  /** Greedy arrival-order admission over a verified near-dup pair
+    * graph: scan documents in ascending id (= arrival order) and
+    * ADMIT each unless it is a verified near-dup of an already-
+    * ADMITTED document — the online policy a continuous-ingestion
+    * dedup gate applies, and graph-theoretically the unique kernel
+    * (lexicographically-first maximal independent set) of the DAG of
+    * pairs oriented small→large id.
+    *
+    * Input `pairs` must carry (aCol < bCol) verified edges (e.g.
+    * [[minhashLsh]] output); `docIds` the full vertex set (isolated
+    * docs are admitted). Returns one row per doc:
+    * (id, status 'A'|'R', dup_of) where dup_of = the SMALLEST admitted
+    * neighbor for rejected docs (deterministic witness), null for
+    * admitted ones.
+    *
+    * Fixpoint, not a sequential scan: each round (a) docs with NO
+    * remaining in-edge are admitted (all their in-neighbors have been
+    * rejected — or never existed), (b) dsts of edges out of newly
+    * admitted docs are rejected, (c) edges touching resolved docs are
+    * dropped. Rounds = kernel depth = the longest alternating
+    * admit/reject chain in id order; near-dup clusters are near-
+    * cliques, which resolve in one or two rounds, so depth stays O(1)
+    * while each round is frontier-sized shuffles only — the same
+    * frontier discipline as [[connectedComponents]]. Lineage is
+    * truncated per round via [[Checkpoints]]. */
+  def kernelAdmit(docIds: DataFrame, pairs: DataFrame,
+                  idCol: String = "id", aCol: String = "id_a",
+                  bCol: String = "id_b", maxIter: Int = 40): DataFrame = {
+    val allPairs = Checkpoints.truncate(pairs
+      .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+      .filter(col("src") < col("dst"))
+      .distinct())
+    var edges = allPairs
+    var frontier = Checkpoints.truncate(
+      docIds.select(col(idCol).cast(LongType).as("id")).distinct())
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    var admitted = spark.emptyDataset[Long].toDF("id")
+    var i = 0
+    var done = frontier.isEmpty
+    while (!done && i < maxIter) {
+      // (a) no remaining in-edge → all in-neighbors rejected → admit
+      val newA = frontier.join(
+        edges.select(col("dst").as("id")).distinct(), Seq("id"), "left_anti")
+      // (b) an edge from a newly admitted doc rejects its dst
+      val newR = edges.join(newA.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+      admitted = Checkpoints.truncate(admitted.unionByName(newA))
+      frontier = Checkpoints.truncate(
+        frontier.join(newA, Seq("id"), "left_anti")
+          .join(newR, Seq("id"), "left_anti"))
+      // (c) keep only edges between still-unresolved docs: admitted
+      // srcs have fired, rejected srcs impose no constraint, resolved
+      // dsts need no more evidence
+      edges = Checkpoints.truncate(edges
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .join(frontier.select(col("id").as("dst")), Seq("dst")))
+      done = frontier.isEmpty
+      i += 1
+    }
+    require(done, s"kernel admission did not converge in $maxIter rounds")
+    // witness: smallest ADMITTED in-neighbor of each rejected doc
+    val witness = allPairs
+      .join(admitted.select(col("id").as("src")), Seq("src"))
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("dup_of"))
+    docIds.select(col(idCol).cast(LongType).as("id")).distinct()
+      .join(admitted.withColumn("_a", lit(true)), Seq("id"), "left")
+      .join(witness, Seq("id"), "left")
+      .select(col("id"),
+        when(col("_a").isNotNull, lit("A")).otherwise(lit("R")).as("status"),
+        when(col("_a").isNotNull, lit(null).cast(LongType))
+          .otherwise(col("dup_of")).as("dup_of"))
+  }
+
+  /** [[kernelAdmit]] over [[minhashLsh]]'s verified near-dup pairs:
+    * the batch form of a continuous-ingestion near-dup gate (its
+    * streaming twin is `graft.streaming.StreamingOps.nearDupAdmit`,
+    * proven batch-equivalent in NearDupAdmitSpec). Returns
+    * (doc_id, status, dup_of) for every input doc. */
+  def greedyAdmit(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", numHashes: Int = 16,
+                  numBands: Int = 4, shingleSize: Int = 3,
+                  threshold: Double = 0.5): DataFrame =
+    kernelAdmit(docs.select(col(idCol)),
+      minhashLsh(docs, idCol, textCol, numHashes, numBands, shingleSize,
+        threshold), idCol = idCol)
+      .withColumnRenamed("id", "doc_id")
 
   // ------------------------------------------------- embedding near-dup
 

@@ -307,6 +307,72 @@ object ExtensionQueries {
                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** q225 oracle: greedy arrival-order admission = the unique kernel
+    * of the verified-pair DAG (edges oriented small→large doc_id),
+    * computed by Kleene iteration unrolled to `KernelUnroll` rounds.
+    * Round rule per doc (depends ONLY on in-neighbor statuses — the
+    * update is inflationary on the information order U < A/R, so
+    * recomputing every doc from the previous round's statuses is the
+    * standard monotone fixpoint): any admitted in-neighbor → 'R';
+    * all in-neighbors rejected (or none) → 'A'; else still 'U'.
+    * Unrolling depth bounds the resolvable alternating-chain depth;
+    * near-dup clusters are near-cliques (depth 1-2). If a corpus ever
+    * produced a deeper chain, 'U' rows would survive to the output
+    * and fail the hash gate LOUDLY rather than silently mis-admit. */
+  private val KernelUnroll = 10
+
+  private val kernelRoundsSql: String =
+    (1 to KernelUnroll).map { k =>
+      s"""st$k AS MATERIALIZED (
+        SELECT d.id,
+               CASE WHEN COALESCE(bool_or(p.s = 'A'), FALSE) THEN 'R'
+                    WHEN COALESCE(bool_and(p.s = 'R'), TRUE) THEN 'A'
+                    ELSE 'U' END AS s
+        FROM ids d LEFT JOIN (
+          SELECT e.dst, st.s FROM vp e JOIN st${k - 1} st ON st.id = e.src) p
+          ON p.dst = d.id
+        GROUP BY d.id)"""
+    }.mkString(",\n      ")
+
+  private val q225 = QueryDef(
+    "q225_greedy_admission",
+    (s, dir) => Dedup.greedyAdmit(augmentedDocs(s, dir))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $augmentedDocsSql,
+      toks AS (SELECT doc_id, $toksSql AS t FROM aug),
+      shing AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM toks),
+      hashed AS (SELECT doc_id,
+        list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                                  % ${Dedup.MinhashP}) AS hs
+        FROM shing),
+      sig AS (SELECT doc_id,
+               $minhashSigSql
+              FROM hashed),
+      bands AS MATERIALIZED (
+        $minhashBandsSql),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      sets AS MATERIALIZED (SELECT doc_id, sh FROM shing),
+      vp AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst
+        FROM cand JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+      ids AS MATERIALIZED (SELECT doc_id AS id FROM aug),
+      st0 AS (SELECT id, 'U' AS s FROM ids),
+      $kernelRoundsSql,
+      fin AS MATERIALIZED (SELECT * FROM st$KernelUnroll),
+      wit AS (
+        SELECT e.dst AS id, MIN(e.src) AS dup_of
+        FROM vp e JOIN fin f ON f.id = e.src AND f.s = 'A'
+        GROUP BY e.dst)
+      SELECT i.id AS doc_id, f.s AS status,
+             CASE WHEN f.s = 'R' THEN w.dup_of END AS dup_of
+      FROM ids i JOIN fin f ON f.id = i.id LEFT JOIN wit w ON w.id = i.id
+      ORDER BY doc_id"""))
+
   private val simhashBitsSql: String =
     (0 until 32).map { b =>
       s"""(CASE WHEN 2 * len(list_filter(t, tok -> substr(md5(tok), ${b + 1}, 1)
@@ -852,5 +918,5 @@ object ExtensionQueries {
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
       q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51, q52, q53,
-      q54)
+      q54, q225)
 }

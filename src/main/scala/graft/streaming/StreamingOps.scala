@@ -491,4 +491,138 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  // ----------------------------------------- streaming near-dup admission
+
+  /** One micro-batch of [[nearDupAdmit]], exposed for direct testing
+    * (the [[publishBatchJdbc]] pattern). Admits/rejects the batch's
+    * documents against the ADMITTED corpus accumulated in `stateDir`,
+    * then appends the newly-admitted docs' LSH state and writes the
+    * batch's decisions — both as `load_id=batch-…` partitions with
+    * dynamic overwrite, so a replayed batch (at-least-once delivery
+    * after recovery) REPLACES its previous state/output instead of
+    * duplicating or self-rejecting.
+    *
+    * Per batch:
+    *  1. batch docs → shingle sets → minhash signatures → band keys
+    *     (the SAME staged pipeline as [[graft.operators.Dedup
+    *     .minhashLsh]] — [[graft.operators.Dedup.bandedIds]] is
+    *     shared, so candidates match the batch operator exactly);
+    *  2. state join: batch band keys × admitted band keys → candidate
+    *     (admitted, batch) pairs, Jaccard-verified against the stored
+    *     shingle sets → batch docs with a verified admitted neighbor
+    *     are REJECTED (witness = smallest such neighbor);
+    *  3. survivors run [[graft.operators.Dedup.kernelAdmit]] on their
+    *     within-batch verified pairs (edges touching a state-rejected
+    *     doc are dropped — a rejected doc imposes no constraint,
+    *     exactly the batch kernel's edge-drop rule);
+    *  4. newly-admitted docs' (sh, band) state is appended; decisions
+    *     (doc_id, status, dup_of) land in `outDir`.
+    *
+    * State size is proportional to the ADMITTED corpus (unique
+    * content), not the stream length — rejected duplicates leave no
+    * state. Each batch's work is (batch bands × state bands) hash
+    * join plus frontier-sized kernel rounds: no corpus-sized shuffle
+    * recurs per batch. NearDupAdmitSpec proves the id-ordered stream
+    * replays to EXACTLY [[graft.operators.Dedup.greedyAdmit]] on the
+    * union corpus, and that batch replay is a no-op. */
+  def admitBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                 outDir: String, idCol: String = "doc_id",
+                 textCol: String = "text", numHashes: Int = 16,
+                 numBands: Int = 4, shingleSize: Int = 3,
+                 threshold: Double = 0.5): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val loadId = f"batch-$batchId%012d"
+
+    val shingled = Dedup.shingleSets(batch, idCol, textCol, shingleSize)
+      .localCheckpoint() // one micro-batch: small; cut the source lineage
+    val sigs = Dedup.minhashSignatures(shingled, numHashes)
+    val bands = Dedup.bandedIds(sigs, numHashes, numBands).localCheckpoint()
+
+    // Admitted-corpus state (empty on the first batch). A replayed
+    // batch's own stale partition is excluded from the READ so the
+    // dynamic-overwrite WRITE below replaces it without this batch's
+    // docs seeing their own failed-attempt state as "admitted".
+    val state: Option[DataFrame] =
+      try {
+        val s = spark.read.parquet(stateDir)
+          .filter(col("load_id") =!= loadId)
+        Some(s.localCheckpoint())
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.toLowerCase.contains("unable to infer") => None
+      }
+
+    // (2) rejected-by-state: verified near-dup of an already-admitted
+    // doc; witness = the smallest such neighbor (ids only grow, so
+    // the global minimum admitted neighbor is always in state).
+    val stateRejected: DataFrame = state match {
+      case None => spark.range(0).select(col("id"),
+        lit(null).cast(org.apache.spark.sql.types.LongType).as("dup_of"))
+      case Some(st) =>
+        val cands = st.select(explode(col("bands")).as("band"),
+            col("id").as("id_a"))
+          .join(bands.select(col("band"), col("id").as("id_b")), Seq("band"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        Dedup.verifyJaccard(cands,
+            st.select(col("id"), col("sh"))
+              .unionByName(shingled), threshold)
+          .groupBy(col("id_b").as("id"))
+          .agg(min(col("id_a")).as("dup_of"))
+    }
+    val rejectedByState = stateRejected.localCheckpoint()
+
+    // (3) within-batch kernel over survivor-survivor verified edges
+    val survivors = shingled.select(col("id"))
+      .join(rejectedByState.select(col("id")), Seq("id"), "left_anti")
+    val innerPairs = Dedup.verifyJaccard(
+      Dedup.lshCandidatePairs(sigs, numHashes, numBands)
+        .join(survivors.select(col("id").as("id_a")), Seq("id_a"))
+        .join(survivors.select(col("id").as("id_b")), Seq("id_b")),
+      shingled, threshold)
+    val inner = Dedup.kernelAdmit(survivors, innerPairs)
+
+    val decisions = inner
+      .unionByName(rejectedByState.select(col("id"), lit("R").as("status"),
+        col("dup_of")))
+      .select(col("id").as(idCol), col("status"), col("dup_of"))
+
+    // (4) idempotent decision + state appends (own-partition overwrite)
+    decisions.withColumn("load_id", lit(loadId))
+      .write.mode("overwrite").partitionBy("load_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outDir)
+    val admittedState = shingled
+      .join(inner.filter(col("status") === "A").select(col("id")), Seq("id"))
+      .join(bands.groupBy(col("id")).agg(collect_list(col("band")).as("bands")),
+        Seq("id"))
+      .select(col("id"), col("sh"), col("bands"))
+    admittedState.withColumn("load_id", lit(loadId))
+      .write.mode("overwrite").partitionBy("load_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(stateDir)
+  }
+
+  /** Streaming near-dup admission gate — the continuous-ingestion
+    * twin of [[graft.operators.Dedup.greedyAdmit]] (q225): each
+    * micro-batch's documents are admitted unless a verified near-dup
+    * (MinHash+LSH candidates, exact Jaccard ≥ threshold) of an
+    * already-admitted document, in arrival order. For id-ordered
+    * arrivals the accumulated decisions equal the batch operator on
+    * the union corpus exactly (NearDupAdmitSpec). */
+  def nearDupAdmit(docs: DataFrame, stateDir: String, outDir: String,
+                   checkpointDir: String, idCol: String = "doc_id",
+                   textCol: String = "text", numHashes: Int = 16,
+                   numBands: Int = 4, shingleSize: Int = 3,
+                   threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        admitBatch(df.toDF(), batchId, stateDir, outDir, idCol, textCol,
+          numHashes, numBands, shingleSize, threshold)
+      }
+      .start()
 }
