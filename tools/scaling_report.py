@@ -50,6 +50,7 @@ NOTES = {
     "q204_winnow_fingerprints": "winnowing + df<=20 boilerplate mask",
     "q211_link_prediction": "hub-capped wedge generation",
     "q224_ppjoin_stratum": "exact PPJoin on a fixed md5 decile; q129's audit at 1/10^1.5 the pair mass",
+    "q225_greedy_admission": "frontier-fixpoint kernel admission over LSH pairs (round 7)",
 }
 
 
