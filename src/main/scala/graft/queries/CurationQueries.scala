@@ -782,7 +782,164 @@ object CurationQueries {
                    / CAST(SUM(n_tot) AS BIGINT), 6) AS corpus_repetition
       FROM per GROUP BY source ORDER BY source"""))
 
+  /** q226 — eval-set decontamination audit (the n-gram-overlap
+    * check run before training so benchmark answers don't leak into
+    * the training corpus; the practice described in Brown et al. 2020
+    * appendix C). A deterministic 1/8 of documents (md5 hex prefix
+    * '0'/'1') plays the held-out eval suite; a TRAIN document is
+    * contaminated when it shares at least one distinct word-5-gram
+    * with ANY eval document. Reported per source: train-doc count,
+    * contaminated count, distinct hit n-grams, contamination ppm
+    * (exact integer arithmetic).
+    *
+    * Scale path: the eval n-gram KEY SET is orders of magnitude
+    * smaller than the exploded train n-gram mass, so the overlap join
+    * goes through [[graft.operators.Pruning.bloomPrunedJoin]] — the
+    * in-plan BloomFilterAggregate is built once over eval n-grams and
+    * the codegen'd might_contain predicate drops non-matching train
+    * n-grams BEFORE the shuffle; the exact equi join after it removes
+    * the ≤fpp false positives, so the result equals the plain join
+    * (which is what the oracle hashes). At 100 TB pass expectedKeys ≈
+    * the eval suite's distinct-n-gram count; the train side never
+    * ships un-pruned. */
+  private val q226 = QueryDef(
+    "q226_eval_contamination",
+    (s, dir) => {
+      val base = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        substring(md5(col("doc_id").cast(StringType)), 1, 1)
+          .isin("0", "1").as("is_eval"),
+        array_distinct(graft.functions.TextExprs.word_shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 5)).as("sh"))
+      val evalNg = base.filter(col("is_eval"))
+        .select(explode(col("sh")).as("ng_e")).distinct()
+      val trainNg = base.filter(!col("is_eval"))
+        .select(col("doc_id"), col("source"), explode(col("sh")).as("ng"))
+      val hits = graft.operators.Pruning
+        .bloomPrunedJoin(trainNg, evalNg, "ng", "ng_e")
+        .select(col("doc_id"), col("source"), col("ng"))
+      val tr = base.filter(!col("is_eval"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      val c = hits.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          countDistinct(col("ng")).as("n_hit_ngrams"))
+      tr.join(c, Seq("source"), "left")
+        .select(col("source"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"))
+        .withColumn("contamination_ppm",
+          expr("(1000000L * n_contaminated) div n_train"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+                 AS is_eval,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      shing AS MATERIALIZED (
+        SELECT doc_id, source, is_eval,
+               list_distinct(CASE WHEN len(t) >= 5
+                 THEN list_transform(generate_series(1, len(t) - 4),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               || ' ' || t[i+3] || ' ' || t[i+4])
+                 ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM docs),
+      eng AS MATERIALIZED (
+        SELECT DISTINCT ng
+        FROM (SELECT unnest(sh) AS ng FROM shing WHERE is_eval)),
+      tng AS (
+        SELECT doc_id, source, unnest(sh) AS ng
+        FROM shing WHERE NOT is_eval),
+      hits AS MATERIALIZED (
+        SELECT t.doc_id, t.source, t.ng FROM tng t JOIN eng e USING (ng)),
+      tr AS (SELECT source, COUNT(*) AS n_train
+             FROM shing WHERE NOT is_eval GROUP BY source),
+      c AS (SELECT source,
+                   COUNT(DISTINCT doc_id) AS n_contaminated,
+                   COUNT(DISTINCT ng) AS n_hit_ngrams
+            FROM hits GROUP BY source)
+      SELECT tr.source, tr.n_train,
+             COALESCE(c.n_contaminated, 0) AS n_contaminated,
+             COALESCE(c.n_hit_ngrams, 0) AS n_hit_ngrams,
+             (1000000 * COALESCE(c.n_contaminated, 0)) // tr.n_train
+               AS contamination_ppm
+      FROM tr LEFT JOIN c USING (source) ORDER BY source"""))
+
+  /** q227 — exact repeated-substring spans (the ExactSubstr dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", expressed shuffle-first instead of via a suffix
+    * array): every 8-token window that occurs ≥ 2 times anywhere in
+    * the corpus (other docs OR a repeat inside the same doc) marks
+    * its positions; overlapping/adjacent marked windows merge into
+    * maximal per-doc spans (gaps-and-islands over window starts —
+    * windows are fixed-width, so a break is simply a start more than
+    * k past the previous one). Output: one row per maximal span with
+    * 1-based token offsets — the spans a scrubber would cut.
+    *
+    * Scale: the occurrence count is one shuffle on the window text
+    * (the string key IS the verification — no hash-collision step);
+    * the island windows are PARTITIONED BY doc, so every frame is
+    * bounded by a document's length. Docs shorter than the window
+    * width carry no window and are skipped on both engines. At
+    * 100 TB, group on xxhash64(window) first and verify the string
+    * on the ≥2 buckets to cut the shuffled key bytes. */
+  private val q227 = QueryDef(
+    "q227_exact_substring_spans",
+    (s, dir) => {
+      val k = 8
+      val toksDf = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= k)
+      val wins = toksDf
+        .select(col("doc_id"), posexplode(
+          graft.functions.TextExprs.word_shingles(col("t"), k))
+          .as(Seq("pos0", "w")))
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+          col("w"))
+      val dup = wins.groupBy(col("w"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("w"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      wins.join(dup, Seq("w"))
+        .select(col("doc_id"), col("pos"))
+        .withColumn("brk",
+          when(col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(byDoc))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (k - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("n_tokens"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${ExtensionQueries.toksSql} AS t FROM documents),
+      base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+      wins AS MATERIALIZED (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(t[pos:pos+7], ' ') AS w
+        FROM base, unnest(generate_series(1, len(t) - 7)) AS u(pos)),
+      dup AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > lag(pos)
+                      OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS b
+        FROM (SELECT doc_id, pos FROM wins JOIN dup USING (w))),
+      isl AS (
+        SELECT doc_id, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk)
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) + 7 AS span_end,
+             MAX(pos) + 7 - MIN(pos) + 1 AS n_tokens
+      FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""))
+
   val all: Seq[QueryDef] =
     Seq(q39, q45, q48, q55, q56, q57, q58, q59, q60, q61, q62,
-      q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+      q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q226, q227)
 }

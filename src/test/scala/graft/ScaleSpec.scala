@@ -523,4 +523,17 @@ class ScaleSpec extends SparkSpec {
     assert(got == want, s"pair sets differ: ${got.size} vs ${want.size} rows")
     assert(got.nonEmpty)
   }
+
+  test("q226: the eval-ngram bloom prune is IN the plan, before the overlap join") {
+    // the decontamination join's scale story is map-side pruning of
+    // the exploded train-ngram mass by an in-plan bloom filter over
+    // the (much smaller) eval ngram set — assert the predicate is
+    // planted, not just documented
+    val df = SparkEntry.queries("q226_eval_contamination")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"q226 must carry the bloom might_contain predicate:\n${plan.take(900)}")
+    assert(df.collect().nonEmpty)
+  }
 }
