@@ -17,8 +17,21 @@ import graft.queries.QueryDef
   * if the two samples still disagree >2×, a third decides. Cached/
   * broadcast state is dropped between queries so none borrows work
   * from a predecessor.
+  *
+  * Consumption is a `noop`-sink write, NOT `count()`: under count()
+  * Catalyst prunes everything row-count-preserving — q226's entire
+  * bloom-join subtree vanished (left join to a unique-key aggregate),
+  * and projection-only work (q45's scrub column, q03's decodes) was
+  * never evaluated. The noop write consumes every column of every
+  * row, so the measured plan is the plan a consumer pays for, at zero
+  * sink cost. Round 7 switched this (and ScalingBench); the recorded
+  * continuity note lives in docs/PLANS.md.
   */
 object Bench {
+  /** Force full evaluation of every row and column without sink cost. */
+  def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,7 +54,7 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => return -1.0 }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       dt
@@ -76,7 +89,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_cold":${passJson(pass1)},"queries_warm":${passJson(pass2)},""" +
-      s""""queries_tiebreak":$tbJson,"sf":"$sfDir"}"""
+      s""""queries_tiebreak":$tbJson,"consumption":"noop","sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver captures a bounded tail of stdout, which
     // truncated the r03 artifact; the file survives regardless of log noise.

@@ -51,6 +51,8 @@ NOTES = {
     "q211_link_prediction": "hub-capped wedge generation",
     "q224_ppjoin_stratum": "exact PPJoin on a fixed md5 decile; q129's audit at 1/10^1.5 the pair mass",
     "q225_greedy_admission": "frontier-fixpoint kernel admission over LSH pairs (round 7)",
+    "q226_eval_contamination": "bloom-pruned eval/train 5-gram overlap join (round 7)",
+    "q227_exact_substring_spans": "window-count shuffle + doc-partitioned island merge (round 7)",
 }
 
 
