@@ -21,11 +21,21 @@ object BenchDebug {
       private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         starts.put(j.jobId, (System.nanoTime(),
-          Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")))
+          Option(j.properties).map(_.getProperty("spark.job.description", "")).getOrElse("") +
+            " stages=" + j.stageInfos.map(si => si.name.takeWhile(_ != ' ') +
+              ":" + si.numTasks).mkString(",")))
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val (t0, desc) = starts.getOrDefault(j.jobId, (0L, ""))
         jobLog.put(j.jobId, (System.nanoTime() - t0, desc))
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+          val si = sc.stageInfo
+          val rt = Option(si.taskMetrics).map(_.executorRunTime).getOrElse(-1L)
+          println(f"[bd]     stage ${si.stageId}%3d tasks=${si.numTasks}%-3d " +
+            f"runTime=${rt}ms ${si.name.take(120)}")
+        }
     })
     val rt = Runtime.getRuntime
     val only = args.toSet
@@ -35,7 +45,10 @@ object BenchDebug {
       (1 to 2).foreach { i =>
         val heap0 = (rt.totalMemory - rt.freeMemory) / 1e6
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case e: Throwable => println(s"ERR $name: $e"); -1L }
+        // Bench.consume (noop sink), matching Bench's instrument —
+        // count() would let Catalyst prune the plan being diagnosed
+        val n = try { Bench.consume(fn(spark, sfDir)); 0L }
+          catch { case e: Throwable => println(s"ERR $name: $e"); -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         val heap1 = (rt.totalMemory - rt.freeMemory) / 1e6
         println(f"[bd] $name%-28s run$i $dt%7.2fs rows=$n%-8d heap ${heap0}%.0f->${heap1}%.0fMB")
@@ -43,7 +56,7 @@ object BenchDebug {
           import scala.jdk.CollectionConverters._
           val jobs = jobLog.asScala.toSeq.sortBy(_._1)
           jobs.foreach { case (id, (ns, d)) =>
-            println(f"[bd]   job $id%3d ${ns / 1e9}%6.3fs ${d.take(80)}")
+            println(f"[bd]   job $id%3d ${ns / 1e9}%6.3fs ${d.take(500)}")
           }
           println(f"[bd]   sum-of-jobs ${jobs.map(_._2._1).sum / 1e9}%.2fs")
           jobLog.clear()

@@ -38,7 +38,15 @@ object Ids {
   def addContiguousIds(df: DataFrame, sortCols: Seq[Column], idCol: String,
                        offset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(sortCols: _*)
+    // pin the partition count (no AQE coalesce): the exchange is tiny
+    // in BYTES at test scale, so AQE folds it to one partition — and
+    // every CPU-heavy comparator downstream of the ranks (candidate
+    // verification by edit distance etc.) then runs single-task. Byte
+    // size is the wrong signal for compute-bound stages; the
+    // configured shuffle parallelism is the contract.
+    val sorted = df
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val outSchema = schema.add(StructField(idCol, LongType, nullable = false))

@@ -433,30 +433,33 @@ object TextAnalysis {
     * key-mash near 6, repeated filler near 0. Exact cross-engine:
     * per-character counts are integers and each term
     * (c/n)·log2(n/c) is rounded to DECIMAL before an order-
-    * independent exact sum (one double cast at the end). One explode
-    * + one hash aggregate; token-less documents surface with zero
-    * entropy via the final left join. */
+    * independent exact sum (one double cast at the end).
+    *
+    * Zero-shuffle (round 7): the per-document histogram comes from
+    * the native codegen'd [[graft.functions.TextExprs.char_counts]]
+    * in one pass per row, and the term sum is an in-row `aggregate`
+    * fold over the ~dozens of distinct-char counts, carried as exact
+    * e9-scaled BIGINTs: each term is Spark's own round(·, 9), whose
+    * ≤9-decimal value is recovered as an integer exactly (the ×1e9
+    * product sits within 3e-7 of the integer, far inside the final
+    * round-to-0), summed without decimal-promotion drift, and divided
+    * back by 1e9 in one IEEE double op — the same nearest-double of
+    * the same exact sum the previous DECIMAL(28,9) plan produced.
+    * That plan exploded every character into a row (~55M at bench
+    * sf0.1) and shuffled two levels of hash-aggregate partials; this
+    * one shuffles nothing. Empty documents fold over an empty array
+    * straight to 0.0. */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
-    // filter first: Spark's sequence(1, 0) is a DESCENDING [1, 0],
-    // not empty — an empty text must contribute no char rows
-    val chars = docs.filter(length(col(textCol)) > 0)
-      .select(col(idCol), length(col(textCol)).cast(LongType).as("n"),
-        explode(expr(
-          s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"))
-          .as("ch"))
-    val terms = chars.groupBy(col(idCol), col("n"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-      .select(col(idCol),
-        round((col("c").cast("double") / col("n")) *
-          log2(col("n").cast("double") / col("c")), 9).cast(dec).as("term"))
-    val agg = terms.groupBy(col(idCol))
-      .agg(sum(col("term")).cast("double").as("_e"))
-    docs.select(col(idCol), length(col(textCol)).cast(LongType).as("n_text_chars"))
-      .join(agg, Seq(idCol), "left")
+    docs.select(col(idCol),
+      length(col(textCol)).cast(LongType).as("n_text_chars"),
+      graft.functions.TextExprs.char_counts(col(textCol)).as("_cc"))
       .select(col(idCol), col("n_text_chars"),
-        coalesce(col("_e"), lit(0.0)).as("entropy_bits"))
+        (expr("""aggregate(_cc, 0L, (acc, c) -> acc + CAST(round(round(
+                  (CAST(c AS DOUBLE) / n_text_chars) *
+                  log2(CAST(n_text_chars AS DOUBLE) / CAST(c AS DOUBLE)), 9)
+                  * 1000000000D, 0) AS BIGINT))""").cast("double")
+          / lit(1e9)).as("entropy_bits"))
   }
 
   /** Per-source Zipf rank–frequency slope: OLS fit of ln(freq) on

@@ -800,17 +800,23 @@ object ExtensionQueries {
   /** q54 — character-shingle profile over a bounded 512-char prefix
     * (prefix cap keeps per-row cost constant at any document size):
     * distinct char-4-grams per source, the character-level analog of
-    * the word-shingle surface. */
+    * the word-shingle surface. Only the distinct COUNT survives the
+    * aggregation, so the native codegen'd
+    * [[graft.functions.TextExprs.distinct_char_shingles]] computes it
+    * in one pass per row (packed-long window keys) instead of
+    * materializing + deduplicating a ~509-element string array
+    * through interpreted higher-order functions — same value as
+    * `size(array_distinct(charShingles(...)))`, ~5× cheaper. */
   private val q54 = QueryDef(
     "q54_char_shingles",
     (s, dir) => table(s, dir, "documents")
       .select(col("source"),
-        array_distinct(TextFunctions.charShingles(
-          substring(col("text"), 1, 512), 4)).as("sh"))
+        graft.functions.TextExprs.distinct_char_shingles(
+          substring(col("text"), 1, 512), 4).as("n_sh"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("sh"))).cast(LongType).as("total_distinct_shingles"),
-        max(size(col("sh"))).cast(LongType).as("max_distinct_shingles"))
+        sum(col("n_sh")).cast(LongType).as("total_distinct_shingles"),
+        max(col("n_sh")).cast(LongType).as("max_distinct_shingles"))
       .orderBy(col("source")),
     Some("""
       WITH p AS (SELECT source, substr(text, 1, 512) AS t FROM documents),
