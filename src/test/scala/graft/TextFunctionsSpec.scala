@@ -141,6 +141,56 @@ class TextFunctionsSpec extends SparkSpec {
     assert(viaSql == "ü")
   }
 
+  test("char_counts histogram: counts sum to length, entropy matches the explode form") {
+    import graft.functions.TextExprs
+    val texts = Seq("aab", "", "héllo héllo", "xyzzy plugh 😀😀a",
+      "aaaaaaaaaa", "the quick brown fox jumps over the lazy dog")
+    val df = texts.toDF("text").withColumn("doc_id",
+      monotonically_increasing_id())
+    // counts partition the code-point length
+    val chk = df.select(length($"text").cast("long").as("n"),
+      TextExprs.char_counts($"text").as("cc"))
+      .select($"n", expr("aggregate(cc, 0L, (a, c) -> a + c)").as("s"),
+        size($"cc").as("k"))
+      .as[(Long, Long, Int)].collect()
+    chk.foreach { case (n, s, k) =>
+      assert(s == n); assert(k <= s || (n == 0 && k == 0)) }
+    // the zero-shuffle charEntropy equals the explode + two-level
+    // hash-aggregate formulation it replaced, bit for bit
+    val fast = graft.operators.TextAnalysis.charEntropy(df)
+      .orderBy($"doc_id")
+      .select($"entropy_bits").as[Double].collect()
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val chars = df.filter(length($"text") > 0)
+      .select($"doc_id", length($"text").cast("long").as("n"),
+        explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+    val agg = chars.groupBy($"doc_id", $"n", $"ch")
+      .agg(count(lit(1)).as("c"))
+      .select($"doc_id", round(($"c".cast("double") / $"n") *
+        log2($"n".cast("double") / $"c"), 9).cast(dec).as("term"))
+      .groupBy($"doc_id").agg(sum($"term").cast("double").as("e"))
+    val slow = df.join(agg, Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+      .select(coalesce($"e", lit(0.0))).as[Double].collect()
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("distinct_char_shingles equals size(array_distinct(charShingles)) on edges") {
+    import graft.functions.TextExprs
+    val texts = Seq("", "ab", "abcd", "abcdabcd", "aaaaaaa",
+      "héllo wörld héllo", "😀😀😀😀😀", "x😀y😀x😀y😀",
+      "the quick brown fox the quick brown fox")
+    val both = texts.toDF("text").select(
+      TextExprs.distinct_char_shingles($"text", 4).as("fast"),
+      size(array_distinct(TextFunctions.charShingles($"text", 4))).as("slow")
+        .cast("long"))
+      .as[(Long, Long)].collect()
+    both.zip(texts).foreach { case ((fast, slow), t) =>
+      assert(fast == slow, s"mismatch on '$t': $fast vs $slow") }
+  }
+
   test("simhash32 is within 32 bits and deterministic") {
     val sigs = Seq("a b c", "a b c").toDF("text")
       .select(graft.operators.Dedup.simhash32($"text")).as[Long].collect()
