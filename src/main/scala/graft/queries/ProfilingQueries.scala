@@ -213,20 +213,26 @@ object ProfilingQueries {
         .orderBy(col("lvl"))
     },
     Some {
+      // every r{k} is referenced three times (f{k+1}, n{k+1}'s NOT IN,
+      // r{k+1}) and ed four times: without AS MATERIALIZED DuckDB
+      // inlines each reference, re-expanding the orders⋈lineitem edge
+      // join ~3^rounds times — at gen-sf2 that plan spilled >75 GB of
+      // temp before dying (the q157 lesson, third occurrence; caught
+      // by the at-scale oracle sweep, values unchanged)
       val rounds = (1 to 3).map { r =>
-        s"""f$r AS (
+        s"""f$r AS MATERIALIZED (
             SELECT DISTINCT ed.u AS v FROM ed
             JOIN r${r - 1} ON ed.v = r${r - 1}.v AND r${r - 1}.lvl = ${r - 1}),
           n$r AS (
             SELECT f$r.v, $r AS lvl FROM f$r
             WHERE f$r.v NOT IN (SELECT v FROM r${r - 1})),
-          r$r AS (SELECT * FROM r${r - 1} UNION ALL SELECT * FROM n$r)"""
+          r$r AS MATERIALIZED (SELECT * FROM r${r - 1} UNION ALL SELECT * FROM n$r)"""
       }.mkString(",\n      ")
       s"""
-      WITH e0 AS (
+      WITH e0 AS MATERIALIZED (
         SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      ed AS (SELECT a AS v, b AS u FROM e0
+      ed AS MATERIALIZED (SELECT a AS v, b AS u FROM e0
              UNION ALL SELECT b AS v, a AS u FROM e0),
       r0 AS (SELECT CAST(3 AS BIGINT) AS v, CAST(0 AS BIGINT) AS lvl),
       $rounds,
