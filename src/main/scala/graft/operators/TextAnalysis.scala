@@ -165,6 +165,53 @@ object TextAnalysis {
 
   // ------------------------------------------- duplicate-span removal
 
+  /** 1-based start positions of `window`-token windows whose exact
+    * text occurs more than once corpus-wide (any document, including
+    * repeats within one), computed with the shuffle discipline the
+    * span-dedup operators need at 100 TB: the corpus-wide occurrence
+    * count groups 64-bit `xxhash64` window keys (8 bytes per window
+    * on the wire), and only hash-repeat CANDIDATES are
+    * re-materialized as strings and re-counted exactly. A hash
+    * collision can nominate a candidate, never mark a window, so the
+    * result is bit-identical to grouping the full window text — while
+    * the 16-token strings (~16× the corpus bytes at stride 1) are
+    * built and discarded inside a row, never shuffled. Candidate
+    * positions ride back to their document as one packed array
+    * (bounded by doc length), so the verify pass re-slices only the
+    * documents that own a candidate.
+    *
+    * Input contract: `toks` is (_id: long, t: array<string>).
+    * `crossDocOnly` switches the repeat criterion from "occurs > 1
+    * time anywhere" to "occurs in > 1 distinct documents" (the q130
+    * signal); `stride` spaces the window starts.
+    * @return (_id, i) — i the 1-based window start. */
+  def repeatedWindowStarts(toks: DataFrame, window: Int,
+                           stride: Int = 1,
+                           crossDocOnly: Boolean = false): DataFrame = {
+    val W = window
+    def repeated(frame: DataFrame, key: String): DataFrame = {
+      val g = frame.groupBy(col(key))
+      val agg =
+        if (crossDocOnly) g.agg(countDistinct(col("_id")).as("c"))
+        else g.agg(count(lit(1)).as("c"))
+      agg.filter(col("c") > 1).select(col(key))
+    }
+    val winsH = toks.filter(size(col("t")) >= W)
+      .select(col("_id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - $W + 1, $stride), i -> xxhash64(array_join(slice(t, i, $W), ' ')))"))
+        .as(Seq("p0", "h")))
+      .select(col("_id"), (col("p0") * lit(stride) + 1).as("i"), col("h"))
+    val candByDoc = winsH.join(repeated(winsH, "h"), Seq("h"), "left_semi")
+      .groupBy(col("_id")).agg(collect_list(col("i")).as("cis"))
+    val candWins = toks.join(candByDoc, Seq("_id"))
+      .select(col("_id"), explode(expr(
+        s"transform(cis, i -> struct(i AS i, array_join(slice(t, i, $W), ' ') AS k))"))
+        .as("w"))
+      .select(col("_id"), col("w.i").as("i"), col("w.k").as("k"))
+    candWins.join(repeated(candWins, "k"), Seq("k"), "left_semi")
+      .select(col("_id"), col("i"))
+  }
+
   /** Remove duplicated token spans from every document — the REMOVAL
     * half of exact-substring dedup (Lee et al. 2022, arXiv
     * 2107.06499): every `window`-token span whose text occurs more
@@ -180,13 +227,17 @@ object TextAnalysis {
     * order-free, which is what makes the operator exactly
     * reproducible cross-engine.
     *
-    * Shape: one window explode (stride 1, ~n_tokens rows) → one
-    * window-key aggregate (map-side combined; at 100 TB the key
-    * would be the rolling 64-bit hash) → marked starts merge into
-    * spans with the sort-free islands pattern (running max over one
-    * per-doc window) → token positions anti-join the span ranges
-    * (equi on doc + range residual, stays a hash join) → per-doc
-    * reassembly. No pairwise stage anywhere.
+    * Shape: duplicate windows come from [[repeatedWindowStarts]]
+    * (hashes shuffle, strings verify candidates only); marked starts
+    * merge into spans with the sort-free islands pattern (running max
+    * over one per-doc window); then the cut happens IN-ROW — each
+    * document joins its (few, disjoint, sorted) spans as one packed
+    * array and rebuilds `clean_text` by slicing the kept segments out
+    * of its token array. No per-token rows exist anywhere: the old
+    * plan's position explode (one row per corpus token, shuffled
+    * through a semi-join, an anti-join, and a collect_list rebuild)
+    * is gone, so the only corpus-mass shuffles left are the 8-byte
+    * hash count and the doc-keyed span join.
     *
     * @return (idCol, n_tokens, n_dropped, clean_text) */
   def dropDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
@@ -196,16 +247,7 @@ object TextAnalysis {
     val W = window
     val toks = docs.select(col(idCol).cast(LongType).as("_id"),
       tokens(col(textCol)).as("t"))
-    val pos = toks.select(col("_id"), posexplode(col("t")).as(Seq("p0", "tok")))
-      .select(col("_id"), (col("p0") + 1).as("pos"), col("tok"))
-    val wins = toks.filter(size(col("t")) >= W)
-      .select(col("_id"), explode(expr(
-        s"transform(sequence(1, size(t) - $W + 1), i -> struct(i AS i, array_join(slice(t, i, $W), ' ') AS k))"))
-        .as("w"))
-      .select(col("_id"), col("w.i").as("i"), col("w.k").as("k"))
-    val dupKeys = wins.groupBy(col("k"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("k"))
-    val marked = wins.join(dupKeys, Seq("k"), "left_semi")
+    val marked = repeatedWindowStarts(toks, W)
       .select(col("_id"), col("i"), (col("i") + W - 1).as("e"))
     // merge overlapping windows into maximal spans (islands by
     // running max of span ends)
@@ -220,25 +262,28 @@ object TextAnalysis {
         sum(col("isNew")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("_id"), col("island"))
       .agg(min(col("i")).as("s"), max(col("e")).as("e"))
-    val dropped = pos.join(spans,
-        pos("_id") === spans("_id") &&
-          col("pos") >= col("s") && col("pos") <= col("e"), "left_semi")
-      .select(pos("_id"), col("pos"))
-    val kept = pos.join(dropped, Seq("_id", "pos"), "left_anti")
-    val stats = pos.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
-    val rebuilt = kept.groupBy(col("_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    docs.select(col(idCol).cast(LongType).as("_id"))
-      .join(stats, Seq("_id"), "left")
-      .join(rebuilt, Seq("_id"), "left")
+    // one packed span array per affected doc; spans are disjoint and
+    // separated by >= 1 kept token by construction, so n_dropped is
+    // the plain sum of span widths and the kept text is the ordered
+    // concatenation of the between-span segments
+    val spanList = spans.groupBy(col("_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"))
+    toks.join(spanList, Seq("_id"), "left")
       .select(col("_id").as(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        (coalesce(col("n_tokens"), lit(0L)) -
-          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("t")).cast(LongType).as("n_tokens"),
+        coalesce(expr(
+          "aggregate(sp, 0L, (acc, x) -> acc + CAST(x.e - x.s + 1 AS BIGINT))"),
+          lit(0L)).as("n_dropped"),
+        when(col("sp").isNull, array_join(col("t"), " "))
+          .otherwise(expr(
+            """array_join(
+                 flatten(
+                   zip_with(
+                     concat(array(1), transform(sp, x -> x.e + 1)),
+                     concat(transform(sp, x -> x.s - 1), array(size(t))),
+                     (a, b) -> slice(t, a, greatest(0, b - a + 1)))),
+                 ' ')"""))
+          .as("clean_text"))
   }
 
   /** Greedy leftmost-first merge of adjacent symbol pair (a, b) in a

@@ -878,32 +878,26 @@ object CurationQueries {
     * k past the previous one). Output: one row per maximal span with
     * 1-based token offsets — the spans a scrubber would cut.
     *
-    * Scale: the occurrence count is one shuffle on the window text
-    * (the string key IS the verification — no hash-collision step);
-    * the island windows are PARTITIONED BY doc, so every frame is
-    * bounded by a document's length. Docs shorter than the window
-    * width carry no window and are skipped on both engines. At
-    * 100 TB, group on xxhash64(window) first and verify the string
-    * on the ≥2 buckets to cut the shuffled key bytes. */
+    * Scale: the occurrence count shuffles 64-bit xxhash64 window
+    * keys, and only hash-repeat candidates are re-materialized as
+    * strings and re-counted exactly ([[graft.operators.TextAnalysis
+    * .repeatedWindowStarts]] — a collision can nominate a candidate,
+    * never mark a span, so the marks are bit-identical to grouping
+    * the window text while the 8-token strings never leave the
+    * executor that read the document); the island windows are
+    * PARTITIONED BY doc, so every frame is bounded by a document's
+    * length. Docs shorter than the window width carry no window and
+    * are skipped on both engines. */
   private val q227 = QueryDef(
     "q227_exact_substring_spans",
     (s, dir) => {
       val k = 8
       val toksDf = table(s, dir, "documents")
-        .select(col("doc_id"),
+        .select(col("doc_id").cast(LongType).as("_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= k)
-      val wins = toksDf
-        .select(col("doc_id"), posexplode(
-          graft.functions.TextExprs.word_shingles(col("t"), k))
-          .as(Seq("pos0", "w")))
-        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
-          col("w"))
-      val dup = wins.groupBy(col("w"))
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("w"))
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      wins.join(dup, Seq("w"))
-        .select(col("doc_id"), col("pos"))
+      graft.operators.TextAnalysis.repeatedWindowStarts(toksDf, k)
+        .select(col("_id").as("doc_id"), col("i").cast(LongType).as("pos"))
         .withColumn("brk",
           when(col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1L)
             .otherwise(0L))

@@ -736,30 +736,30 @@ object LakehouseQueries {
     * joined text; a window whose key occurs in MORE THAN ONE document
     * marks duplicated span mass. Per document: window count,
     * cross-doc duplicated windows, and the duplication ratio — the
-    * per-doc signal a span-level dedup pass acts on. At 100 TB the
-    * window key would shuffle as a rolling 64-bit hash
-    * ([[graft.functions.RollingHashExpr]]); strings here keep the
-    * oracle engine-portable. One explode + one window-key aggregate +
-    * one join back — no pairwise work anywhere. */
+    * per-doc signal a span-level dedup pass acts on. The window keys
+    * shuffle as 64-bit xxhash64 values with exact string verification
+    * on the hash-repeat candidates only ([[graft.operators
+    * .TextAnalysis.repeatedWindowStarts]] — collision-proof, and the
+    * 16-token strings never shuffle); the per-doc window count is
+    * closed-form from the token count, so no per-window rows exist
+    * outside the repeat detection. No pairwise work anywhere. */
   private val q130 = QueryDef(
     "q130_duplicate_spans",
     (s, dir) => {
       import graft.functions.TextFunctions
       val W = 16; val S = 4
-      val wins = ExtensionQueries.augmentedDocs(s, dir)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= W)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(t) - $W + 1, $S), i -> array_join(slice(t, i, $W), ' '))"))
-          .as("k"))
-      val dup = wins.groupBy(col("k"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
-        .select(col("k"), lit(true).as("is_dup"))
-      wins.join(dup, Seq("k"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      val toks = ExtensionQueries.augmentedDocs(s, dir)
+        .select(col("doc_id").cast(LongType).as("_id"),
+          TextFunctions.tokens(col("text")).as("t"))
+      val nWins = toks.filter(size(col("t")) >= W)
+        .select(col("_id"),
+          expr(s"CAST((size(t) - $W) DIV $S + 1 AS BIGINT)").as("n_windows"))
+      val dupPerDoc = graft.operators.TextAnalysis
+        .repeatedWindowStarts(toks, W, stride = S, crossDocOnly = true)
+        .groupBy(col("_id")).agg(count(lit(1)).as("nd"))
+      nWins.join(dupPerDoc, Seq("_id"), "left")
+        .select(col("_id").as("doc_id"), col("n_windows"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_windows"))
         .withColumn("dup_ratio",
           round(col("n_dup_windows").cast(DoubleType) / col("n_windows"), 6))
         .orderBy(col("doc_id"))

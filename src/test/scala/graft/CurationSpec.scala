@@ -148,6 +148,37 @@ class CurationSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, "")))
   }
 
+  test("repeatedWindowStarts: hash prefilter + string verify equals grouping " +
+    "the window strings directly (all modes)") {
+    // the lossless-prefilter claim, proved against the composed twin
+    // on real fixture text: a hash collision may nominate a candidate
+    // but the string re-count must discard it, so both forms mark the
+    // exact same (doc, start) set
+    import graft.functions.TextFunctions
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 400)
+      .select($"doc_id".cast("long").as("_id"),
+        TextFunctions.tokens($"text").as("t"))
+    for ((w, s, cd) <- Seq((8, 1, false), (16, 4, true), (4, 2, false))) {
+      val got = TextAnalysis.repeatedWindowStarts(docs, w, s, cd)
+        .as[(Long, Int)].collect().sorted.toSeq
+      val wins = docs.filter(size($"t") >= w)
+        .select($"_id", posexplode(expr(
+          s"transform(sequence(1, size(t) - $w + 1, $s), i -> array_join(slice(t, i, $w), ' '))"))
+          .as(Seq("p0", "k")))
+        .select($"_id", ($"p0" * s + 1).as("i"), $"k")
+      val dupAgg =
+        if (cd) wins.groupBy($"k").agg(countDistinct($"_id").as("c"))
+        else wins.groupBy($"k").agg(count(lit(1)).as("c"))
+      val want = wins
+        .join(dupAgg.filter($"c" > 1).select($"k"), Seq("k"), "left_semi")
+        .select($"_id", $"i").as[(Long, Int)].collect().sorted.toSeq
+      assert(got == want, s"(w=$w, stride=$s, crossDocOnly=$cd)")
+      assert(want.nonEmpty, s"fixture must exercise (w=$w, stride=$s, crossDocOnly=$cd)")
+    }
+  }
+
   test("charEntropy: uniform chars max out, repeats zero out, empty doc kept") {
     val docs = Seq(
       (1L, "abcd"),     // 4 distinct chars once each → exactly 2 bits

@@ -536,4 +536,27 @@ class ScaleSpec extends SparkSpec {
       s"q226 must carry the bloom might_contain predicate:\n${plan.take(900)}")
     assert(df.collect().nonEmpty)
   }
+
+  test("span dedup (q130/q134/q227): repeat detection shuffles xxhash64 keys; " +
+    "no per-token position explode survives") {
+    // all three exact-substring operators route duplicate-window
+    // detection through TextAnalysis.repeatedWindowStarts — the
+    // corpus-wide occurrence count groups 64-bit hashes and only
+    // hash-repeat candidates are re-materialized as strings. Assert
+    // the prefilter is IN the executed plan, and that q134's old
+    // one-row-per-corpus-token frame (posexplode of the raw token
+    // array, shuffled through semi/anti joins and a collect_list
+    // rebuild) never reappears in any of them.
+    for (q <- Seq("q130_duplicate_spans", "q134_drop_duplicate_spans",
+        "q227_exact_substring_spans")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("xxhash64"),
+        s"$q: hash-prefiltered repeat detection must be in the plan:\n${plan.take(900)}")
+      assert("posexplode\\(t#\\d".r.findFirstIn(plan).isEmpty,
+        s"$q must not explode one row per corpus token:\n${plan.take(900)}")
+    }
+  }
 }
