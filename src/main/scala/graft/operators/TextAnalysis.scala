@@ -174,8 +174,11 @@ object TextAnalysis {
     * re-materialized as strings and re-counted exactly. A hash
     * collision can nominate a candidate, never mark a window, so the
     * result is bit-identical to grouping the full window text — while
-    * the 16-token strings (~16× the corpus bytes at stride 1) are
-    * built and discarded inside a row, never shuffled. Candidate
+    * NON-candidate window strings (~window× the corpus bytes at
+    * stride 1, the overwhelming mass on a deduplicated corpus) are
+    * built and discarded inside a row without shuffling; only the
+    * hash-repeat candidate strings shuffle, for the exact re-count.
+    * Candidate
     * positions ride back to their document as one packed array
     * (bounded by doc length), so the verify pass re-slices only the
     * documents that own a candidate.
@@ -245,8 +248,12 @@ object TextAnalysis {
                          window: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = window
+    // tokens(NULL) is NULL: coalesce to an empty array so a null-text
+    // document keeps the oracle contract (n_tokens=0, n_dropped=0,
+    // clean_text='') instead of propagating NULL through size() and
+    // array_join() — q134's DuckDB twin COALESCEs the same way.
     val toks = docs.select(col(idCol).cast(LongType).as("_id"),
-      tokens(col(textCol)).as("t"))
+      coalesce(tokens(col(textCol)), array().cast("array<string>")).as("t"))
     val marked = repeatedWindowStarts(toks, W)
       .select(col("_id"), col("i"), (col("i") + W - 1).as("e"))
     // merge overlapping windows into maximal spans (islands by

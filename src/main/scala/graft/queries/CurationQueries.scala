@@ -16,19 +16,47 @@ object CurationQueries {
   /** q39 — ranking-distribution window family (percent_rank /
     * cume_dist / ntile), the OVER-clause surface q10/q28 don't cover.
     * percent_rank and cume_dist are integer-ratio doubles under a
-    * unique ordering, so they hash identically across engines. */
+    * unique ordering, so they hash identically across engines.
+    *
+    * Scale shape (round 8): the naive form put all four functions in
+    * one `OVER (PARTITION BY o_orderpriority ORDER BY …)` window — 5
+    * frames of N/5 rows each, un-prunable because pr/cd/nt need the
+    * whole frame even though only rk ≤ 3 rows survive. But under the
+    * UNIQUE ordering (orderkey tiebreak) every one of them is pure
+    * arithmetic in (rk, n): pr = (rk-1)/(n-1), cd = rk/n, nt =
+    * [[graft.operators.Ids.ntileFromRank]]. So the window keeps ONLY
+    * `row_number` + the rk ≤ 3 filter — which Catalyst's
+    * InferWindowGroupLimit rewrites into a map-side top-3-per-priority
+    * prune (≤ 15 rows leave each scan task; the final WindowExec sorts
+    * 3-row frames, CONSTANT at any corpus size) — and n rides in on a
+    * broadcast 5-row count. This beats the q106 range-rank discipline
+    * here because q106 needs ranks for EVERY row while q39 only needs
+    * the top 3: group-limit pruning at the scan is strictly cheaper
+    * than a corpus-wide range sort. ScaleSpec pins the pruned plan and
+    * the constant frame. */
   private val q39 = QueryDef(
     "q39_rank_distribution",
     (s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      table(s, dir, "orders")
+      val base = table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      val counts = base.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      base
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).cast(LongType).as("rk"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"),
-          ntile(4).over(w).cast(LongType).as("nt"))
+          row_number().over(w).cast(LongType).as("rk"))
         .filter(col("rk") <= 3)
+        .join(broadcast(counts), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rk"),
+          // SQL defines percent_rank = 0 for a single-row frame (the
+          // 0/0 guard); both engines agree
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rk") - 1).cast(DoubleType) /
+              (col("n") - 1).cast(DoubleType)).as("pr"),
+          (col("rk").cast(DoubleType) / col("n").cast(DoubleType)).as("cd"),
+          graft.operators.Ids.ntileFromRank(col("rk"), col("n"), 4).as("nt"))
         .orderBy(col("o_orderpriority"), col("rk"))
     },
     Some("""
@@ -883,8 +911,9 @@ object CurationQueries {
     * strings and re-counted exactly ([[graft.operators.TextAnalysis
     * .repeatedWindowStarts]] — a collision can nominate a candidate,
     * never mark a span, so the marks are bit-identical to grouping
-    * the window text while the 8-token strings never leave the
-    * executor that read the document); the island windows are
+    * the window text; non-candidate 8-token strings are built and
+    * discarded in-row, and only the candidate strings shuffle, for
+    * the exact re-count); the island windows are
     * PARTITIONED BY doc, so every frame is bounded by a document's
     * length. Docs shorter than the window width carry no window and
     * are skipped on both engines. */

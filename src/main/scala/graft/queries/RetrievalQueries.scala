@@ -38,8 +38,9 @@ object RetrievalQueries {
     * window: for a high-df term the lexical match set — and always
     * the semantic corpus pass — is corpus-proportional, and the
     * window form would serialize it through one task. Oracles stay in
-    * window form and hash-match; [[graft.ServingSpec]] pins the
-    * no-single-partition plan shape. */
+    * window form and hash-match; the no-Window/no-SinglePartition
+    * plan shape is asserted by [[graft.ScaleSpec]]'s
+    * "q106/q156/q153" plan test. */
   private val hybridTerms = Seq("spark", "vector", "stream")
 
   private val q153 = QueryDef(

@@ -242,8 +242,10 @@ object ServingQueries {
     * the broadcast row count: bit-identical NTILE semantics (the
     * oracle stays in window form and hash-matches), three parallel
     * range sorts, no single-partition frame anywhere.
-    * [[graft.ServingSpec]] pins result ≡ the window formulation and
-    * the absence of Window/SinglePartition operators in the plan. */
+    * [[graft.ServingSpec]] pins the quintile balance invariant;
+    * the absence of Window/SinglePartition operators in the executed
+    * plan is asserted by [[graft.ScaleSpec]]'s "q106/q156/q153"
+    * plan test. */
   private val q106 = QueryDef(
     "q106_rfm_segments",
     (s, dir) => {

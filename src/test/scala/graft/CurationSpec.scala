@@ -136,7 +136,8 @@ class CurationSpec extends SparkSpec {
       (2L, "x y a b c d w z"),
       (3L, "p q r s t u v"),                // untouched
       (4L, "m n o p m n o p"),              // intra-doc repeat: all dropped
-      (5L, "")                              // token-less: passes through
+      (5L, ""),                             // token-less: passes through
+      (6L, null)                            // null text: same contract as ''
     ).toDF("doc_id", "text")
     val got = TextAnalysis.dropDuplicateSpans(docs, window = 4)
       .as[(Long, Long, Long, String)].collect()
@@ -146,6 +147,10 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((7L, 0L, "p q r s t u v")))
     assert(got(4L) == ((8L, 8L, "")))
     assert(got(5L) == ((0L, 0L, "")))
+    // tokens(NULL) is NULL — without the coalesce the row came back
+    // (n_tokens=null, clean_text=null) where q134's oracle COALESCEs
+    // both to (0, '') (round-8 ADVICE fix)
+    assert(got(6L) == ((0L, 0L, "")))
   }
 
   test("repeatedWindowStarts: hash prefilter + string verify equals grouping " +

@@ -537,6 +537,26 @@ class ScaleSpec extends SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("q39: rank prune reaches the map side; no corpus-frame window survives") {
+    // round-8 rewrite: the window keeps ONLY row_number (+ rk <= 3),
+    // which InferWindowGroupLimit turns into a Partial (map-side)
+    // top-3-per-priority prune — ≤ 15 rows leave any scan task and the
+    // WindowExec sorts 3-row frames at ANY corpus size. pr/cd/ntile
+    // are arithmetic over a broadcast 5-row count, so none of the
+    // frame-hungry window functions may reappear in the plan.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val df = SparkEntry.queries("q39_rank_distribution")(spark, sf)
+      assert(df.count() == 15, s"q39 at $sf")
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"q39 must plan a map-side rank prune:\n${plan.take(1200)}")
+      for (banned <- Seq("percent_rank", "cume_dist", "ntile"))
+        assert(!plan.contains(banned),
+          s"q39 must not plan a full-frame $banned window:\n${plan.take(1200)}")
+    }
+  }
+
   test("span dedup (q130/q134/q227): repeat detection shuffles xxhash64 keys; " +
     "no per-token position explode survives") {
     // all three exact-substring operators route duplicate-window
@@ -551,11 +571,28 @@ class ScaleSpec extends SparkSpec {
         "q227_exact_substring_spans")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       df.collect()
+      // the FINAL adaptive plan, as a string: AQE wraps materialized
+      // stages in leaf QueryStageExec nodes, so node-level collect()
+      // can't see inside them — the printed tree can.
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       assert(plan.contains("xxhash64"),
         s"$q: hash-prefiltered repeat detection must be in the plan:\n${plan.take(900)}")
-      assert("posexplode\\(t#\\d".r.findFirstIn(plan).isEmpty,
+      // repeatedWindowStarts legitimately owns exactly TWO generators
+      // (the posexplode of the per-window hash array and the explode
+      // of the packed candidate-window structs), each printed twice in
+      // the executed-plan string because winsH/candWins feed both the
+      // repeat-count aggregate and the semi join — 4 Generate lines
+      // today (measured for all three queries). Any growth — under
+      // whatever alias, via explode or posexplode — is a per-token
+      // frame creeping back in (q134's pre-round-7 plan: one row per
+      // corpus token through semi/anti joins), so count Generate
+      // lines instead of pattern-matching one attribute name.
+      val nGenerate = plan.split("\n").count(_.contains("Generate "))
+      assert(nGenerate > 0 && nGenerate <= 4,
+        s"$q plans $nGenerate Generate lines (today's plan prints 4); " +
+          s"a per-token explode has crept back in:\n${plan.take(1500)}")
+      assert("(pos)?explode\\(t#\\d".r.findFirstIn(plan).isEmpty,
         s"$q must not explode one row per corpus token:\n${plan.take(900)}")
     }
   }
