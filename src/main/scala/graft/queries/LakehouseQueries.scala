@@ -739,8 +739,9 @@ object LakehouseQueries {
     * per-doc signal a span-level dedup pass acts on. The window keys
     * shuffle as 64-bit xxhash64 values with exact string verification
     * on the hash-repeat candidates only ([[graft.operators
-    * .TextAnalysis.repeatedWindowStarts]] — collision-proof, and the
-    * 16-token strings never shuffle); the per-doc window count is
+    * .TextAnalysis.repeatedWindowStarts]] — collision-proof;
+    * non-candidate 16-token strings are built and discarded in-row,
+    * only candidate strings shuffle); the per-doc window count is
     * closed-form from the token count, so no per-window rows exist
     * outside the repeat detection. No pairwise work anywhere. */
   private val q130 = QueryDef(
