@@ -867,10 +867,17 @@ object OpsQueries {
     * one window pass in 2D: group equal volumes to their max balance,
     * sort volume descending, and a point survives iff the running
     * max balance over STRICTLY greater volumes is below it. The fold
-    * runs on the per-distinct-volume collapse (bounded, never raw
-    * rows); a cluster deployment would add a partition-local frontier
-    * pre-filter first (frontiers are closed under union). Balances
-    * compare in exact cents. */
+    * runs on the per-distinct-volume collapse (never raw rows) AFTER
+    * a partition-local frontier pre-filter — frontiers are closed
+    * under union, so a point dominated inside ANY subset is dominated
+    * globally, and filtering within deterministic pseudo-partitions
+    * (hash of volume) keeps a SUPERSET of the true frontier while the
+    * global window's frame shrinks from every-distinct-volume
+    * (measured growing ~linearly: 10→99→853 rows over the fixture
+    * sfs) to the union of 32 partial frontiers (expected O(log n)
+    * each on non-adversarial data). PlanAuditSpec measures the frame
+    * at two sfs and fails if it scales with the corpus again.
+    * Balances compare in exact cents. */
   private val q213 = QueryDef(
     "q213_pareto_suppliers",
     (s, dir) => {
@@ -883,9 +890,20 @@ object OpsQueries {
         .join(vol, col("s_suppkey") === col("l_suppkey"))
       val byVol = sup.groupBy(col("volume"))
         .agg(max(col("bal_cents")).as("ymax"))
+      // partition-local pre-filter: within a pseudo-partition, any
+      // strictly-larger volume (volumes are distinct after the
+      // collapse) with balance >= mine dominates me — safe to drop
+      // before the global pass, which re-applies the same rule
+      val wLoc = Window.partitionBy(pmod(xxhash64(col("volume")), lit(32)))
+        .orderBy(col("volume").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = byVol
+        .withColumn("loc_max", max(col("ymax")).over(wLoc))
+        .filter(col("loc_max").isNull || col("loc_max") < col("ymax"))
+        .select(col("volume"), col("ymax"))
       val w = Window.orderBy(col("volume").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val frontier = byVol
+      val frontier = pre
         .withColumn("prev_max", max(col("ymax")).over(w))
         .filter(col("prev_max").isNull || col("prev_max") < col("ymax"))
         .select(col("volume").as("fv"), col("ymax"))
@@ -1620,18 +1638,27 @@ object OpsQueries {
     * the delay, and an event is DROPPED if its time is already
     * behind the watermark on arrival. The running max is a global
     * prefix scan computed scalably in two levels: block-local
-    * running max (partitioned window over event_id div 4096), plus
-    * the exclusive running max of block maxima folded on the tiny
+    * running max (partitioned window over event_id div blockSize),
+    * plus the exclusive running max of block maxima folded on the
     * block frame — never a single-partition window over raw events
-    * (the same discipline as q215's batch numbering). One row per
-    * candidate delay {1 h, 6 h, 24 h} with dropped ppm — the
+    * (the same discipline as q215's batch numbering). The block size
+    * ADAPTS to the corpus (max(4096, ceil(maxId/65536))) so the
+    * single-task block frame is structurally capped at 65,536 rows at
+    * ANY scale — with the fixed 4096 of the first cut, #blocks grew
+    * linearly with the stream and the "tiny" frame was only tiny at
+    * bench scale (PlanAuditSpec now measures it). The one-row max-id
+    * scan is the q224 bounded-collect pattern. One row per candidate
+    * delay {1 h, 6 h, 24 h} with dropped ppm — the
     * latency-vs-completeness curve, priced from history. */
   private val q223 = QueryDef(
     "q223_watermark_audit",
     (s, dir) => {
+      val maxId = eventsTable(s, dir)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val blockSize = math.max(4096L, (maxId + 65536L) / 65536L)
       val e = eventsTable(s, dir)
         .select(col("event_id"), unix_millis(col("ts")).as("ms"))
-        .withColumn("blk", expr("event_id div 4096"))
+        .withColumn("blk", expr(s"event_id div CAST($blockSize AS BIGINT)"))
       val wLoc = Window.partitionBy(col("blk")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = e.withColumn("loc_max", max(col("ms")).over(wLoc))

@@ -27,20 +27,29 @@ class PlanAuditSpec extends SparkSpec {
     * any scale — audited in the owning query's docstring. Anything
     * NOT in this list that plans a global window is a 100 TB
     * regression and fails the tripwire. */
-  private val boundedGlobalWindowFrames = Set(
-    "q102_cumulative_users",    // per-day frame (#distinct days)
-    "q149_jaro_winkler_linkage", // boundary stitch: ≤ 4 rows per block
-    "q165_histogram_percentiles", // fixed histogram bucket frame
-    "q167_waterfill_budget",    // per-source frame (#distinct sources)
-    "q168_km_conversion",       // Kaplan-Meier distinct obs times ≤ 8
-    "q177_auc_stopword_en",     // distinct 2dp scores, value domain ≤ 56k
-    "q180_ks_statistic",        // distinct 2dp values, domain-capped at 560
-    "q188_window_funnel",       // funnel-step frame (#steps)
-    "q189_sprt_stopping",       // per-variant sequential frame (30 rows)
-    "q213_pareto_suppliers",    // per-distinct-volume collapse (+ partition-local pre-filter at cluster scale, see docstring)
-    "q217_slo_burn",            // per-hour SLO frame (#hours)
-    "q223_watermark_audit"      // per-trigger watermark frame (#triggers)
+  private val boundedGlobalWindowFrames: Map[String, Long] = Map(
+    // query -> measured-frame row cap at sf0.1 (the domain bound each
+    // docstring claims, now a CI property — see the frame test below)
+    "q102_cumulative_users" -> 40L,      // per-day frame (#distinct days; 30-day events span)
+    "q149_jaro_winkler_linkage" -> 2000L, // boundary stitch: ≤ 4 rows per name block (+ growth gate)
+    "q165_histogram_percentiles" -> 56001L, // distinct 2dp values; domain [0.00, 560.00]
+    "q167_waterfill_budget" -> 25L,      // per-source frame (20 distinct sources)
+    "q168_km_conversion" -> 10L,         // Kaplan-Meier distinct obs times ≤ 8
+    "q177_auc_stopword_en" -> 56001L,    // distinct 2dp scores; same value domain
+    "q180_ks_statistic" -> 56001L,       // distinct 2dp values; same value domain
+    "q188_window_funnel" -> 8L,          // funnel-step frame (#steps)
+    "q189_sprt_stopping" -> 60L,         // per-variant sequential frame (30 rows)
+    "q213_pareto_suppliers" -> 2000L,    // union of 32 partial frontiers (+ growth gate)
+    "q217_slo_burn" -> 744L,             // per-hour SLO frame (≤ 31 days × 24 h)
+    "q223_watermark_audit" -> 65536L     // block-maxima frame; block size adapts to cap #blocks
   )
+
+  /** The two allowlist entries whose bound is a GROWTH argument
+    * (partial-frontier unions / per-block stitches shrink relative to
+    * the corpus) rather than a fixed value domain: additionally
+    * require the frame to grow ≤ 5× under a 10× corpus. */
+  private val growthGated = Set("q149_jaro_winkler_linkage",
+    "q213_pareto_suppliers")
 
   test("global windows only ever run over domain-bounded frames (allowlist)") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -63,5 +72,48 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"unaudited global windows in: ${offenders.mkString(", ")}")
+  }
+
+  /** "Domain-bounded" was a docstring until round 8; now it is data.
+    * For every allowlisted query: pull each GLOBAL window's child out
+    * of the optimized logical plan, COUNT its rows (the frame one
+    * task must hold) at sf0.01 and sf0.1, and require the documented
+    * cap at both scales — plus, for the two growth-argument entries,
+    * ≤ 5× frame growth under the 10× corpus step. This is the gate
+    * that caught q213's every-distinct-volume frame growing ~linearly
+    * (10→99→853 over the fixture sfs, fixed with a partition-local
+    * frontier pre-filter) and q223's fixed 4096-row blocks making
+    * #blocks corpus-linear (fixed with an adaptive block size). */
+  test("allowlisted global-window frames obey their documented caps (measured)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.graft.PlanBridge
+    def maxGlobalFrameRows(name: String, dir: String): Long = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val frames = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.child
+      }
+      assert(frames.nonEmpty,
+        s"$name is allowlisted but plans no global window — drop it " +
+          s"from the allowlist")
+      val n = frames.map(c => PlanBridge.ofRows(spark, c).count()).max
+      spark.catalog.clearCache()
+      n
+    }
+    val failures = boundedGlobalWindowFrames.toSeq.sortBy(_._1).flatMap {
+      case (name, cap) =>
+        val small = maxGlobalFrameRows(name, "/root/testdata/sf0.01")
+        val big = maxGlobalFrameRows(name, "/root/testdata/sf0.1")
+        val capBad =
+          if (small > cap || big > cap)
+            Seq(s"$name: frame $small@sf0.01 / $big@sf0.1 exceeds cap $cap")
+          else Nil
+        val growthBad =
+          if (growthGated(name) && big > 5L * math.max(small, 1L))
+            Seq(s"$name: frame grew ${small}→$big under a 10× corpus " +
+              s"(> 5× — the sub-linear claim is broken)")
+          else Nil
+        capBad ++ growthBad
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
