@@ -593,6 +593,55 @@ object Dedup {
         threshold), idCol = idCol)
       .withColumnRenamed("id", "doc_id")
 
+  /** Cross-release admission — the batch form of ONE
+    * `StreamingOps.admitBatch` micro-batch with `prior` as the
+    * accumulated state, expressed purely (no state I/O) so a
+    * release-over-release novelty audit can run it as a query: every
+    * `incoming` doc is admitted unless (a) a verified near-dup (LSH
+    * candidates, exact Jaccard ≥ threshold) of a PRIOR-release doc —
+    * witness = smallest such prior doc — or (b) rejected by the
+    * greedy kernel over within-release verified pairs, where edges
+    * touching a prior-rejected doc are dropped (a rejected doc
+    * imposes no constraint — the admitBatch rule). Ids of the two
+    * releases must be disjoint (the caller's release-numbering
+    * contract, same as admitBatch's state).
+    *
+    * Scale shape: prior never self-joins — its bands meet incoming's
+    * bands in one hash join keyed by the 16-byte band digest, so the
+    * cross-candidate mass is LSH-bucket-bounded exactly like the
+    * streaming state join; the within-release kernel is frontier-
+    * sized rounds over the (small) incoming release only.
+    *
+    * @return (id, status 'A'|'R', dup_of) for every incoming doc. */
+  def admitAgainst(prior: DataFrame, incoming: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   numHashes: Int = 16, numBands: Int = 4,
+                   shingleSize: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val shP = shingleSets(prior, idCol, textCol, shingleSize)
+    val shI = shingleSets(incoming, idCol, textCol, shingleSize)
+    val sigsI = minhashSignatures(shI, numHashes)
+    val crossCands = bandedIds(minhashSignatures(shP, numHashes),
+        numHashes, numBands)
+      .select(col("band"), col("id").as("id_a"))
+      .join(bandedIds(sigsI, numHashes, numBands)
+        .select(col("band"), col("id").as("id_b")), Seq("band"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val priorRejected = verifyJaccard(crossCands,
+        shP.unionByName(shI), threshold)
+      .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("dup_of"))
+    val survivors = shI.select(col("id"))
+      .join(priorRejected.select(col("id")), Seq("id"), "left_anti")
+    val innerPairs = verifyJaccard(
+      lshCandidatePairs(sigsI, numHashes, numBands)
+        .join(survivors.select(col("id").as("id_a")), Seq("id_a"))
+        .join(survivors.select(col("id").as("id_b")), Seq("id_b")),
+      shI, threshold)
+    kernelAdmit(survivors, innerPairs)
+      .unionByName(priorRejected.select(col("id"),
+        lit("R").as("status"), col("dup_of")))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup within a blocking column (e.g. a

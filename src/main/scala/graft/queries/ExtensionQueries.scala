@@ -921,8 +921,127 @@ object ExtensionQueries {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM sliced GROUP BY 1, 2 ORDER BY slice, source"""))
 
+  /** q228 — incremental-crawl novelty audit: the release-over-release
+    * decision report ("how much of the new crawl is actually new, per
+    * source — is it worth paying to process?"). Prior release = docs
+    * with doc_id % 5 ≠ 0 (already deduplicated by assumption);
+    * incoming release = the % 5 = 0 slice plus the ' spark'-suffixed
+    * near-dup mutants of every % 7 = 0 doc (the [[augmentedDocs]]
+    * convention, id + 1e6) — so the incoming mix contains genuinely
+    * novel docs, near-dups of the prior release, and within-release
+    * dups whose base is itself incoming. Decisions come from
+    * [[graft.operators.Dedup.admitAgainst]] (the pure batch form of
+    * one streaming admitBatch micro-batch: LSH bands of prior × bands
+    * of incoming in ONE hash join — prior never self-joins — then the
+    * within-release greedy kernel over survivors). A rejection is
+    * classified dup-of-prior vs dup-within by whether its witness id
+    * belongs to the prior release (release id spaces are disjoint).
+    * Output: per-source incoming/novel/dup-prior/dup-within counts and
+    * integer novelty ppm — 20 rows at any corpus size. Oracle unrolls
+    * the kernel to the same [[KernelUnroll]] rounds as q225 (an
+    * under-unrolled corpus surfaces 'U' rows and fails the hash gate
+    * loudly). */
+  private val q228 = QueryDef(
+    "q228_crawl_novelty",
+    (s, dir) => {
+      val base = table(s, dir, "documents")
+      val prior = base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val incoming = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" spark")).as("text"), col("source")))
+      val dec = Dedup.admitAgainst(prior,
+        incoming.select(col("doc_id"), col("text")))
+      val priorIds = prior
+        .select(col("doc_id").as("dup_of"), lit(true).as("_p"))
+      incoming.select(col("doc_id").as("id"), col("source"))
+        .join(dec, Seq("id"))
+        .join(priorIds, Seq("dup_of"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_incoming"),
+          sum((col("status") === "A").cast(LongType)).as("n_novel"),
+          sum((col("status") === "R" && col("_p").isNotNull).cast(LongType))
+            .as("n_dup_prior"),
+          sum((col("status") === "R" && col("_p").isNull).cast(LongType))
+            .as("n_dup_within"))
+        .select(col("source"), col("n_incoming"), col("n_novel"),
+          col("n_dup_prior"), col("n_dup_within"),
+          expr("(n_novel * 1000000L) div n_incoming").as("novelty_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH prior AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      inc AS MATERIALIZED (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' spark', source
+        FROM documents WHERE doc_id % 7 = 0),
+      alld AS (SELECT doc_id, text FROM prior
+               UNION ALL SELECT doc_id, text FROM inc),
+      toks AS (SELECT doc_id, $toksSql AS t FROM alld),
+      shing AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM toks),
+      hashed AS (SELECT doc_id,
+        list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                                  % ${Dedup.MinhashP}) AS hs
+        FROM shing),
+      sig AS (SELECT doc_id,
+               $minhashSigSql
+              FROM hashed),
+      bands AS MATERIALIZED (
+        $minhashBandsSql),
+      sets AS MATERIALIZED (SELECT doc_id, sh FROM shing),
+      pb AS (SELECT bands.doc_id, band FROM bands JOIN prior USING (doc_id)),
+      ib AS MATERIALIZED (
+        SELECT bands.doc_id, band FROM bands JOIN inc USING (doc_id)),
+      crossc AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pb a JOIN ib b ON a.band = b.band),
+      priorrej AS MATERIALIZED (
+        SELECT id_b AS id, MIN(id_a) AS dup_of
+        FROM crossc JOIN sets sa ON id_a = sa.doc_id
+                    JOIN sets sb ON id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        GROUP BY 1),
+      ids AS MATERIALIZED (
+        SELECT doc_id AS id FROM inc
+        WHERE doc_id NOT IN (SELECT id FROM priorrej)),
+      icand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ib a JOIN ib b ON a.band = b.band AND a.doc_id < b.doc_id),
+      vp AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst
+        FROM icand JOIN ids s1 ON id_a = s1.id JOIN ids s2 ON id_b = s2.id
+                   JOIN sets sa ON id_a = sa.doc_id
+                   JOIN sets sb ON id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+      st0 AS (SELECT id, 'U' AS s FROM ids),
+      $kernelRoundsSql,
+      fin AS MATERIALIZED (SELECT * FROM st$KernelUnroll),
+      dec AS (
+        SELECT i.doc_id, i.source,
+               CASE WHEN p.id IS NOT NULL THEN 'RP'
+                    WHEN f.s = 'A' THEN 'A' ELSE 'RW' END AS st
+        FROM inc i LEFT JOIN priorrej p ON p.id = i.doc_id
+                   LEFT JOIN fin f ON f.id = i.doc_id)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_incoming,
+             CAST(SUM(CASE WHEN st = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(SUM(CASE WHEN st = 'RP' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_prior,
+             CAST(SUM(CASE WHEN st = 'RW' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_within,
+             CAST((SUM(CASE WHEN st = 'A' THEN 1 ELSE 0 END) * 1000000)
+               // COUNT(*) AS BIGINT) AS novelty_ppm
+      FROM dec GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q20, q21, q22, q23, q24, q25, q30, q31, q32, q33, q34, q35, q36,
       q37, q38, q40, q41, q42, q43, q44, q46, q47, q49, q50, q51, q52, q53,
-      q54, q225)
+      q54, q225, q228)
 }

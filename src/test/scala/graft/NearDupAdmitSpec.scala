@@ -96,4 +96,28 @@ class NearDupAdmitSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "A", -1L), (2L, "A", -1L),
       (3L, "R", 1L), (4L, "A", -1L)))
   }
+
+  test("admitAgainst(prior admitted, incoming) ≡ greedyAdmit on the union") {
+    // the q228 operator is one pure admitBatch: with releases split in
+    // id (arrival) order and the prior release already deduplicated,
+    // its decisions — statuses AND witnesses — must equal the batch
+    // greedyAdmit on the whole corpus restricted to the incoming ids
+    // (greedy admission is prefix-stable in arrival order, the same
+    // property the micro-batch replay test above proves)
+    val docs = ExtensionQueries.augmentedDocs(spark, sf).localCheckpoint()
+    val expected = Dedup.greedyAdmit(docs).localCheckpoint()
+    val cut = 500L // fixture base ids run 0..1499; mutants +1e6
+    val priorAdmitted = docs.filter(col("doc_id") <= cut)
+      .join(expected.filter(col("status") === "A")
+        .select(col("doc_id")), Seq("doc_id"))
+    val incoming = docs.filter(col("doc_id") > cut)
+    val got = Dedup.admitAgainst(priorAdmitted, incoming).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    val want = expected.filter(col("doc_id") > cut).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(got.exists(_._2 == "R"), "split must contain cross-release dups")
+    assert(got.toSeq == want.toSeq)
+  }
 }
