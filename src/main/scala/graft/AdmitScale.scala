@@ -42,6 +42,9 @@ object AdmitScale {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).localCheckpoint()
       val n = docs.count()
+      if (n == 0) {
+        println(s"""{"dir":"$dir","docs":0,"skipped":"empty corpus"}""")
+      } else {
       val stateDir = Files.createTempDirectory("graft_admit_state").toString
       val outDir = Files.createTempDirectory("graft_admit_out").toString
       // id-range batches = arrival order (the greedyAdmit equivalence
@@ -59,9 +62,11 @@ object AdmitScale {
       val admitted = decisions.filter(col("status") === "A").count()
       val state = spark.read.parquet(stateDir)
       val stateRows = state.count()
-      val stateBytes = Files.walk(java.nio.file.Paths.get(stateDir))
-        .filter(p => p.toString.endsWith(".parquet"))
-        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      val walk = Files.walk(java.nio.file.Paths.get(stateDir))
+      val stateBytes =
+        try walk.filter(p => p.toString.endsWith(".parquet"))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        finally walk.close()
       // steady-state batch cost: drop the first (JIT/cold) batch
       val tail = walls.drop(1)
       val json = s"""{"dir":"$dir","docs":$n,"batches":$nBatches,""" +
@@ -74,6 +79,7 @@ object AdmitScale {
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      }
     }
     spark.stop()
   }

@@ -12,12 +12,37 @@ import org.apache.spark.sql.graft.PlanBridge
   * line per (query, dir): `FRAME <query> <dir> <counts...>`.
   */
 object FrameAudit {
-  val Allowlist: Seq[String] = Seq(
-    "q102_cumulative_users", "q149_jaro_winkler_linkage",
-    "q165_histogram_percentiles", "q167_waterfill_budget",
-    "q168_km_conversion", "q177_auc_stopword_en", "q180_ks_statistic",
-    "q188_window_funnel", "q189_sprt_stopping", "q213_pareto_suppliers",
-    "q217_slo_burn", "q223_watermark_audit")
+
+  /** CANONICAL global-window allowlist: every registered query that
+    * may plan an un-partitioned Window, with the measured frame-row
+    * cap its docstring claims (the domain bound one task must hold at
+    * any corpus size). PlanAuditSpec enforces membership AND measures
+    * every cap at two sfs — this map is the single source of truth;
+    * the spec imports it, so adding/removing an entry here changes
+    * both the tripwire and this audit tool together. */
+  val FrameCaps: Map[String, Long] = Map(
+    "q102_cumulative_users" -> 40L,      // per-day frame (#distinct days; 30-day events span)
+    "q149_jaro_winkler_linkage" -> 2000L, // boundary stitch: ≤ 4 rows per name block (+ growth gate)
+    "q165_histogram_percentiles" -> 56001L, // distinct 2dp values; domain [0.00, 560.00]
+    "q167_waterfill_budget" -> 25L,      // per-source frame (20 distinct sources)
+    "q168_km_conversion" -> 10L,         // Kaplan-Meier distinct obs times ≤ 8
+    "q177_auc_stopword_en" -> 56001L,    // distinct 2dp scores; same value domain
+    "q180_ks_statistic" -> 56001L,       // distinct 2dp values; same value domain
+    "q188_window_funnel" -> 8L,          // funnel-step frame (#steps)
+    "q189_sprt_stopping" -> 60L,         // per-variant sequential frame (30 rows)
+    "q213_pareto_suppliers" -> 2000L,    // union of 32 partial frontiers (+ growth gate)
+    "q217_slo_burn" -> 744L,             // per-hour SLO frame (≤ 31 days × 24 h)
+    "q223_watermark_audit" -> 65536L     // block-maxima frame; block size adapts to cap #blocks
+  )
+
+  /** The two allowlist entries whose bound is a GROWTH argument
+    * (partial-frontier unions / per-block stitches shrink relative to
+    * the corpus) rather than a fixed value domain: PlanAuditSpec
+    * additionally requires the frame to grow ≤ 5× under a 10× corpus. */
+  val GrowthGated: Set[String] = Set(
+    "q149_jaro_winkler_linkage", "q213_pareto_suppliers")
+
+  val Allowlist: Seq[String] = FrameCaps.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",

@@ -593,7 +593,7 @@ object Dedup {
         threshold), idCol = idCol)
       .withColumnRenamed("id", "doc_id")
 
-  /** Cross-release admission — the batch form of ONE
+  /** Cross-release admission — the batch analogue of ONE
     * `StreamingOps.admitBatch` micro-batch with `prior` as the
     * accumulated state, expressed purely (no state I/O) so a
     * release-over-release novelty audit can run it as a query: every
@@ -605,6 +605,18 @@ object Dedup {
     * imposes no constraint — the admitBatch rule). Ids of the two
     * releases must be disjoint (the caller's release-numbering
     * contract, same as admitBatch's state).
+    *
+    * Id-order asymmetry vs the streaming twin: RELEASE order wins
+    * here, not id order. admitBatch filters state candidates with
+    * `id_a < id_b` because its state ids are guaranteed smaller than
+    * the batch's (ids only grow in arrival order); admitAgainst
+    * deliberately drops that filter and rejects an incoming doc
+    * against ANY prior near-dup, smaller id or not — a prior release
+    * is already shipped, so it wins regardless of numbering (q228's
+    * interleaved %5 split relies on exactly this). The two functions
+    * therefore coincide only when every prior id is below every
+    * incoming id — the regime NearDupAdmitSpec proves — and diverge
+    * by design when releases interleave in id space.
     *
     * Scale shape: prior never self-joins — its bands meet incoming's
     * bands in one hash join keyed by the 16-byte band digest, so the

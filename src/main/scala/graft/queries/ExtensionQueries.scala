@@ -229,7 +229,17 @@ object ExtensionQueries {
   // -------------------------------------------------------------- dedup
 
   /** documents ∪ near-dup mutants: every 7th doc re-appears with one
-    * appended token and id+1,000,000. */
+    * appended token and id+1,000,000.
+    *
+    * The fixed 1e6 offset ASSUMES max(doc_id) < 1,000,000 — true for
+    * every driver fixture (sf0.1 has 5,000 docs) and every ScaleGen /
+    * DiverseGen tier this repo measures (gen-sf8 tops out at 400,000
+    * docs). A larger corpus would make mutant ids collide with real
+    * ids — duplicate keys in every downstream shingle/band set, and
+    * for q228 a silent breach of admitAgainst's disjoint-release-id
+    * contract — so raising the corpus past 1M docs requires raising
+    * the offset HERE and in [[augmentedDocsSql]] and q228's twins
+    * together. */
   private[graft] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0).select(
@@ -935,7 +945,12 @@ object ExtensionQueries {
     * of incoming in ONE hash join — prior never self-joins — then the
     * within-release greedy kernel over survivors). A rejection is
     * classified dup-of-prior vs dup-within by whether its witness id
-    * belongs to the prior release (release id spaces are disjoint).
+    * belongs to the prior release (release id spaces are disjoint —
+    * which, with the [[augmentedDocs]] +1e6 mutant offset, holds iff
+    * max(doc_id) < 1,000,000: a mutant of a %7=0, %5≠0 base keeps its
+    * base's residue mod 5, so past 1M docs mutant ids would land
+    * inside the prior release's id space; see the offset contract on
+    * [[augmentedDocs]]).
     * Output: per-source incoming/novel/dup-prior/dup-within counts and
     * integer novelty ppm — 20 rows at any corpus size. Oracle unrolls
     * the kernel to the same [[KernelUnroll]] rounds as q225 (an

@@ -549,8 +549,12 @@ class ScaleSpec extends SparkSpec {
       assert(df.count() == 15, s"q39 at $sf")
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
-      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
-        s"q39 must plan a map-side rank prune:\n${plan.take(1200)}")
+      // the Partial token must sit ON the WindowGroupLimit node (a
+      // Final-mode limit plus an unrelated "Partial" elsewhere in the
+      // plan is NOT a map-side prune)
+      assert(plan.linesIterator.exists(l =>
+          l.contains("WindowGroupLimit") && l.contains("Partial")),
+        s"q39 must plan a map-side (Partial) rank prune:\n${plan.take(1200)}")
       for (banned <- Seq("percent_rank", "cume_dist", "ntile"))
         assert(!plan.contains(banned),
           s"q39 must not plan a full-frame $banned window:\n${plan.take(1200)}")
