@@ -9,12 +9,20 @@ import graft.queries.QueryDef
   *
   * Measurement discipline: the table files are pre-read once (page
   * cache + vectorized-reader/JIT warmup), then every query runs in
-  * two FULL PASSES over the whole query list, reporting each query's
-  * faster sample — steady-state query cost, not first-touch JVM
-  * warmup. Samples of the same query are minutes apart, so a host
-  * CPU-steal stall (this environment shows multi-second bursts that
-  * would span two back-to-back runs) contaminates at most one sample;
-  * if the two samples still disagree >2×, a third decides. Cached/
+  * SPARK_GRAFT_BENCH_PASSES (default 2) FULL PASSES over the whole
+  * query list, reporting each query's fastest sample — steady-state
+  * query cost, not first-touch JVM warmup. Samples of the same query
+  * are minutes apart, so a host CPU-steal stall (this environment
+  * shows multi-second bursts that would span two back-to-back runs)
+  * contaminates at most one sample. At the default 2 passes, a >2×
+  * disagreement between the two samples triggers a third targeted
+  * sample (you can't tell from two wild samples whether the min is
+  * steady state or luck); at ≥3 passes the min is already robust to
+  * one contaminated sample per query, so no tiebreaks fire — the
+  * BINDING local baseline protocol (BASELINE.md) is 3 passes on an
+  * otherwise-idle box, chosen so the artifact's tiebreak count is
+  * structurally zero and a real ~1.3× single-query drift is visible
+  * over the ±30% steal band that two-pass artifacts carried. Cached/
   * broadcast state is dropped between queries so none borrows work
   * from a predecessor.
   *
@@ -59,21 +67,28 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val pass1 = named.map { case (name, fn) => name -> once(fn) }.toMap
-    val pass2 = named.map { case (name, fn) => name -> once(fn) }.toMap
-    // >2x cold/warm disagreement (host steal) triggers a third sample;
-    // recorded separately so consumers reconciling the three maps can
-    // see why queries[q] may be below min(cold, warm)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+      .max(2)
+    val passes = (1 to nPasses).map { _ =>
+      named.map { case (name, fn) => name -> once(fn) }.toMap
+    }
+    val (pass1, pass2) = (passes(0), passes(1))
+    // at exactly 2 passes, >2x cold/warm disagreement (host steal)
+    // triggers a third targeted sample, recorded separately so
+    // consumers reconciling the maps can see why queries[q] may be
+    // below min(cold, warm); at >=3 passes the min is already robust
+    // and no tiebreaks fire
     val tiebreaks = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = named.map { case (name, fn) =>
-      val (a, b) = (pass1(name), pass2(name))
+      val samples = passes.map(_(name))
       val best =
-        if (a < 0 || b < 0) -1.0
-        else if (math.max(a, b) > 2 * math.min(a, b) && math.max(a, b) - math.min(a, b) > 0.5) {
+        if (samples.exists(_ < 0)) -1.0
+        else if (nPasses == 2 &&
+            samples.max > 2 * samples.min && samples.max - samples.min > 0.5) {
           val c = once(fn)
           tiebreaks(name) = c
-          if (c < 0) math.min(a, b) else math.min(math.min(a, b), c)
-        } else math.min(a, b)
+          if (c < 0) samples.min else math.min(samples.min, c)
+        } else samples.min
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -89,7 +104,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_cold":${passJson(pass1)},"queries_warm":${passJson(pass2)},""" +
-      s""""queries_tiebreak":$tbJson,"consumption":"noop","sf":"$sfDir"}"""
+      s""""queries_tiebreak":$tbJson,"passes":$nPasses,""" +
+      s""""consumption":"noop","sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver captures a bounded tail of stdout, which
     // truncated the r03 artifact; the file survives regardless of log noise.
