@@ -368,12 +368,26 @@ object Dedup {
     // 158 s at gen-sf1 before this rewrite, SCALING.md), whereas two
     // equi joins onto the doc-array table move ONE ~400 B array per
     // candidate, and `array_intersect` over sorted int64 hashes is a
-    // codegen'd exact intersection count
+    // codegen'd exact intersection count. Join strategies are HINTED
+    // because the checkpointed `ex` reports no reliable stats:
+    // Catalyst's static estimate put the WHOLE doc→hash-array table
+    // under the broadcast threshold and tried to broadcast it — fine
+    // at bench scale, driver-OOM at gen-sf2 (~100 MB of arrays; the
+    // round-9 sweep's find), and structurally wrong at 100 TB where
+    // neither side is broadcastable. Join 1 is shuffle-hash building
+    // the bare (id_a, id_b) candidate list (16 B/row — the smallest
+    // relation in the query); join 2 must NOT build a hash map at all
+    // (its build side would carry every candidate's hs_a array —
+    // exactly the mass that can't sit in one task), so it is a
+    // sort-merge join: sorts by a bigint id, streams the array rows,
+    // and spills gracefully at any scale.
     val docsH = ex.groupBy(col("id"))
       .agg(first(col("n")).as("nn"), collect_list(col("s")).as("hs"))
     val verified = cand
+      .hint("shuffle_hash")
       .join(docsH.select(col("id").as("id_a"), col("nn").as("n_a"),
         col("hs").as("hs_a")), "id_a")
+      .hint("merge")
       .join(docsH.select(col("id").as("id_b"), col("nn").as("n_b"),
         col("hs").as("hs_b")), "id_b")
       .withColumn("n_inter",
