@@ -734,17 +734,17 @@ object AnalyticsQueries {
     Some(s"""
       WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
-      prepped AS (
+      prepped AS MATERIALIZED (
         SELECT doc_id AS id,
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
@@ -793,17 +793,17 @@ object AnalyticsQueries {
     Some(s"""
       WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
-      prepped AS (
+      prepped AS MATERIALIZED (
         SELECT doc_id AS id,
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
@@ -908,7 +908,7 @@ object AnalyticsQueries {
     Some(s"""
       WITH ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
-      prepped AS (
+      prepped AS MATERIALIZED (
         SELECT doc_id AS id, source AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
@@ -968,17 +968,17 @@ object AnalyticsQueries {
     Some(s"""
       WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
-      prepped AS (
+      prepped AS MATERIALIZED (
         SELECT doc_id AS id,
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),

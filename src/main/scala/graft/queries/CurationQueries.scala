@@ -591,17 +591,17 @@ object CurationQueries {
       WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, ${ExtensionQueries.toksSql} AS t
                FROM aug),
-      prepped AS (
+      prepped AS MATERIALIZED (
         SELECT doc_id AS id,
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),
