@@ -100,4 +100,83 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  /** FORCED broadcasts: a BroadcastExchange whose build-side size
+    * ESTIMATE exceeds the auto-broadcast threshold can only exist
+    * because an explicit `broadcast()` hint forced it — the planner
+    * would have chosen a shuffle join. A forced broadcast never
+    * re-decides itself as data grows (that is what hints are for), so
+    * every one must carry a justified bound. That was q129's gen-sf2
+    * failure: the checkpointed shingle table's garbage estimate put
+    * the doc→hash-array relation on the broadcast side, and nothing
+    * ever flipped it back (fixed in round 9 with shuffle-join hints;
+    * the registry-wide measurement lives in graft.BroadcastAudit +
+    * docs/broadcast_audit_r9.jsonl). Planner-CHOSEN broadcasts are
+    * fine and deliberately not gated: their estimates come from real
+    * file/shuffle sizes and flip to shuffle joins at larger scale.
+    *
+    * Allowlist semantics (the justification each entry claims):
+    * batch-bounded = sized by the operational unit a caller submits
+    * (a merge batch, an ANN query workload), not by the corpus;
+    * dim-bounded = sized by a dimension/entity table (the Kimball
+    * broadcast-dim assumption; the owning operator exposes
+    * broadcastDim=false for dims that outgrow memory);
+    * param-bounded = sized by an algorithm constant (codebook k,
+    * centroid count). */
+  private val forcedBroadcastAllowlist: Map[String, String] = Map(
+    "q05_scd2_merge" -> ("dim-bounded (active SCD2 lookup; " +
+      "Scd2.merge(broadcastDim=false) for big dims) + batch-bounded " +
+      "(changed-key expire set) — measured 15,000 + 5,000 rows @sf0.1"),
+    "q06_pit_fact" -> ("dim-bounded (Dim_Date calendar; " +
+      "FactLoad.broadcastDim) — ≤ 22,500 rows @sf0.1"),
+    "q135_int8_quant_ann" -> ("batch-bounded (quantized ANN query " +
+      "workload) — 10 rows @sf0.1"),
+    "q136_pq_adc_ann" -> ("param-bounded (PQ codebooks, 4×k) + " +
+      "batch-bounded (query ADC lookup tables) — ≤ 1,600 rows @sf0.1"),
+    "q138_binary_hamming_ann" -> ("batch-bounded (binarized query " +
+      "workload) — 10 rows @sf0.1"),
+    "q151_mad_outliers" -> ("group-bounded (per-priority median/MAD " +
+      "stats) — 5 rows at any sf"),
+    "q154_nb_lang_classifier" -> ("model-bounded (per-language stopword " +
+      "log-prob table, 155 rows; 5-row language priors)"),
+    "q171_ipf_reweight" -> ("marginal-bounded (20-row source × 5-row " +
+      "quality-band IPF marginals per iteration)"),
+    "q173_ndcg_quantized" -> ("batch-bounded (graded ANN query " +
+      "workload) — 10 rows @sf0.1"),
+    "q183_item_similarity" -> ("dim-bounded (per-supplier set sizes — " +
+      "entity cardinality, not pair mass) — 1,000 rows @sf0.1"),
+    "q201_small_lot_revenue" -> ("dim-bounded (per-part avg-quantity " +
+      "stats, the TPC-H Q17 decorrelation) — 827 rows @sf0.1"),
+    "q37_knn_ivf" -> ("batch-bounded (probe workload + probed cell " +
+      "ids, ≤ nProbe×queries) — 20 rows @sf0.1")
+  )
+
+  test("every FORCED broadcast (est above threshold) is allowlisted with a bound") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val threshold = BigInt(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      .stripSuffix("b").stripSuffix("MB") match {
+        case s if s.forall(c => c.isDigit || c == '-') => s.toLong
+        case _ => 10L * 1024 * 1024
+      }) max BigInt(10L * 1024 * 1024)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val initial = fn(spark, sf).queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+        val forced = initial.collect {
+          case b: BroadcastExchangeExec
+            if b.child.logicalLink.exists(_.stats.sizeInBytes > threshold) => b
+        }
+        spark.catalog.clearCache()
+        if (forced.nonEmpty && !forcedBroadcastAllowlist.contains(name))
+          Some(s"$name (${forced.size} forced broadcast(s))")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcasts without a documented bound in: " +
+        s"${offenders.mkString(", ")} — justify in forcedBroadcastAllowlist " +
+        s"or un-force the hint")
+  }
 }
