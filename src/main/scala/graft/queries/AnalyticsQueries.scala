@@ -732,7 +732,7 @@ object AnalyticsQueries {
         .orderBy(col("component"))
     },
     Some(s"""
-      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      WITH ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
       prepped AS MATERIALIZED (
         SELECT doc_id AS id,
@@ -744,15 +744,7 @@ object AnalyticsQueries {
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS MATERIALIZED (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs),
-      reach(id, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
-      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      ${ExtensionQueries.closureUnrollSql()},
       split AS (
         SELECT doc_id,
                CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
@@ -791,7 +783,7 @@ object AnalyticsQueries {
         .orderBy(col("component"))
     },
     Some(s"""
-      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      WITH ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
       prepped AS MATERIALIZED (
         SELECT doc_id AS id,
@@ -803,15 +795,7 @@ object AnalyticsQueries {
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS MATERIALIZED (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs),
-      reach(id, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
-      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      ${ExtensionQueries.closureUnrollSql()},
       q AS (SELECT doc_id, ${ExtensionQueries.qualitySql} AS quality FROM toks),
       ranked AS (
         SELECT comp.component, comp.id, q.quality,
@@ -966,7 +950,7 @@ object AnalyticsQueries {
         .orderBy(col("split"), col("source"))
     },
     Some(s"""
-      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      WITH ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, $toksSql AS t FROM aug),
       prepped AS MATERIALIZED (
         SELECT doc_id AS id,
@@ -978,15 +962,7 @@ object AnalyticsQueries {
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS MATERIALIZED (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs),
-      reach(id, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
-      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      ${ExtensionQueries.closureUnrollSql()},
       cl AS (
         SELECT a.doc_id, a.source, a.text,
                COALESCE(c.component, a.doc_id) AS cluster

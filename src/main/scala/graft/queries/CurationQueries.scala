@@ -588,7 +588,7 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      WITH RECURSIVE ${ExtensionQueries.augmentedDocsSql},
+      WITH ${ExtensionQueries.augmentedDocsSql},
       toks AS (SELECT doc_id, source, text, ${ExtensionQueries.toksSql} AS t
                FROM aug),
       prepped AS MATERIALIZED (
@@ -601,15 +601,7 @@ object CurationQueries {
         FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
-      edges AS MATERIALIZED (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs),
-      reach(id, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
-      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      ${ExtensionQueries.closureUnrollSql()},
       sizes AS (SELECT component, COUNT(*) AS cluster_size
                 FROM comp GROUP BY 1)
       SELECT c.id AS doc_id, c.component, s.cluster_size

@@ -257,6 +257,50 @@ object ExtensionQueries {
 
   private[queries] val toksSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+  /** Unrolled connected-components closure over a `pairs(id_a, id_b)`
+    * CTE, producing `comp(id, component)` = every edge-touching node
+    * with its component's minimum id — the q157/q225 unroll
+    * discipline applied to the near-dup closure oracles (q67, q97,
+    * q98, q137). Their previous `WITH RECURSIVE reach` transitive
+    * closure made DuckDB re-evaluate the edge chain (and with it the
+    * blocked all-pairs Jaccard in `pairs`) on every recursion
+    * iteration even with MATERIALIZED on the chain — ~20 min per
+    * oracle at gen-sf1 and ~75 min at gen-sf2, times four queries.
+    * Here every round is a plain MATERIALIZED CTE, so `pairs` is paid
+    * exactly once and each of the `rounds` min-label-propagation
+    * steps is one tiny hash join over the edge list. lbl_k(v) =
+    * min id within k hops of v, so `rounds` bounds the supported
+    * distance from a component's minimum to its farthest member; the
+    * sentinel makes under-unroll LOUD: if round `rounds` still moved
+    * any label, every component id degrades to -1, which no engine
+    * result contains, so the driver's hash gate fails instead of
+    * silently passing a truncated closure. */
+  private[queries] def closureUnrollSql(rounds: Int = 10): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""lbl$k AS MATERIALIZED (
+        SELECT n.id, LEAST(n.lbl, COALESCE(MIN(x.lbl), n.lbl)) AS lbl
+        FROM lbl${k - 1} n
+        LEFT JOIN edges e ON e.dst = n.id
+        LEFT JOIN lbl${k - 1} x ON x.id = e.src
+        GROUP BY n.id, n.lbl)"""
+    }.mkString(",\n      ")
+    s"""edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      lbl0 AS MATERIALIZED (
+        SELECT DISTINCT src AS id, src AS lbl FROM edges),
+      $steps,
+      unconverged AS (
+        SELECT COUNT(*) AS n FROM lbl$rounds a
+        JOIN lbl${rounds - 1} b ON a.id = b.id AND a.lbl <> b.lbl),
+      comp AS (
+        SELECT id,
+               CASE WHEN (SELECT n FROM unconverged) = 0 THEN lbl
+                    ELSE -1 END AS component
+        FROM lbl$rounds)"""
+  }
+
   /** Word-3-gram shingles (SQL twin of TextFunctions.wordShingles). */
   private[queries] val shinglesSql =
     s"""CASE WHEN len(t) >= 3
