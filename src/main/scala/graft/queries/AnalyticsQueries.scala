@@ -739,11 +739,13 @@ object AnalyticsQueries {
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
+      ex AS MATERIALIZED (
+        SELECT id, blk, len(sh) AS n, unnest(sh) AS s FROM prepped),
       pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
-        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+        FROM ex a JOIN ex b ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id, a.n, b.n
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.3),
       ${ExtensionQueries.closureUnrollSql()},
       split AS (
         SELECT doc_id,
@@ -790,11 +792,13 @@ object AnalyticsQueries {
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
+      ex AS MATERIALIZED (
+        SELECT id, blk, len(sh) AS n, unnest(sh) AS s FROM prepped),
       pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
-        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+        FROM ex a JOIN ex b ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id, a.n, b.n
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.3),
       ${ExtensionQueries.closureUnrollSql()},
       q AS (SELECT doc_id, ${ExtensionQueries.qualitySql} AS quality FROM toks),
       ranked AS (
@@ -957,11 +961,13 @@ object AnalyticsQueries {
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
+      ex AS MATERIALIZED (
+        SELECT id, blk, len(sh) AS n, unnest(sh) AS s FROM prepped),
       pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
-        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+        FROM ex a JOIN ex b ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id, a.n, b.n
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.3),
       ${ExtensionQueries.closureUnrollSql()},
       cl AS (
         SELECT a.doc_id, a.source, a.text,

@@ -596,11 +596,13 @@ object CurationQueries {
                source || '#' || CAST(length(text) // 64 AS VARCHAR) AS blk,
                list_distinct(${ExtensionQueries.shinglesSql}) AS sh
         FROM toks),
+      ex AS MATERIALIZED (
+        SELECT id, blk, len(sh) AS n, unnest(sh) AS s FROM prepped),
       pairs AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b
-        FROM prepped a JOIN prepped b ON a.blk = b.blk AND a.id < b.id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+        FROM ex a JOIN ex b ON a.blk = b.blk AND a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id, a.n, b.n
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.3),
       ${ExtensionQueries.closureUnrollSql()},
       sizes AS (SELECT component, COUNT(*) AS cluster_size
                 FROM comp GROUP BY 1)
