@@ -38,16 +38,33 @@ object Pruning {
   /** `fact ⋈ dim` with a Bloom-filter pre-filter on the fact side.
     * `dim` is scanned once to build the filter (an in-plan aggregate
     * producing one binary scalar, broadcast as a subquery result) and
-    * once inside the join. */
+    * once inside the join.
+    *
+    * Filter sizing: `BloomFilterAggregate`'s capacity arguments must
+    * be literals, so they cannot ride in as a subquery — by default
+    * (`expectedKeys = None`) the operator pays ONE extra counting
+    * pass over `dim` (the small side by contract; the q223/q224
+    * bounded-scalar discipline) and sizes the filter for the measured
+    * key count. A static `Some(n)` skips that pass for callers that
+    * know their key bound. This sizing is load-bearing at scale: with
+    * the old fixed 1M default, q226's eval 5-gram set (~5.8M keys at
+    * gen-sf8) saturated the filter — measured false-positive rate
+    * drove the "pruned" join mass superlinear on BOTH scale corpora
+    * (×4.5 records per doubling at sf4→sf8) while the filter silently
+    * passed almost everything. `dim.count()` upper-bounds the
+    * distinct key count (duplicate keys only oversize the filter —
+    * never under-size it), so correctness is unaffected either way;
+    * only the pruning power is at stake. */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
-                      expectedKeys: Long = 1000000L,
+                      expectedKeys: Option[Long] = None,
                       fpp: Double = 0.01): DataFrame = {
+    val nKeys = math.max(expectedKeys.getOrElse(dim.count()), 1000L)
     val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedKeys, fpp)
+      .optimalNumOfBits(nKeys, fpp)
     val bfAgg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col(dimKey))),
-      ColumnBridge.expression(lit(expectedKeys)),
+      ColumnBridge.expression(lit(nKeys)),
       ColumnBridge.expression(lit(numBits))).toAggregateExpression()
     val bf = dim.agg(ColumnBridge.column(bfAgg).as("bf")).scalar()
     fact.filter(ColumnBridge.column(BloomFilterMightContain(

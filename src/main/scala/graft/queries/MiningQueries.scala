@@ -163,7 +163,7 @@ object MiningQueries {
         .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000)
         .select(col("c_custkey"), col("c_name"))
       Pruning.bloomPrunedJoin(table(s, dir, "orders"), cust,
-          "o_custkey", "c_custkey", expectedKeys = 10000L)
+          "o_custkey", "c_custkey", expectedKeys = Some(10000L))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))

@@ -205,7 +205,7 @@ class MiningSpec extends SparkSpec {
     val fact = (1L to 5000L).map(i => (i, i % 100)).toDF("f_id", "f_key")
     val dim = Seq((3L, "a"), (7L, "b"), (11L, "c")).toDF("d_key", "d_name")
     val pruned = Pruning.bloomPrunedJoin(fact, dim, "f_key", "d_key",
-      expectedKeys = 100L, fpp = 0.01)
+      expectedKeys = Some(100L), fpp = 0.01)
     val plain = fact.join(dim, $"f_key" === $"d_key")
     assert(pruned.select("f_id", "f_key", "d_key", "d_name").collect().toSet ==
       plain.select("f_id", "f_key", "d_key", "d_name").collect().toSet)
