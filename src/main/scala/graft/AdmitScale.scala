@@ -43,7 +43,14 @@ object AdmitScale {
         .select(col("doc_id"), col("text")).localCheckpoint()
       val n = docs.count()
       if (n == 0) {
-        println(s"""{"dir":"$dir","docs":0,"skipped":"empty corpus"}""")
+        // skips go to the durable artifact too — the file (not stdout,
+        // which the driver truncates) is the record of what ran, and a
+        // skipped dir must be visible to artifact consumers
+        val skipJson = s"""{"dir":"$dir","docs":0,"skipped":"empty corpus"}"""
+        println(skipJson)
+        java.nio.file.Files.write(out, (skipJson + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } else {
       val stateDir = Files.createTempDirectory("graft_admit_state").toString
       val outDir = Files.createTempDirectory("graft_admit_out").toString

@@ -67,12 +67,14 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-      .max(2)
+    // validated parse: a garbage env value falls back to the default
+    // rather than crashing the bench run
+    val nPasses = scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").trim.toInt)
+      .getOrElse(2).max(2)
     val passes = (1 to nPasses).map { _ =>
       named.map { case (name, fn) => name -> once(fn) }.toMap
     }
-    val (pass1, pass2) = (passes(0), passes(1))
     // at exactly 2 passes, >2x cold/warm disagreement (host steal)
     // triggers a third targeted sample, recorded separately so
     // consumers reconciling the maps can see why queries[q] may be
@@ -94,16 +96,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // cold (pass 1) and warm (pass 2) per-query samples ride along so
-    // round-over-round comparisons can separate steady-state cost from
-    // host-steal luck; "queries"/"value" stay the best-sample contract
+    // EVERY pass's per-query samples ride along (queries_pass1..N —
+    // pass1 is the cold pass) so round-over-round comparisons can
+    // separate steady-state cost from host-steal luck, and so the
+    // reported min is always reconstructible from recorded samples
+    // at any pass count (the 2-pass cold/warm pair lost passes 3+);
+    // "queries"/"value" stay the best-sample contract
     def passJson(p: Map[String, Double]) = named
       .map { case (name, _) => "\"" + name + "\":" + p(name) }
       .mkString("{", ",", "}")
+    val passMaps = passes.zipWithIndex
+      .map { case (p, i) => s""""queries_pass${i + 1}":${passJson(p)}""" }
+      .mkString(",")
     val tbJson = tiebreaks
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_cold":${passJson(pass1)},"queries_warm":${passJson(pass2)},""" +
+      s"""$passMaps,""" +
       s""""queries_tiebreak":$tbJson,"passes":$nPasses,""" +
       s""""consumption":"noop","sf":"$sfDir"}"""
     println(json)

@@ -24,8 +24,12 @@ import graft.functions.JdeFunctions.rowHash
   *
   * Scale notes (100 TB contract):
   *  - the active-side lookup is broadcast by default (dimensions are
-  *    small relative to facts); pass `broadcastDim=false` to let AQE
-  *    pick a shuffle join for a genuinely huge dimension;
+  *    small relative to facts), but the decision is backed by a
+  *    MEASURED active-row count riding the eager max-key probe (the
+  *    dimension is checkpoint-rooted in chained merges, so Catalyst's
+  *    size estimate is garbage): past `dimBroadcastMaxRows` the
+  *    lookup AND the expire set auto-switch to shuffle joins. Pass
+  *    `broadcastDim=false` to force shuffle joins outright;
   *  - surrogate keys are assigned with [[Ids.addContiguousIds]]
   *    (range-partitioned zipWithIndex), not a single-partition
   *    `row_number` window;
@@ -86,10 +90,24 @@ object Scd2 {
     *                 the point-in-time join — pass an epoch timestamp
     *                 to give initial versions a beginning-of-time
     *                 validity instead (standard warehouse practice).
+    * @param dimBroadcastMaxRows measured active-row bound above which
+    *                 the lookup and expire-set broadcasts auto-switch
+    *                 to shuffle joins even with `broadcastDim=true`.
+    *                 The count is MEASURED (it rides the eager max-key
+    *                 probe the merge already pays, zero extra jobs)
+    *                 because `dim` is usually checkpoint-rooted and
+    *                 its Catalyst size estimate is garbage — a forced
+    *                 broadcast justified only by assumption never
+    *                 re-decides itself as the dimension grows. The
+    *                 default (4M rows, ~0.5 GB of (_bk, key, 64-char
+    *                 hash) lookup tuples) fits comfortably in executor
+    *                 build memory; the expire set is gated by the same
+    *                 measurement since changed keys ⊆ active keys.
     */
   def merge(dim: DataFrame, incoming: DataFrame, spec: Spec, now: Column,
             broadcastDim: Boolean = true,
-            newKeyValidFrom: Option[Column] = None): DataFrame = {
+            newKeyValidFrom: Option[Column] = None,
+            dimBroadcastMaxRows: Long = 4000000L): DataFrame = {
     val attrCols = incoming.columns.toSeq
     require(attrCols.contains(spec.businessKey),
       s"incoming must carry business key ${spec.businessKey}")
@@ -114,11 +132,33 @@ object Scd2 {
       return seeded
     }
 
+    // Key continuation + broadcast sizing via ONE eager probe.
+    // Deliberately not a lazy broadcast scalar: the probe doubles as
+    // materialization of a cached/persisted `dim`, so the merge's
+    // several broadcast exchanges read the cache instead of racing to
+    // evaluate the dimension lineage concurrently — measured ~2×
+    // faster on a chained merge than the lazy-scalar formulation.
+    // The same row rides the active-row count out: `dim` is typically
+    // checkpoint-rooted here (callers truncate SCD2 lineage between
+    // merges), so Catalyst's size ESTIMATE for it is garbage, and a
+    // forced broadcast justified only by "dims are small" never
+    // re-decides itself as the dimension grows — the q129 failure
+    // class. Measuring costs nothing extra (the probe job already
+    // runs) and makes the broadcast decision track reality.
+    val probe = dim.agg(
+      coalesce(max(col(spec.surrogateKey)), lit(0L)),
+      count(when(col("IsActive"), lit(1)))).head()
+    val maxKey: Long = probe.getLong(0)
+    val activeRows: Long = probe.getLong(1)
+    val dimFitsBroadcast = activeRows <= dimBroadcastMaxRows
+
     val activeLookup0 = dim.filter(col("IsActive")).select(
       col(spec.businessKey).as("_bk"),
       col(spec.surrogateKey).as("_existingKey"),
       col("RowHash").as("_existingHash"))
-    val activeLookup = if (broadcastDim) broadcast(activeLookup0) else activeLookup0
+    val activeLookup =
+      if (broadcastDim && dimFitsBroadcast) broadcast(activeLookup0)
+      else activeLookup0
 
     val joined = hashed.join(
       activeLookup, hashed(spec.businessKey) === activeLookup("_bk"), "left")
@@ -132,21 +172,6 @@ object Scd2 {
     val changedKeys = joined
       .filter(col("_existingKey").isNotNull && col("RowHash") =!= col("_existingHash"))
       .select(col("_existingKey").as(spec.surrogateKey))
-
-    // Key continuation via an EAGER max-key probe. Deliberately not a
-    // lazy broadcast scalar: the probe doubles as materialization of a
-    // cached/persisted `dim`, so the merge's several broadcast
-    // exchanges (expire set, lookup side) read the cache instead of
-    // racing to evaluate the dimension lineage concurrently — measured
-    // ~2× faster on a chained merge than the lazy-scalar formulation.
-    val maxKey: Long =
-      // an empty seed dimension ([[emptyDim]]) has a zero-partition
-      // RDD — skip the probe job outright
-      if (dim.rdd.getNumPartitions == 0) 0L
-      else {
-        val r = dim.agg(coalesce(max(col(spec.surrogateKey)), lit(0L))).head()
-        r.getLong(0)
-      }
 
     val validFrom = newKeyValidFrom
       .map(nk => when(col("_isNewKey"), nk).otherwise(now))
@@ -162,7 +187,10 @@ object Scd2 {
 
     val dimCols = col(spec.surrogateKey) +: attrCols.map(col) ++: MetaCols.map(col)
     // Expire the superseded versions; everything else passes through.
-    val expireSet = broadcast(changedKeys)
+    // changedKeys ⊆ active dim keys, so the measured active-row bound
+    // that cleared the lookup broadcast clears this narrower set too;
+    // past the bound, let the planner shuffle both semi/anti joins.
+    val expireSet = if (dimFitsBroadcast) broadcast(changedKeys) else changedKeys
     val expired = dim.join(expireSet, Seq(spec.surrogateKey), "left_semi")
       .withColumn("IsActive", lit(false))
       .withColumn("ValidTo", now)

@@ -271,12 +271,17 @@ object ExtensionQueries {
     * steps is one tiny hash join over the edge list. lbl_k(v) =
     * min id within k hops of v, so `rounds` bounds the supported
     * distance from a component's minimum to its farthest member; the
-    * sentinel makes under-unroll LOUD: if round `rounds` still moved
-    * any label, every component id degrades to -1, which no engine
+    * sentinel makes under-unroll LOUD: if any label is still moving
+    * at the end, every component id degrades to -1, which no engine
     * result contains, so the driver's hash gate fails instead of
-    * silently passing a truncated closure. */
+    * silently passing a truncated closure. The unroll actually emits
+    * `rounds + 1` steps and compares the LAST TWO: a closure whose
+    * final label change lands exactly on step `rounds` is converged
+    * (step rounds+1 is a pure verification pass that moves nothing),
+    * so the full advertised hop distance is supported rather than
+    * `rounds - 1` with a false -1 failure at the boundary. */
   private[queries] def closureUnrollSql(rounds: Int = 10): String = {
-    val steps = (1 to rounds).map { k =>
+    val steps = (1 to (rounds + 1)).map { k =>
       s"""lbl$k AS MATERIALIZED (
         SELECT n.id, LEAST(n.lbl, COALESCE(MIN(x.lbl), n.lbl)) AS lbl
         FROM lbl${k - 1} n
@@ -292,13 +297,13 @@ object ExtensionQueries {
         SELECT DISTINCT src AS id, src AS lbl FROM edges),
       $steps,
       unconverged AS (
-        SELECT COUNT(*) AS n FROM lbl$rounds a
-        JOIN lbl${rounds - 1} b ON a.id = b.id AND a.lbl <> b.lbl),
+        SELECT COUNT(*) AS n FROM lbl${rounds + 1} a
+        JOIN lbl$rounds b ON a.id = b.id AND a.lbl <> b.lbl),
       comp AS (
         SELECT id,
                CASE WHEN (SELECT n FROM unconverged) = 0 THEN lbl
                     ELSE -1 END AS component
-        FROM lbl$rounds)"""
+        FROM lbl${rounds + 1})"""
   }
 
   /** Word-3-gram shingles (SQL twin of TextFunctions.wordShingles). */
@@ -444,6 +449,23 @@ object ExtensionQueries {
       SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sig
       FROM toks ORDER BY doc_id"""))
 
+  /** q33 — n-gram Jaccard over length-blocked ALL-PAIRS.
+    *
+    * INDEPENDENCE ANCHOR — do not "optimize" this oracle. Since the
+    * round-9 closure-oracle rewrite, the q67/q97/q98/q137 oracles
+    * generate candidate pairs through the same posting-list-join +
+    * intersection-count shape the engine's Dedup path uses, which
+    * erodes their independence: a shared conceptual bug in the
+    * pair/Jaccard logic could pass the hash gate on both sides. q33's
+    * oracle is the designated counterweight: it keeps the naive
+    * blocked all-pairs formulation (`prepped a JOIN prepped b ON
+    * a.blk = b.blk AND a.id < b.id` with list_intersect/list_distinct
+    * set algebra) PERMANENTLY, so at least one Jaccard oracle derives
+    * every pair and every intersection size by a construction the
+    * engine never executes. The independence argument is recorded in
+    * docs/PLANS.md (round 10, "oracle independence"). If this oracle
+    * ever becomes too slow at a sweep tier, shrink the tier cell —
+    * never adopt the posting-list shape here. */
   private val q33 = QueryDef(
     "q33_dedup_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccard(augmentedDocs(s, dir), threshold = 0.3)

@@ -154,11 +154,16 @@ class PlanAuditSpec extends SparkSpec {
   test("every FORCED broadcast (est above threshold) is allowlisted with a bound") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-    val threshold = BigInt(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      .stripSuffix("b").stripSuffix("MB") match {
-        case s if s.forall(c => c.isDigit || c == '-') => s.toLong
-        case _ => 10L * 1024 * 1024
-      }) max BigInt(10L * 1024 * 1024)
+    // Parse with Spark's own byte-string parser so unit suffixes
+    // ("10MB", "1g", "10485760b", case-insensitive) all resolve to
+    // bytes — a hand-rolled stripSuffix mishandled "100MB" as 100
+    // bytes. Plain (possibly negative, = disabled) numbers are bytes.
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold").trim
+    val parsed =
+      if (raw.matches("-?\\d+")) raw.toLong
+      else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: Exception => 10L * 1024 * 1024 }
+    val threshold = BigInt(parsed) max BigInt(10L * 1024 * 1024)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val initial = fn(spark, sf).queryExecution.executedPlan match {
