@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
 object Q228Diag {
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
+    // "plans" mode: skip the mass counts and emit only the physical
+    // join census of the FULL q228 plan at each dir — the regime-flip
+    // evidence (which joins the planner broadcasts at this dir's file
+    // sizes). Construction still runs kernelAdmit's bounded fixpoint
+    // rounds, but the final plan itself never executes.
+    val plansOnly = args.length > 1 && args(1) == "plans"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,6 +43,35 @@ object Q228Diag {
 
     val out = java.nio.file.Paths.get("target", "q228_diag.jsonl")
     java.nio.file.Files.createDirectories(out.getParent)
+
+    if (plansOnly) {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      for (dir <- dirs) {
+        val df = SparkEntry.queries("q228_crawl_novelty")(spark, dir)
+        val initial: SparkPlan = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+        var bhj = 0; var smj = 0; var shj = 0
+        initial.foreach {
+          case _: BroadcastHashJoinExec => bhj += 1
+          case _: SortMergeJoinExec => smj += 1
+          case _: ShuffledHashJoinExec => shj += 1
+          case _ => ()
+        }
+        val json = s"""{"dir":"$dir","full_plan":true,""" +
+          s""""broadcast_hash_joins":$bhj,"sort_merge_joins":$smj,""" +
+          s""""shuffled_hash_joins":$shj}"""
+        println(json)
+        java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
 
     for (dir <- dirs) {
       val base = queries.QueryDef.table(spark, dir, "documents")
@@ -64,7 +99,7 @@ object Q228Diag {
       val crossMass = cP.join(cI, Seq("band"))
         .agg(coalesce(sum(col("np") * col("ni")), lit(0L))).head().getLong(0)
       val withinMass = cI
-        .agg(coalesce(sum(col("ni") * (col("ni") - 1) / 2), lit(0L)))
+        .agg(coalesce(sum(expr("ni * (ni - 1) div 2")), lit(0L)))
         .head().getLong(0)
       val crossDistinct = bandsP.select(col("band"), col("id").as("id_a"))
         .join(bandsI.select(col("band"), col("id").as("id_b")), Seq("band"))
