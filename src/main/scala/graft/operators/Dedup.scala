@@ -374,22 +374,33 @@ object Dedup {
     // under the broadcast threshold and tried to broadcast it — fine
     // at bench scale, driver-OOM at gen-sf2 (~100 MB of arrays; the
     // round-9 sweep's find), and structurally wrong at 100 TB where
-    // neither side is broadcastable. Join 1 is shuffle-hash building
-    // the bare (id_a, id_b) candidate list (16 B/row — the smallest
-    // relation in the query); join 2 must NOT build a hash map at all
-    // (its build side would carry every candidate's hs_a array —
-    // exactly the mass that can't sit in one task), so it is a
-    // sort-merge join: sorts by a bigint id, streams the array rows,
-    // and spills gracefully at any scale.
+    // neither side is broadcastable. The strategy that survives every
+    // scale tier is: SHUFFLED-HASH JOIN, BUILDING ON THE DOC-ARRAY
+    // SIDE, STREAMING THE CANDIDATES. The asymmetry is the whole
+    // point — docsH is LINEAR in the corpus (one ~400 B row per doc;
+    // per-task build = docBytes / shuffle partitions, which a cluster
+    // keeps small by scaling partitions with data), while the
+    // candidate list is SUPERLINEAR BY DESIGN (~×4 per corpus
+    // doubling on the saturated fixture — this is the deliberately
+    // exhaustive exactness audit). Round 9 hash-built the candidate
+    // side ("16 B/row — the smallest relation in the query") and the
+    // round-10 gen-sf4 sweep killed it: "Can't acquire 536870912
+    // bytes memory to build hash relation" — a per-task hash build
+    // over a superlinear relation just moves the OOM a doubling out.
+    // The first round-10 refix tried sort-merge on both joins, which
+    // has no memory cliff but SORTS the join-2 input — the candidate
+    // rows now carrying hs_a — so the superlinear array mass hits
+    // disk twice (shuffle write + sorter spill): ~45 GB and a
+    // no-space-left abort at gen-sf4 on the test box. Streaming that
+    // mass through a hash probe materializes it exactly once, with
+    // no sorter: the one unavoidable disk pass.
     val docsH = ex.groupBy(col("id"))
       .agg(first(col("n")).as("nn"), collect_list(col("s")).as("hs"))
     val verified = cand
-      .hint("shuffle_hash")
       .join(docsH.select(col("id").as("id_a"), col("nn").as("n_a"),
-        col("hs").as("hs_a")), "id_a")
-      .hint("merge")
+        col("hs").as("hs_a")).hint("shuffle_hash"), "id_a")
       .join(docsH.select(col("id").as("id_b"), col("nn").as("n_b"),
-        col("hs").as("hs_b")), "id_b")
+        col("hs").as("hs_b")).hint("shuffle_hash"), "id_b")
       .withColumn("n_inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
       .select(col("id_a"), col("id_b"), col("n_inter"),
