@@ -46,7 +46,7 @@ object AdmitScale {
         // skips go to the durable artifact too — the file (not stdout,
         // which the driver truncates) is the record of what ran, and a
         // skipped dir must be visible to artifact consumers
-        val skipJson = s"""{"dir":"$dir","docs":0,"skipped":"empty corpus"}"""
+        val skipJson = s"""{"dir":"${Jsonl.esc(dir)}","docs":0,"skipped":"empty corpus"}"""
         println(skipJson)
         java.nio.file.Files.write(out, (skipJson + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
@@ -76,7 +76,7 @@ object AdmitScale {
         finally walk.close()
       // steady-state batch cost: drop the first (JIT/cold) batch
       val tail = walls.drop(1)
-      val json = s"""{"dir":"$dir","docs":$n,"batches":$nBatches,""" +
+      val json = s"""{"dir":"${Jsonl.esc(dir)}","docs":$n,"batches":$nBatches,""" +
         s""""admitted":$admitted,"state_rows":$stateRows,""" +
         s""""state_bytes":$stateBytes,""" +
         s""""batch_sec_mean":${tail.sum / tail.size},""" +

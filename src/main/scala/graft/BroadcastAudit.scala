@@ -93,10 +93,10 @@ object BroadcastAudit {
           val bs = broadcastBuildSides(spark, SparkEntry.queries(name)(spark, dir))
           val items = bs.map(b =>
             s"""{"rows":${b.rows},"est_bytes":${b.estBytes},"ckpt":${b.ckptRooted}}""")
-          s"""{"query":"$name","dir":"$dir","bcasts":[${items.mkString(",")}]}"""
+          s"""{"query":"$name","dir":"${Jsonl.esc(dir)}","bcasts":[${items.mkString(",")}]}"""
         } catch {
           case e: Throwable =>
-            s"""{"query":"$name","dir":"$dir","error":"${e.getClass.getSimpleName}"}"""
+            s"""{"query":"$name","dir":"${Jsonl.esc(dir)}","error":"${e.getClass.getSimpleName}"}"""
         }
       spark.catalog.clearCache()
       println(line)

@@ -61,7 +61,7 @@ object Q228Diag {
           case _: ShuffledHashJoinExec => shj += 1
           case _ => ()
         }
-        val json = s"""{"dir":"$dir","full_plan":true,""" +
+        val json = s"""{"dir":"${Jsonl.esc(dir)}","full_plan":true,""" +
           s""""broadcast_hash_joins":$bhj,"sort_merge_joins":$smj,""" +
           s""""shuffled_hash_joins":$shj}"""
         println(json)
@@ -88,10 +88,14 @@ object Q228Diag {
       val nP = prior.count(); val nI = incoming.count()
       val vocab = shP.unionByName(shI)
         .select(explode(col("sh")).as("s")).distinct().count()
+      // the three measurements below (crossMass, crossDistinct,
+      // crossPlan) each consume the band sets; checkpoint once per dir
+      // so the shingle→minhash→band pipeline isn't recomputed three
+      // times at the sf4/sf8 tiers this diagnostic exists to probe
       val bandsP = Dedup.bandedIds(
-        Dedup.minhashSignatures(shP, 16), 16, 4)
+        Dedup.minhashSignatures(shP, 16), 16, 4).localCheckpoint()
       val bandsI = Dedup.bandedIds(
-        Dedup.minhashSignatures(shI, 16), 16, 4)
+        Dedup.minhashSignatures(shI, 16), 16, 4).localCheckpoint()
       // bucket collision masses BEFORE distinct — the true candidate
       // record mass the verify stage shuffles
       val cP = bandsP.groupBy(col("band")).agg(count(lit(1)).as("np"))
@@ -114,7 +118,7 @@ object Q228Diag {
         else if (crossPlan.contains("SortMergeJoin")) "SortMergeJoin"
         else if (crossPlan.contains("ShuffledHashJoin")) "ShuffledHashJoin"
         else "other"
-      val json = s"""{"dir":"$dir","prior_docs":$nP,"incoming_docs":$nI,""" +
+      val json = s"""{"dir":"${Jsonl.esc(dir)}","prior_docs":$nP,"incoming_docs":$nI,""" +
         s""""band_rows_prior":${nP * 4},"band_rows_incoming":${nI * 4},""" +
         s""""distinct_shingles":$vocab,"cross_bucket_mass":$crossMass,""" +
         s""""within_bucket_mass":$withinMass,""" +

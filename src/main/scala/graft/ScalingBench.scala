@@ -79,14 +79,14 @@ object ScalingBench {
         // rows counted once, after both shuffle deltas are captured,
         // so the extra pass never contaminates the recorded counters
         val best = (m._1, fn(spark, dir).count(), m._2, m._3)
-        val json = s"""{"query":"$name","dir":"$dir","sec":${best._1},""" +
+        val json = s"""{"query":"$name","dir":"${Jsonl.esc(dir)}","sec":${best._1},""" +
           s""""rows":${best._2},"shuffle_records":${best._3},"shuffle_bytes":${best._4}}"""
         println(json)
         java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       } catch {
         case e: Throwable =>
-          println(s"""{"query":"$name","dir":"$dir","error":"${e.getClass.getSimpleName}"}""")
+          println(s"""{"query":"$name","dir":"${Jsonl.esc(dir)}","error":"${e.getClass.getSimpleName}"}""")
           e.printStackTrace()
       }
     }

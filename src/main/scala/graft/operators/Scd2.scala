@@ -189,8 +189,11 @@ object Scd2 {
     // Expire the superseded versions; everything else passes through.
     // changedKeys ⊆ active dim keys, so the measured active-row bound
     // that cleared the lookup broadcast clears this narrower set too;
-    // past the bound, let the planner shuffle both semi/anti joins.
-    val expireSet = if (dimFitsBroadcast) broadcast(changedKeys) else changedKeys
+    // past the bound — or with broadcastDim=false, which the contract
+    // says forces shuffle joins OUTRIGHT on both sides — let the
+    // planner shuffle both semi/anti joins.
+    val expireSet =
+      if (broadcastDim && dimFitsBroadcast) broadcast(changedKeys) else changedKeys
     val expired = dim.join(expireSet, Seq(spec.surrogateKey), "left_semi")
       .withColumn("IsActive", lit(false))
       .withColumn("ValidTo", now)

@@ -118,4 +118,68 @@ class Scd2Spec extends SparkSpec {
     val expiredRows = d3.filter(!$"IsActive").count()
     assert(gaps == expiredRows)
   }
+
+  test("measured bound fires: dimBroadcastMaxRows=0 merges via shuffle joins, " +
+       "row-identical to the broadcast regime") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // b2 exercises all three split branches against dim1: changed
+    // hash (10), unchanged (20), new key (30) — so the lookup join,
+    // the expire semi join AND the untouched anti join all carry rows.
+    val b2 = batch((10L, "Acme Corp", "C", "100"), (20L, "Globex", "C", "200"),
+      (30L, "Initech", "C", "300"))
+    val dim1 = Scd2.merge(Scd2.emptyDim(spark, b1, spec), b1, spec,
+      ts("2024-01-01 00:00:00")).localCheckpoint()
+    def bhjCount(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      plan.collect { case b: BroadcastHashJoinExec => b }.size
+    }
+    // Kill Catalyst's own size-based broadcasts so any BHJ left in the
+    // plan can only come from Scd2.merge's explicit broadcast() hints
+    // — the thing the measured bound exists to withhold.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Scd2.merge(dim1, b2, spec, ts("2024-06-01 00:00:00"),
+        dimBroadcastMaxRows = 0L)
+      assert(bhjCount(shuffled) == 0,
+        "active-rows(2) > bound(0): lookup and expire joins must not broadcast")
+      // control: the default bound broadcasts (proves the re-decision,
+      // not just the absence of broadcasts under a hostile conf)
+      val bcast = Scd2.merge(dim1, b2, spec, ts("2024-06-01 00:00:00"))
+      assert(bhjCount(bcast) >= 2,
+        "within the bound the lookup AND expire joins broadcast")
+      assert(shuffled.exceptAll(bcast).count() == 0 &&
+             bcast.exceptAll(shuffled).count() == 0,
+        "shuffle and broadcast regimes must produce identical rows")
+      assert(shuffled.count() == 4)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("broadcastDim=false forces shuffle joins on lookup AND expire sides") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val b2 = batch((10L, "Acme Corp", "C", "100"), (30L, "Initech", "C", "300"))
+    val dim1 = Scd2.merge(Scd2.emptyDim(spark, b1, spec), b1, spec,
+      ts("2024-01-01 00:00:00")).localCheckpoint()
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = Scd2.merge(dim1, b2, spec, ts("2024-06-01 00:00:00"),
+        broadcastDim = false)
+      val plan = d.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }.size
+      // The documented contract: broadcastDim=false forces shuffle
+      // joins outright — the expire set must honor it even though the
+      // tiny dimension is well inside the measured bound.
+      assert(bhj == 0, s"broadcastDim=false must leave no BHJ, found $bhj")
+      assert(d.filter($"IsActive").count() == 3 && d.count() == 4)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }
