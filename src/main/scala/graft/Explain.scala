@@ -32,9 +32,17 @@ object Explain {
     // construction-time work (iterative operators' checkpoint rounds)
     // is inside the measurement, not amortized away
     val rebuild = sys.env.get("SPARK_GRAFT_REBUILD").contains("1")
+    // SPARK_GRAFT_CONSUME=noop → time Bench-style noop-sink consumption
+    // instead of count(): count() lets Catalyst prune every projection
+    // not needed for cardinality (comparator columns, scrubbed text),
+    // so a count-based micro-timing of a projection-heavy query
+    // measures the wrong plan — the same trap that moved Bench off
+    // count() in round 7
+    val noop = sys.env.get("SPARK_GRAFT_CONSUME").contains("noop")
     (1 to n).foreach { i =>
+      val d = if (rebuild) SparkEntry.queries(name)(spark, sfDir) else df
       val t0 = System.nanoTime()
-      val c = (if (rebuild) SparkEntry.queries(name)(spark, sfDir) else df).count()
+      val c = if (noop) { Bench.consume(d); -1L } else d.count()
       println(f"[explain] run $i: $c rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -250,8 +250,16 @@ object EvalQueries {
           sum((!col("pos")).cast(LongType)).as("n_neg"),
           sum(when(col("pos"), col("avg2")).otherwise(lit(0L))).as("rs2"))
         .select(col("n_pos"), col("n_neg"),
-          ((col("rs2") - col("n_pos") * (col("n_pos") + 1)).cast(DoubleType) /
-            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+          // AUC is undefined when either class is empty (a rank sum
+          // needs both populations) — emit NULL, matching DuckDB's
+          // float x/0 → NULL, instead of ANSI-throwing DIVIDE_BY_ZERO.
+          // Found by the diverse-sf4 full-registry sweep: that corpus
+          // is 100% lang='en', so n_neg = 0 — the first single-class
+          // corpus any sweep fed this query.
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("rs2") - col("n_pos") * (col("n_pos") + 1)).cast(DoubleType) /
+              (lit(2.0) * col("n_pos") * col("n_neg")))
+            .otherwise(lit(null).cast(DoubleType)).as("auc"))
     },
     Some(s"""
       WITH scored AS (
