@@ -746,5 +746,15 @@ object Dedup {
       .filter((col("b_rank") - col("a_rank")).between(lit(1), lit(window)))
       .select(col("a_id"), col("b_id"),
         (col("b_rank") - col("a_rank")).as("rank_gap"))
+      // The pair list is skinny (3 longs/row) but every consumer runs
+      // a CPU-dense comparator over it (edit distance, Jaro–Winkler,
+      // token Jaccard). AQE coalesces shuffle output by BYTES, so the
+      // few-MB candidate list collapses to ~1 partition and the DP
+      // runs single-threaded — measured 4.3 s → 1.0 s on q140 at
+      // sf0.1 when the comparator stage is kept wide. An explicit
+      // numPartitions repartition is exempt from AQE coalescing and
+      // scales with the cluster (defaultParallelism = total cores);
+      // the re-shuffled bytes are negligible by construction.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
   }
 }
