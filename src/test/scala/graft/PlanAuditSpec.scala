@@ -124,11 +124,17 @@ class PlanAuditSpec extends SparkSpec {
     * param-bounded = sized by an algorithm constant (codebook k,
     * centroid count). */
   private val forcedBroadcastAllowlist: Map[String, String] = Map(
-    "q05_scd2_merge" -> ("dim-bounded (active SCD2 lookup; " +
-      "Scd2.merge(broadcastDim=false) for big dims) + batch-bounded " +
-      "(changed-key expire set) — measured 15,000 + 5,000 rows @sf0.1"),
-    "q06_pit_fact" -> ("dim-bounded (Dim_Date calendar; " +
-      "FactLoad.broadcastDim) — ≤ 22,500 rows @sf0.1"),
+    // Bounds below are cross-checked against the committed census
+    // docs/broadcast_audit_r11.jsonl (graft.BroadcastAudit at sf0.01 +
+    // sf0.1): every entry's build side must appear there with rows
+    // matching its claim. q06_pit_fact was trimmed by that census —
+    // its calendar broadcast's estimate now rides real file stats, so
+    // it is planner-chosen, not forced.
+    "q05_scd2_merge" -> ("measured-bounded: the lookup AND expire " +
+      "broadcasts are gated on the active-row count probed at merge " +
+      "time (Scd2.merge dimBroadcastMaxRows; auto-switch to shuffle " +
+      "joins past 4M rows — both regimes plan-asserted in Scd2Spec) " +
+      "— census rows 2×15,000 + 2×5,000 @sf0.1"),
     "q135_int8_quant_ann" -> ("batch-bounded (quantized ANN query " +
       "workload) — 10 rows @sf0.1"),
     "q136_pq_adc_ann" -> ("param-bounded (PQ codebooks, 4×k) + " +
@@ -137,6 +143,9 @@ class PlanAuditSpec extends SparkSpec {
       "workload) — 10 rows @sf0.1"),
     "q151_mad_outliers" -> ("group-bounded (per-priority median/MAD " +
       "stats) — 5 rows at any sf"),
+    "q167_waterfill_budget" -> ("scalar-bounded (global waterline row " +
+      "from single-row budget/rank aggregates) — 1 row at any sf; " +
+      "caught by the r11 census at sf0.1, invisible at this spec's sf"),
     "q154_nb_lang_classifier" -> ("model-bounded (per-language stopword " +
       "log-prob table, 155 rows; 5-row language priors)"),
     "q171_ipf_reweight" -> ("marginal-bounded (20-row source × 5-row " +
