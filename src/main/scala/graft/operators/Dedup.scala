@@ -699,6 +699,13 @@ object Dedup {
     // full-width parallelism; when both sides are big and Spark
     // plans a sort-merge join instead, this exchange is the one the
     // join needs anyway, so it costs nothing extra.
+    // AQE-coalescing note (the q140 hazard, see sortedNeighborhoodPairs):
+    // a keyed repartition lets AQE pick the width by BYTES, which
+    // single-threaded q140's byte-light (3 longs/row) pair list. Here the
+    // relation carries the full embedding vectors, so byte mass is
+    // proportional to the downstream cosine work and AQE's byte-based
+    // sizing is the right proxy — no explicit width pin needed. Verified
+    // wide in the diverse-sf8 rung (q34/q75 linear, CORRECTNESS_SCALE.json).
     val a = prepped.repartition(col("blk")).as("a"); val b = prepped.as("b")
     val gapCond = maxIdGap
       .map(g => col("b.id") - col("a.id") <= g)
