@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM flags / -Dspark.* static confs for measurement
+  // experiments (e.g. SPARK_GRAFT_JVM_OPTS="-Dspark.sql.codegen.cache.maxEntries=4000")
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+")).filter(_.nonEmpty)

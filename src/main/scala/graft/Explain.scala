@@ -40,8 +40,15 @@ object Explain {
     // count() in round 7
     val noop = sys.env.get("SPARK_GRAFT_CONSUME").contains("noop")
     (1 to n).foreach { i =>
-      val d = if (rebuild) SparkEntry.queries(name)(spark, sfDir) else df
+      // construction must be INSIDE the timed region under rebuild:
+      // iterative/evidence operators run EAGER localCheckpoint jobs at
+      // construction (Checkpoints.truncate), which are real query cost
+      // Bench always pays. Round 12 found this loop timing construction
+      // BEFORE t0, silently excluding those jobs — q191 read 1.0 s
+      // "isolated" vs its true 4.5 s, and round 11 mis-adjudicated the
+      // gap as shared-JVM bench-loop state.
       val t0 = System.nanoTime()
+      val d = if (rebuild) SparkEntry.queries(name)(spark, sfDir) else df
       val c = if (noop) { Bench.consume(d); -1L } else d.count()
       println(f"[explain] run $i: $c rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.queries.QueryDef
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Streaming-tier scale harness: drives the stateful streaming
+  * operators ([[StreamingOps.sessionize]], [[StreamingOps.patternDetect]],
+  * [[StreamingOps.heavyHittersStream]], [[StreamingOps.scd2Sink]])
+  * with FILE-stream input at ScaleGen tier volumes (5x/10x/20x the
+  * bench fixture = two volume doublings) and records, per (tier, op):
+  * wall seconds, rows in/out, micro-batch count, and the state
+  * store's own metrics (`numRowsTotal`, `memoryUsedBytes` from
+  * `StreamingQueryProgress.stateOperators`) — so the documented state
+  * bounds ("one open session per user", "one (ts,id) pair per user",
+  * "k counters per shard") are MEASURED under volume, not asserted in
+  * comments.
+  *
+  * `runMain graft.StreamingScale [outJsonl] [tierDir...]`
+  * (defaults: docs/streaming_scale_r12.jsonl over target/scale/sf{0.5,1.0,2.0}).
+  *
+  * Input discipline: the events stream is re-written once per tier
+  * as 9 ts-RANGE files whose mtimes increase with the range, so the
+  * file source's (mtime, path) ordering delivers micro-batches in
+  * event-time order — the arrival-order visible horizon the Append
+  * contract documents. That makes two cross-run invariants exact:
+  *
+  *  - sessionize: closed-sessions-emitted + open-sessions-in-state
+  *    must equal the BATCH twin's ([[graft.operators.EventWindows
+  *    .sessionize]]) session count — an independent-implementation
+  *    equality at full tier volume;
+  *  - patternDetect: matches emitted across 9 state-carrying batches
+  *    must equal a single-pass fold over each user's full sorted
+  *    history — state carryover across batch boundaries changes
+  *    nothing (the fold shares the transition rule, so this is a
+  *    batch-boundary-independence check, not an independent oracle;
+  *    the sf0.01 MemoryStream specs carry the semantic oracle).
+  */
+object StreamingScale {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Rewrite a tier's events as ts-range files with increasing
+    * mtimes; returns the prepared dir. Range partitioning assigns
+    * partition ids in key order, so file name order == ts order; the
+    * bumped mtimes make the file source's processing order match. */
+  private def prepOrderedEvents(spark: SparkSession, tierDir: String,
+                                workDir: String, files: Int): String = {
+    val dir = s"$workDir/events_ordered"
+    QueryDef.eventsTable(spark, tierDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartitionByRange(files, col("ts"), col("event_id"))
+      .sortWithinPartitions("ts", "event_id")
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 2000L)
+    }
+    dir
+  }
+
+  private final case class RunStats(wallSec: Double, batches: Long,
+                                    rowsIn: Long, rowsOut: Long,
+                                    stateRows: Long, stateBytes: Long)
+
+  /** Start the query, drain everything, pull the official progress
+    * metrics. `stateRows`/`stateBytes` are the LAST progress's state
+    * operator totals (the end-of-stream resident state). */
+  private def drive(mk: => StreamingQuery): RunStats = {
+    val t0 = System.nanoTime()
+    val q = mk
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress
+    val byBatch = prog.groupBy(_.batchId).map(_._2.head).toSeq.sortBy(_.batchId)
+    val rowsIn = byBatch.map(_.numInputRows).sum
+    val rowsOut = byBatch.map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
+      .filter(_ >= 0).sum
+    val lastState = byBatch.reverse.find(_.stateOperators.nonEmpty)
+    val stateRows = lastState.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val stateBytes = lastState.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
+    q.stop()
+    RunStats(wall, byBatch.count(_.numInputRows > 0), rowsIn, rowsOut, stateRows, stateBytes)
+  }
+
+  /** Single-pass per-user fold with patternDetect's transition rule
+    * over the full sorted history (batch-boundary-independence
+    * expectation for the streaming run). */
+  private def foldMatches(ev: Dataset[Event], trig: String, targ: String,
+                          withinMs: Long): Long = {
+    import ev.sparkSession.implicits._
+    ev.filter(e => e.event_type == trig || e.event_type == targ)
+      .groupByKey(_.user_id)
+      .mapGroups { (_, it) =>
+        var t = Option.empty[Long]; var n = 0L
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val ms = e.ts.getTime
+          if (e.event_type == trig) t = Some(ms)
+          else t match {
+            case Some(ts) if ms - ts >= 0 && ms - ts <= withinMs => n += 1; t = None
+            case Some(ts) if ms - ts > withinMs => t = None
+            case _ => ()
+          }
+        }
+        n
+      }.reduce(_ + _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("docs/streaming_scale_r12.jsonl")
+    val tiers =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("target/scale/sf0.5", "target/scale/sf1.0", "target/scale/sf2.0")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val outPath = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    def emit(line: String): Unit = {
+      java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(s"[streamscale] $line")
+    }
+
+    tiers.foreach { tier =>
+      val work = java.nio.file.Files.createTempDirectory("graft_streamscale").toString
+      val ordered = prepOrderedEvents(spark, tier, work, files = 9)
+      val batchEvents = QueryDef.eventsTable(spark, tier)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val users = batchEvents.map(_.user_id).distinct().count()
+
+      def eventStream(): Dataset[Event] =
+        spark.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", 1).parquet(ordered)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+          .as[Event]
+
+      // ---- sessionize -------------------------------------------------
+      locally {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ck").toString
+        val st = drive(
+          StreamingOps.sessionize(eventStream(), gapMinutes = 30)
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt).start())
+        val batchSessions =
+          graft.operators.EventWindows.sessionize(batchEvents.toDF(), 30).count()
+        val boundOk = st.stateRows <= users
+        val twinOk = st.rowsOut + st.stateRows == batchSessions
+        emit(s"""{"op":"sessionize","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
+          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
+          s""""sessions_emitted":${st.rowsOut},"state_rows":${st.stateRows},""" +
+          s""""state_bytes":${st.stateBytes},"distinct_users":$users,""" +
+          s""""batch_twin_sessions":$batchSessions,""" +
+          s""""state_bound_ok":$boundOk,"emitted_plus_open_eq_batch":$twinOk}""")
+        require(boundOk, s"sessionize state ${st.stateRows} > users $users")
+        require(twinOk,
+          s"sessionize emitted ${st.rowsOut} + open ${st.stateRows} != batch $batchSessions")
+      }
+
+      // ---- patternDetect ---------------------------------------------
+      locally {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_pd_ck").toString
+        val withinMs = 7L * 24 * 3600 * 1000
+        val st = drive(
+          StreamingOps.patternDetect(eventStream(), "click", "purchase", withinMs)
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt).start())
+        val expected = foldMatches(batchEvents, "click", "purchase", withinMs)
+        val boundOk = st.stateRows <= users
+        val foldOk = st.rowsOut == expected
+        emit(s"""{"op":"patternDetect","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
+          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
+          s""""matches":${st.rowsOut},"state_rows":${st.stateRows},""" +
+          s""""state_bytes":${st.stateBytes},"distinct_users":$users,""" +
+          s""""single_pass_fold_matches":$expected,""" +
+          s""""state_bound_ok":$boundOk,"matches_eq_fold":$foldOk}""")
+        require(boundOk, s"patternDetect state ${st.stateRows} > users $users")
+        require(foldOk, s"patternDetect matches ${st.rowsOut} != fold $expected")
+      }
+
+      // ---- heavyHittersStream ----------------------------------------
+      locally {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ck").toString
+        val k = 64; val shards = 16
+        val docsDir = s"$tier/documents.parquet"
+        val docSchema = spark.read.parquet(docsDir).schema
+        def tokenStream(): Dataset[String] =
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", 1).parquet(docsDir)
+            .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+            .filter(length($"tok") > 0).as[String]
+        val nTokens = spark.read.parquet(docsDir)
+          .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(length($"tok") > 0).count()
+        val st = drive(
+          StreamingOps.heavyHittersStream(tokenStream(), k = k, shards = shards)
+            .writeStream.outputMode("update").format("noop")
+            .option("checkpointLocation", ckpt).start())
+        val boundOk = st.stateRows <= shards
+        emit(s"""{"op":"heavyHittersStream","tier":"${Jsonl.esc(tier)}","tokens_in":$nTokens,""" +
+          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""tokens_per_s":${(nTokens / st.wallSec).round},""" +
+          s""""k":$k,"shards":$shards,"state_rows":${st.stateRows},""" +
+          s""""state_bytes":${st.stateBytes},""" +
+          s""""state_bound_ok":$boundOk}""")
+        require(boundOk, s"heavyHitters state ${st.stateRows} > shards $shards")
+      }
+
+      // ---- scd2Sink ---------------------------------------------------
+      locally {
+        import graft.operators.Scd2
+        import graft.sources.{LakeIO, LakeZones}
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_s2_ck").toString
+        val lake = java.nio.file.Files.createTempDirectory("graft_s2_lake").toString
+        val zones = LakeZones(lake)
+        val spec = Scd2.Spec("DimKey", "user_id", Seq("event_type", "value"))
+        def cdcStream(): DataFrame =
+          spark.readStream.schema(eventSchema)
+            .option("maxFilesPerTrigger", 1).parquet(ordered)
+            .select($"user_id", $"event_type", $"value", $"ts")
+        val st = drive(
+          StreamingOps.scd2Sink(cdcStream(), zones, "dim_user", spec, ckpt))
+        val dim = LakeIO.readGold(spark, zones, "dim_user")
+        val dimRows = dim.count()
+        val active = dim.filter(col("IsActive")).count()
+        val activeOk = active == users
+        // one active version per key, [ValidFrom, ValidTo) chains disjoint
+        val overlaps = dim.as("a").join(dim.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.DimKey") < col("b.DimKey") &&
+            col("a.ValidFrom") < col("b.ValidTo") &&
+            col("b.ValidFrom") < col("a.ValidTo")).count()
+        emit(s"""{"op":"scd2Sink","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
+          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
+          s""""dim_rows":$dimRows,"active_rows":$active,"distinct_users":$users,""" +
+          s""""interval_overlaps":$overlaps,""" +
+          s""""one_active_per_key_ok":$activeOk,"intervals_disjoint_ok":${overlaps == 0L}}""")
+        require(activeOk, s"scd2Sink active $active != users $users")
+        require(overlaps == 0L, s"scd2Sink version intervals overlap: $overlaps")
+      }
+    }
+    spark.stop()
+  }
+}
