@@ -228,6 +228,65 @@ object StreamingScale {
         require(boundOk, s"heavyHitters state ${st.stateRows} > shards $shards")
       }
 
+      // ---- tumbling (watermark eviction) ------------------------------
+      locally {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_tw_ck").toString
+        // ts-ordered arrival advances the watermark batch over batch, so
+        // closed 1 h windows must EVICT: end-of-stream state is only the
+        // windows inside the 2 h watermark horizon, not the year's ~44k
+        val st = drive(
+          StreamingOps.tumbling(eventStream().toDF(), "1 hour", "2 hours")
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt).start())
+        val batchWindows = batchEvents.toDF()
+          .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+        val types = batchEvents.map(_.event_type).distinct().count()
+        // horizon bound: watermark/width + 2 boundary windows, per type
+        val bound = types * (2 + 2)
+        val boundOk = st.stateRows <= bound
+        val twinOk = st.rowsOut + st.stateRows == batchWindows
+        emit(s"""{"op":"tumbling","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
+          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
+          s""""windows_emitted":${st.rowsOut},"state_rows":${st.stateRows},""" +
+          s""""state_bytes":${st.stateBytes},"batch_twin_windows":$batchWindows,""" +
+          s""""eviction_bound":$bound,"state_bound_ok":$boundOk,""" +
+          s""""emitted_plus_state_eq_batch":$twinOk}""")
+        require(boundOk, s"tumbling state ${st.stateRows} > horizon bound $bound")
+        require(twinOk,
+          s"tumbling emitted ${st.rowsOut} + state ${st.stateRows} != batch $batchWindows")
+      }
+
+      // ---- dedupStream (watermark eviction) ---------------------------
+      locally {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_dd_ck").toString
+        val keyed = () => eventStream().toDF()
+          .withColumn("k", concat_ws("|", col("user_id"), col("event_type")))
+        val st = drive(
+          StreamingOps.dedupStream(keyed(), Seq("k"), "ts", "1 hour")
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt).start())
+        val totalKeys = batchEvents.toDF()
+          .select(concat_ws("|", col("user_id"), col("event_type"))).distinct().count()
+        val maxTs = batchEvents.toDF().agg(max(col("ts"))).head().getTimestamp(0).getTime
+        // keys with an event inside 2x the watermark horizon (generous
+        // slack over the exact eviction frontier)
+        val horizonKeys = batchEvents
+          .filter(e => maxTs - e.ts.getTime <= 2L * 3600 * 1000)
+          .map(e => s"${e.user_id}|${e.event_type}").distinct().count()
+        val boundOk = st.stateRows <= math.max(horizonKeys, 1L)
+        val evicted = st.stateRows < totalKeys / 10
+        emit(s"""{"op":"dedupStream","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
+          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
+          s""""survivors":${st.rowsOut},"state_rows":${st.stateRows},""" +
+          s""""state_bytes":${st.stateBytes},"total_distinct_keys":$totalKeys,""" +
+          s""""keys_in_2x_horizon":$horizonKeys,""" +
+          s""""state_bound_ok":$boundOk,"evicted_vs_total_ok":$evicted}""")
+        require(boundOk, s"dedupStream state ${st.stateRows} > horizon keys $horizonKeys")
+        require(evicted, s"dedupStream state ${st.stateRows} not evicting (total $totalKeys)")
+      }
+
       // ---- scd2Sink ---------------------------------------------------
       locally {
         import graft.operators.Scd2
