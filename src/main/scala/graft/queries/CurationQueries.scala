@@ -123,14 +123,21 @@ object CurationQueries {
     "q48_snapshot_diff",
     (s, dir) => {
       val before = table(s, dir, "customer")
+      // added-key offset derived from the data (max+1 via a broadcast
+      // scalar), not a +1_000_000 literal: the same fixture-boundary
+      // collision the round-12 diverse-sf8 sweep caught in q05 — a
+      // constant offset stops being disjoint once the customer table
+      // outgrows it, and the "added" rows silently become key dups
+      val maxKey = before.agg(max(col("c_custkey")).as("_maxk"))
       val after = before
         .filter(col("c_custkey") % 97 =!= 0)
         .withColumn("c_mktsegment",
           when(col("c_custkey") % 7 === 0, lit("REMAPPED"))
             .otherwise(col("c_mktsegment")))
-        .unionByName(before.filter(col("c_custkey") % 89 === 0).select(
-          (col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
-          col("c_nationkey"), col("c_acctbal"), lit("NEWSEG").as("c_mktsegment")))
+        .unionByName(before.filter(col("c_custkey") % 89 === 0)
+          .crossJoin(broadcast(maxKey)).select(
+            (col("c_custkey") + col("_maxk") + 1L).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), lit("NEWSEG").as("c_mktsegment")))
       Reconcile.snapshotDiff(before, after, Seq("c_custkey"),
           Seq("c_mktsegment", "c_acctbal"))
         .filter(col("status") =!= "unchanged")
@@ -146,7 +153,8 @@ object CurationQueries {
                c_acctbal
         FROM customer WHERE c_custkey % 97 <> 0
         UNION ALL
-        SELECT c_custkey + 1000000, 'NEWSEG', c_acctbal
+        SELECT c_custkey + (SELECT MAX(c_custkey)+1 FROM customer),
+               'NEWSEG', c_acctbal
         FROM customer WHERE c_custkey % 89 = 0),
       j AS (
         SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,

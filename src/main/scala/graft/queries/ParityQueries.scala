@@ -149,14 +149,23 @@ object ParityQueries {
         col("c_name").as("CustomerName"),
         lit("C").as("SearchType"),
         col("c_mktsegment").as("CategoryCode"))
+      // new-key offset derived from the DATA, not a fixture constant:
+      // a literal +1_000_000 collided with real custkeys once the
+      // diverse-sf8 tier's customer table crossed 1.2 M rows, injecting
+      // duplicate business keys into the merge batch (the round-12
+      // ladder defect — surrogate tie-break then diverged from the
+      // oracle by ±1). max+1 keeps the clone keyspace disjoint at any
+      // scale; the broadcast scalar is the q167-waterline pattern.
+      val maxKey = customer.agg(max(col("c_custkey")).as("_maxk"))
       val b2 = b1.withColumn("CategoryCode",
           when(col("CustomerID") % 3 === 0, lit("PROMO"))
             .otherwise(col("CategoryCode")))
-        .unionByName(customer.filter(col("c_custkey") % 10 === 0).select(
-          (col("c_custkey") + 1000000L).as("CustomerID"),
-          concat(lit("NEW-"), col("c_custkey").cast(StringType)).as("CustomerName"),
-          lit("C").as("SearchType"),
-          lit("NEWSEG").as("CategoryCode")))
+        .unionByName(customer.filter(col("c_custkey") % 10 === 0)
+          .crossJoin(broadcast(maxKey)).select(
+            (col("c_custkey") + col("_maxk") + 1L).as("CustomerID"),
+            concat(lit("NEW-"), col("c_custkey").cast(StringType)).as("CustomerName"),
+            lit("C").as("SearchType"),
+            lit("NEWSEG").as("CategoryCode")))
       val spec = Scd2.Spec("CustomerKey", "CustomerID",
         Seq("CustomerName", "SearchType", "CategoryCode"))
       val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
@@ -188,7 +197,8 @@ object ParityQueries {
         SELECT cid, cname, stype,
                CASE WHEN cid%3=0 THEN 'PROMO' ELSE ccode END AS ccode FROM b1
         UNION ALL
-        SELECT c_custkey+1000000, 'NEW-' || CAST(c_custkey AS VARCHAR), 'C', 'NEWSEG'
+        SELECT c_custkey + (SELECT MAX(c_custkey)+1 FROM customer),
+               'NEW-' || CAST(c_custkey AS VARCHAR), 'C', 'NEWSEG'
         FROM customer WHERE c_custkey%10=0),
       dim1 AS (
         SELECT ROW_NUMBER() OVER (ORDER BY cid) AS ckey, cid, cname, stype, ccode,
