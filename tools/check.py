@@ -13,7 +13,7 @@ output dir is flag-only (never positional) so a query name or a flag can
 never be mistaken for it — that accident once littered the repo root with
 verification artifacts.
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -45,13 +45,23 @@ if "--skip-verify" not in FLAGS:
     if r.returncode != 0:
         sys.stderr.write(r.stderr[-3000:]); sys.exit(1)
 
-con = duckdb.connect()
-for t in TABLES:
-    p = f"{SF}/{t}.parquet"
-    if Path(p).is_dir():  # ScaleGen writes directory-style parquet
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
-    elif Path(p).exists():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+# Fresh connection per query: a heavy oracle that aborts (OOM) poisons
+# the shared connection — the diverse-sf8 sweep saw every query after
+# one OOM "fail" with bogus read errors. GRAFT_DUCKDB_MEM (e.g. "48GB")
+# optionally caps each connection so a runaway oracle aborts cleanly
+# instead of taking the box (and any sibling sweep) down with it.
+def fresh_con():
+    c = duckdb.connect()
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        c.execute(f"SET memory_limit='{mem}'")
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if Path(p).is_dir():  # ScaleGen writes directory-style parquet
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif Path(p).exists():
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
@@ -65,21 +75,23 @@ fail = 0
 for name in sorted(oracle):
     if ONLY and name not in ONLY: continue
     spark_dir = f"{OUT}/{name}"
+    con = fresh_con()
     try:
         sdf = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
     except Exception as e:
-        print(f"FAIL {name}: no spark output ({e})"); fail += 1; continue
+        print(f"FAIL {name}: no spark output ({e})", flush=True); fail += 1; con.close(); continue
     try:
         odf = con.execute(oracle[name]).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
+        print(f"FAIL {name}: oracle error: {e}", flush=True); fail += 1; con.close(); continue
+    con.close()
     sdf = sdf.reindex(sorted(sdf.columns), axis=1)
     odf = odf.reindex(sorted(odf.columns), axis=1)
     if list(sdf.columns) != list(odf.columns):
         print(f"FAIL {name}: columns {list(sdf.columns)} vs {list(odf.columns)}")
         fail += 1; continue
     if len(sdf) != len(odf):
-        print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}"); fail += 1; continue
+        print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}", flush=True); fail += 1; continue
     srows = sorted(tuple(norm(v) for v in row) for row in sdf.itertuples(index=False))
     orows = sorted(tuple(norm(v) for v in row) for row in odf.itertuples(index=False))
     if srows != orows:
@@ -89,7 +101,7 @@ for name in sorted(oracle):
     # dtype advisory (driver may compare schemas more strictly)
     sdt, odt = [str(t) for t in sdf.dtypes], [str(t) for t in odf.dtypes]
     note = "" if sdt == odt else f"  [dtype diff: {list(zip(sdf.columns, sdt, odt))}]"
-    print(f"PASS {name} ({len(sdf)} rows){note}")
+    print(f"PASS {name} ({len(sdf)} rows){note}", flush=True)
 
 print("ALL PASS" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)
