@@ -55,6 +55,17 @@ def fresh_con():
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
     if mem:
         c.execute(f"SET memory_limit='{mem}'")
+    # per-PROCESS temp dir: DuckDB names spill files temp_storage-N in
+    # its temp directory, so two concurrent check.py runs sharing a cwd
+    # would race the SAME files (observed in the diverse-sf8 sweep when
+    # a sibling q33 run spilled 60+ GB into them)
+    os.makedirs(f".tmp/pid{os.getpid()}", exist_ok=True)
+    c.execute(f"SET temp_directory='.tmp/pid{os.getpid()}'")
+    # the compare below is row-order-insensitive (sorted tuples), so
+    # insertion order is free to drop; at big tiers this materially
+    # cuts DuckDB's materialization/spill for the giant graph oracles
+    if os.environ.get("GRAFT_DUCKDB_ORDER") == "off":
+        c.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if Path(p).is_dir():  # ScaleGen writes directory-style parquet
