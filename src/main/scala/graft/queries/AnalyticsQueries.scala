@@ -624,45 +624,61 @@ object AnalyticsQueries {
         .limit(20)
     },
     Some {
-      // the 5 fixed iterations unroll into plain CTEs r1..r5 — every
-      // step is integer multiply + floor division, mirroring
-      // pageRankExact's update rule exactly
+      // the 5 fixed iterations unroll into MATERIALIZED CTEs r1..r5 —
+      // every step is integer multiply + floor division, mirroring
+      // pageRankExact's update rule exactly. Round 12: the chain is
+      // MATERIALIZED and the heavy joins run on DENSE INT node ids
+      // (strings decode only in the final projection) — without both,
+      // DuckDB inlined each CTE reference and re-derived the full
+      // string bigram scan per round, which exceeded the box's temp
+      // disk at the diverse-sf8 tier. Values are unchanged: the ranks
+      // depend only on graph structure and weights, and the output
+      // tie-break stays on the decoded string node.
       val S = 1000000000L
       val iterCtes = (1 to 5).map { k =>
-        s"""r$k AS (
-          SELECT nodes.node,
+        s"""r$k AS MATERIALIZED (
+          SELECT ids.nid AS node,
                  (CAST(15 AS BIGINT) * $S) // (100 * nn.n)
                  + (85 * COALESCE(m.im, 0)) // 100 AS r
-          FROM nodes CROSS JOIN nn
+          FROM ids CROSS JOIN nn
           LEFT JOIN (
             SELECT p.dst AS node,
                    CAST(SUM((p.w * pr.r) // p.w_out) AS BIGINT) AS im
             FROM p JOIN r${k - 1} pr ON p.src = pr.node
             GROUP BY 1) m
-          ON nodes.node = m.node)"""
+          ON ids.nid = m.node)"""
       }.mkString(",\n")
       s"""
-      WITH toks AS (
+      WITH toks AS MATERIALIZED (
         SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
       big AS (
         SELECT unnest(list_transform(range(1, len(t)),
                  i -> t[i] || ' ' || t[i+1])) AS bigram
         FROM toks),
-      e AS (
+      e AS MATERIALIZED (
         SELECT string_split(bigram, ' ')[1] AS src,
                string_split(bigram, ' ')[2] AS dst,
                CAST(COUNT(*) AS BIGINT) AS w
         FROM big GROUP BY 1, 2),
-      ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM e GROUP BY 1),
-      p AS (SELECT e.src, e.dst, e.w, ow.w_out FROM e JOIN ow ON e.src = ow.src),
-      nodes AS (
-        SELECT DISTINCT node FROM
-          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-      r0 AS (SELECT node, $S // nn.n AS r FROM nodes CROSS JOIN nn),
+      ids AS MATERIALIZED (
+        SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS nid FROM (
+          SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))),
+      ei AS MATERIALIZED (
+        SELECT si.nid AS src, di.nid AS dst, e.w
+        FROM e JOIN ids si ON e.src = si.node
+               JOIN ids di ON e.dst = di.node),
+      ow AS MATERIALIZED (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM ei GROUP BY 1),
+      p AS MATERIALIZED (
+        SELECT ei.src, ei.dst, ei.w, ow.w_out FROM ei JOIN ow USING (src)),
+      nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+      r0 AS MATERIALIZED (
+        SELECT nid AS node, $S // nn.n AS r FROM ids CROSS JOIN nn),
       $iterCtes
-      SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r5
-      ORDER BY rank_scaled DESC, node LIMIT 20"""
+      SELECT ids.node AS node, CAST(r5.r AS BIGINT) AS rank_scaled
+      FROM r5 JOIN ids ON r5.node = ids.nid
+      ORDER BY rank_scaled DESC, ids.node LIMIT 20"""
     })
 
   /** q96 — temperature-scaled corpus mixing (τ = 0.5): languages

@@ -569,9 +569,16 @@ object OpsQueries {
     (edges, deg)
   }
 
-  /** DuckDB twin of [[tokenGraph]]: CTEs `edges(a, b)` + `deg(v, d)`. */
+  /** DuckDB twin of [[tokenGraph]]: MATERIALIZED CTEs `ei(a, b)` +
+    * `deg(v, d)` over DENSE INT node ids, `ids(node, nid)` for the
+    * final decode. Round 12: without MATERIALIZED, DuckDB re-inlined
+    * the full string bigram scan into every downstream reference and
+    * the q209 wedge join exceeded the box's temp disk at diverse-sf8;
+    * ids are assigned by ROW_NUMBER over the node STRING order, so
+    * every (degree, node) comparison downstream is order-identical to
+    * the string form and all emitted values are unchanged. */
   private val graphCtes = s"""
-      toks AS (
+      toks AS MATERIALIZED (
         SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
       bi AS (
         SELECT unnest(list_transform(range(1, len(t)),
@@ -582,11 +589,19 @@ object OpsQueries {
                string_split(bigram, ' ')[2] AS y
         FROM bi
         WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
-      edges AS (
+      edges0 AS MATERIALIZED (
         SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM xy),
-      deg AS (
+      ids AS MATERIALIZED (
+        SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS nid FROM (
+          SELECT DISTINCT node FROM
+            (SELECT a AS node FROM edges0 UNION ALL SELECT b FROM edges0))),
+      ei AS MATERIALIZED (
+        SELECT ia.nid AS a, ib.nid AS b
+        FROM edges0 JOIN ids ia ON edges0.a = ia.node
+                    JOIN ids ib ON edges0.b = ib.node),
+      deg AS MATERIALIZED (
         SELECT v, COUNT(*) AS d FROM (
-          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+          SELECT a AS v FROM ei UNION ALL SELECT b FROM ei)
         GROUP BY 1)"""
 
   /** q209 — local clustering coefficient over the token co-occurrence
@@ -629,31 +644,31 @@ object OpsQueries {
     },
     Some(s"""
       WITH $graphCtes,
-      oriented AS (
+      oriented AS MATERIALIZED (
         SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END
                  AS src,
                CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END
                  AS dst
-        FROM edges e
+        FROM ei e
         JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
       tri AS (
         SELECT e1.src AS v0, e1.dst AS u, e2.dst AS w
         FROM oriented e1 JOIN oriented e2
           ON e1.src = e2.src AND e1.dst < e2.dst
-        JOIN edges ON least(e1.dst, e2.dst) = a
-                  AND greatest(e1.dst, e2.dst) = b),
+        JOIN ei ON least(e1.dst, e2.dst) = ei.a
+               AND greatest(e1.dst, e2.dst) = ei.b),
       per_node AS (
         SELECT v, COUNT(*) AS t FROM (
           SELECT v0 AS v FROM tri
           UNION ALL SELECT u FROM tri
           UNION ALL SELECT w FROM tri)
         GROUP BY 1)
-      SELECT v AS node, CAST(t AS BIGINT) AS t,
+      SELECT ids.node AS node, CAST(t AS BIGINT) AS t,
              CAST(d AS BIGINT) AS degree,
              CAST((2 * t * 1000000) // (d * (d - 1)) AS BIGINT) AS coeff_ppm
-      FROM per_node JOIN deg USING (v)
+      FROM per_node JOIN deg USING (v) JOIN ids ON ids.nid = per_node.v
       WHERE d >= 2
-      ORDER BY t DESC, node LIMIT 20"""))
+      ORDER BY t DESC, ids.node LIMIT 20"""))
 
   /** q210 — small-file compaction planning report: the 100 TB
     * lakehouse's perpetual maintenance task, as closed-form planning
@@ -776,20 +791,20 @@ object OpsQueries {
         .limit(20)
     },
     Some("""
-      WITH li AS (
+      WITH li AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT a, b FROM (
           SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
           FROM li x JOIN li y
             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
           GROUP BY 1, 2)
         WHERE support >= 2),
-      deg AS (
+      deg AS MATERIALIZED (
         SELECT v, COUNT(*) AS d FROM (
           SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
         GROUP BY 1),
-      adj AS (
+      adj AS MATERIALIZED (
         SELECT v, nbr, d FROM (
           SELECT a AS v, b AS nbr FROM edges
           UNION ALL SELECT b, a FROM edges)
