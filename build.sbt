@@ -29,6 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
   // ad-hoc JVM flags / -Dspark.* static confs for measurement
-  // experiments (e.g. SPARK_GRAFT_JVM_OPTS="-Dspark.sql.codegen.cache.maxEntries=4000")
+  // experiments (e.g. SPARK_GRAFT_JVM_OPTS="-Dspark.sql.codegen.cache.maxEntries=4000").
+  // LIMITATION: split on whitespace — flag VALUES may not contain
+  // spaces (quoting does not survive the env-var round trip).
   sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
     .flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -91,8 +91,12 @@ object BroadcastAudit {
       val line =
         try {
           val bs = broadcastBuildSides(spark, SparkEntry.queries(name)(spark, dir))
+          // ckpt-rooted subtrees carry garbage sizeInBytes (Catalyst's
+          // default-stats products overflow to ~1e23 past a
+          // LogicalRDD) — emit -1 rather than a number a reader might
+          // trust; `rows` is the load-bearing measurement either way
           val items = bs.map(b =>
-            s"""{"rows":${b.rows},"est_bytes":${b.estBytes},"ckpt":${b.ckptRooted}}""")
+            s"""{"rows":${b.rows},"est_bytes":${if (b.ckptRooted) -1 else b.estBytes},"ckpt":${b.ckptRooted}}""")
           s"""{"query":"$name","dir":"${Jsonl.esc(dir)}","bcasts":[${items.mkString(",")}]}"""
         } catch {
           case e: Throwable =>

@@ -22,7 +22,7 @@ import graft.streaming.StreamingOps.Event
   * comments.
   *
   * `runMain graft.StreamingScale [outJsonl] [tierDir...]`
-  * (defaults: docs/streaming_scale_r12.jsonl over target/scale/sf{0.5,1.0,2.0}).
+  * (defaults: docs/streaming_scale_r13.jsonl over target/scale/sf{0.5,1.0,2.0}).
   *
   * Input discipline: the events stream is re-written once per tier
   * as 9 ts-RANGE files whose mtimes increase with the range, so the
@@ -72,7 +72,13 @@ object StreamingScale {
 
   private final case class RunStats(wallSec: Double, batches: Long,
                                     rowsIn: Long, rowsOut: Long,
-                                    stateRows: Long, stateBytes: Long)
+                                    stateRows: Long, stateBytes: Long,
+                                    batchMs: Seq[Long])
+
+  // JSONL numbers must be locale-independent: the `f` interpolator
+  // formats with the JVM default locale, which may emit comma decimals
+  private def f2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
   /** Start the query, drain everything, pull the official progress
     * metrics. `stateRows`/`stateBytes` are the LAST progress's state
@@ -83,6 +89,15 @@ object StreamingScale {
     q.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
     val prog = q.recentProgress
+    // recentProgress is a ring buffer capped at
+    // spark.sql.streaming.numRecentProgressUpdates — a tier producing
+    // more progress events than the cap would silently undercount
+    // rows_in/batches. The session raises the cap in main(); fail loud
+    // if a tier ever fills it anyway.
+    val cap = q.sparkSession.conf
+      .get("spark.sql.streaming.numRecentProgressUpdates").toInt
+    require(prog.length < cap,
+      s"recentProgress hit the retention cap ($cap) — metrics would undercount")
     val byBatch = prog.groupBy(_.batchId).map(_._2.head).toSeq.sortBy(_.batchId)
     val rowsIn = byBatch.map(_.numInputRows).sum
     val rowsOut = byBatch.map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
@@ -90,8 +105,15 @@ object StreamingScale {
     val lastState = byBatch.reverse.find(_.stateOperators.nonEmpty)
     val stateRows = lastState.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     val stateBytes = lastState.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
+    // per-data-batch trigger wall — lets a consumer decompose growth:
+    // a sink whose per-batch cost rises with HISTORY (scd2Sink's gold
+    // rewrite) shows an increasing tail here even when total wall
+    // looks flat across tiers
+    val batchMs = byBatch.filter(_.numInputRows > 0)
+      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L))
     q.stop()
-    RunStats(wall, byBatch.count(_.numInputRows > 0), rowsIn, rowsOut, stateRows, stateBytes)
+    RunStats(wall, byBatch.count(_.numInputRows > 0), rowsIn, rowsOut,
+      stateRows, stateBytes, batchMs)
   }
 
   /** Single-pass per-user fold with patternDetect's transition rule
@@ -118,7 +140,7 @@ object StreamingScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("docs/streaming_scale_r12.jsonl")
+    val out = args.headOption.getOrElse("docs/streaming_scale_r13.jsonl")
     val tiers =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("target/scale/sf0.5", "target/scale/sf1.0", "target/scale/sf2.0")
@@ -127,6 +149,10 @@ object StreamingScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // drive() derives rows_in/batches from recentProgress; the
+      // default retention (100) could silently truncate a tier with
+      // many no-data batches — raise it and assert under it in drive()
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -134,6 +160,9 @@ object StreamingScale {
 
     val outPath = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(outPath.getParent)
+    // one artifact per run: a rerun must not interleave stale lines
+    // from a prior run into the same JSONL
+    java.nio.file.Files.deleteIfExists(outPath)
     def emit(line: String): Unit = {
       java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
@@ -167,7 +196,7 @@ object StreamingScale {
         val boundOk = st.stateRows <= users
         val twinOk = st.rowsOut + st.stateRows == batchSessions
         emit(s"""{"op":"sessionize","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
-          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
           s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
           s""""sessions_emitted":${st.rowsOut},"state_rows":${st.stateRows},""" +
           s""""state_bytes":${st.stateBytes},"distinct_users":$users,""" +
@@ -190,7 +219,7 @@ object StreamingScale {
         val boundOk = st.stateRows <= users
         val foldOk = st.rowsOut == expected
         emit(s"""{"op":"patternDetect","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
-          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
           s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
           s""""matches":${st.rowsOut},"state_rows":${st.stateRows},""" +
           s""""state_bytes":${st.stateBytes},"distinct_users":$users,""" +
@@ -220,7 +249,7 @@ object StreamingScale {
             .option("checkpointLocation", ckpt).start())
         val boundOk = st.stateRows <= shards
         emit(s"""{"op":"heavyHittersStream","tier":"${Jsonl.esc(tier)}","tokens_in":$nTokens,""" +
-          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
           s""""tokens_per_s":${(nTokens / st.wallSec).round},""" +
           s""""k":$k,"shards":$shards,"state_rows":${st.stateRows},""" +
           s""""state_bytes":${st.stateBytes},""" +
@@ -246,7 +275,7 @@ object StreamingScale {
         val boundOk = st.stateRows <= bound
         val twinOk = st.rowsOut + st.stateRows == batchWindows
         emit(s"""{"op":"tumbling","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
-          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
           s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
           s""""windows_emitted":${st.rowsOut},"state_rows":${st.stateRows},""" +
           s""""state_bytes":${st.stateBytes},"batch_twin_windows":$batchWindows,""" +
@@ -277,7 +306,7 @@ object StreamingScale {
         val boundOk = st.stateRows <= math.max(horizonKeys, 1L)
         val evicted = st.stateRows < totalKeys / 10
         emit(s"""{"op":"dedupStream","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
-          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
           s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
           s""""survivors":${st.rowsOut},"state_rows":${st.stateRows},""" +
           s""""state_bytes":${st.stateBytes},"total_distinct_keys":$totalKeys,""" +
@@ -312,9 +341,10 @@ object StreamingScale {
             col("a.ValidFrom") < col("b.ValidTo") &&
             col("b.ValidFrom") < col("a.ValidTo")).count()
         emit(s"""{"op":"scd2Sink","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
-          s""""batches":${st.batches},"wall_s":${f"${st.wallSec}%.2f"},""" +
+          s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
           s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
           s""""dim_rows":$dimRows,"active_rows":$active,"distinct_users":$users,""" +
+          s""""batch_ms":[${st.batchMs.mkString(",")}],""" +
           s""""interval_overlaps":$overlaps,""" +
           s""""one_active_per_key_ok":$activeOk,"intervals_disjoint_ok":${overlaps == 0L}}""")
         require(activeOk, s"scd2Sink active $active != users $users")

@@ -600,6 +600,18 @@ object AnalyticsQueries {
              epoch_ms(click_ts) AS click_ts_ms
       FROM c WHERE event_type = 'purchase' ORDER BY event_id"""))
 
+  /** Weighted adjacent-token edge set (q82's bigram counting) from a
+    * documents frame — shared by q95 (full corpus) and q229 (the
+    * md5-decile stratum twin). */
+  private def tokenPrEdges(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    docs.select(TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(graft.functions.TextExprs.word_shingles(col("t"), 2)).as("bigram"))
+      .groupBy(substring_index(col("bigram"), " ", 1).as("src"),
+        substring_index(col("bigram"), " ", -1).as("dst"))
+      .agg(count(lit(1)).cast(LongType).as("weight"))
+
   /** q95 — token PageRank: the adjacency graph of adjacent-token
     * pairs (edge weight = co-occurrence count, from the same bigram
     * counting as q82) ranked by 5 rounds of weighted PageRank in
@@ -610,20 +622,47 @@ object AnalyticsQueries {
     * verifies both variants against an in-memory power iteration. */
   private val q95 = QueryDef(
     "q95_token_pagerank",
-    (s, dir) => {
-      val toks = table(s, dir, "documents")
-        .select(TextFunctions.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-      val edges = toks
-        .select(explode(graft.functions.TextExprs.word_shingles(col("t"), 2)).as("bigram"))
-        .groupBy(substring_index(col("bigram"), " ", 1).as("src"),
-          substring_index(col("bigram"), " ", -1).as("dst"))
-        .agg(count(lit(1)).cast(LongType).as("weight"))
-      graft.operators.LinkAnalysis.pageRankExact(edges, iters = 5)
-        .orderBy(col("rank_scaled").desc, col("node"))
-        .limit(20)
-    },
-    Some {
+    (s, dir) => graft.operators.LinkAnalysis
+      .pageRankExact(tokenPrEdges(table(s, dir, "documents")), iters = 5)
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(20),
+    Some(tokenPageRankSql("documents")))
+
+  /** md5-decile document stratum, DuckDB form ([[QueryDef.md5DecileSql]];
+    * shared with OpsQueries' q230). Defined BEFORE q229: object vals
+    * initialize in declaration order. */
+  private[queries] val docStratumSql =
+    s"""(SELECT * FROM documents WHERE ${QueryDef.md5DecileSql("doc_id")})"""
+
+  /** q229 — q95's exact PageRank on a deterministic md5-keyed DECILE
+    * of documents (the q224 stratum discipline: membership is a pure
+    * hash of doc_id, so any engine draws the identical stratum). The
+    * graph-tier scale audit: q95's own DuckDB oracle is a global
+    * 5-round fixpoint over the FULL bigram graph with no row-local
+    * recheck — at diverse-sf8 it outgrows the box's temp disk, the
+    * one query whose top-tier status rested on lower-tier evidence.
+    * The stratum keeps a same-tier, paid-in-full oracle alive at ANY
+    * corpus size: the sub-corpus graph is ~1/10 the edge mass, the
+    * identical [[LinkAnalysis.pageRankExact]] path runs on both
+    * engines, and a hash-match at sf8+ is direct evidence the
+    * fixpoint arithmetic (joins, floor divisions, dangling-mass
+    * handling) stays exact at tier scale. Unlike a dedup stratum
+    * (q224's pair-split caveat) a sub-corpus PageRank is simply
+    * PageRank of the induced corpus — no recall discount to
+    * document. */
+  private val q229 = QueryDef(
+    "q229_pagerank_stratum",
+    (s, dir) => graft.operators.LinkAnalysis
+      .pageRankExact(
+        tokenPrEdges(QueryDef.md5Decile(table(s, dir, "documents"), "doc_id")),
+        iters = 5)
+      .orderBy(col("rank_scaled").desc, col("node"))
+      .limit(20),
+    Some(tokenPageRankSql(docStratumSql)))
+
+  /** DuckDB twin of q95/q229's PageRank, parameterized by the
+    * documents relation (the full table or [[docStratumSql]]). */
+  private def tokenPageRankSql(docsRel: String): String = {
       // the 5 fixed iterations unroll into MATERIALIZED CTEs r1..r5 —
       // every step is integer multiply + floor division, mirroring
       // pageRankExact's update rule exactly. Round 12: the chain is
@@ -650,7 +689,7 @@ object AnalyticsQueries {
       }.mkString(",\n")
       s"""
       WITH toks AS MATERIALIZED (
-        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+        SELECT $toksSql AS t FROM $docsRel WHERE len($toksSql) >= 2),
       big AS (
         SELECT unnest(list_transform(range(1, len(t)),
                  i -> t[i] || ' ' || t[i+1])) AS bigram
@@ -679,7 +718,7 @@ object AnalyticsQueries {
       SELECT ids.node AS node, CAST(r5.r AS BIGINT) AS rank_scaled
       FROM r5 JOIN ids ON r5.node = ids.nid
       ORDER BY rank_scaled DESC, ids.node LIMIT 20"""
-    })
+  }
 
   /** q96 — temperature-scaled corpus mixing (τ = 0.5): languages
     * reweighted by √share instead of share, the standard multilingual
@@ -1004,5 +1043,5 @@ object AnalyticsQueries {
 
   def all: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95, q96, q97, q98, q99, q100, q137)
+      q93, q94, q95, q96, q97, q98, q99, q100, q137, q229)
 }

@@ -551,10 +551,10 @@ object OpsQueries {
     * undirected edge set from adjacent-token bigrams, plus degrees.
     * Shared by q209 (clustering coefficient) and q211 (link
     * prediction). */
-  private def tokenGraph(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def tokenGraph(docs: org.apache.spark.sql.DataFrame)
   : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.functions.TextExprs
-    val bi = table(s, dir, "documents")
+    val bi = docs
       .select(TextFunctions.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(TextExprs.word_shingles(col("t"), 2)).as("bigram"))
@@ -576,10 +576,12 @@ object OpsQueries {
     * the q209 wedge join exceeded the box's temp disk at diverse-sf8;
     * ids are assigned by ROW_NUMBER over the node STRING order, so
     * every (degree, node) comparison downstream is order-identical to
-    * the string form and all emitted values are unchanged. */
-  private val graphCtes = s"""
+    * the string form and all emitted values are unchanged.
+    * Parameterized by the documents relation so q230's md5-decile
+    * stratum twin shares it verbatim. */
+  private def graphCtesFrom(docsRel: String) = s"""
       toks AS MATERIALIZED (
-        SELECT $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+        SELECT $toksSql AS t FROM $docsRel WHERE len($toksSql) >= 2),
       bi AS (
         SELECT unnest(list_transform(range(1, len(t)),
                  i -> t[i] || ' ' || t[i+1])) AS bigram
@@ -613,8 +615,14 @@ object OpsQueries {
     * degree. Top 20 most-embedded nodes (t desc), min degree 2. */
   private val q209 = QueryDef(
     "q209_clustering_coefficient",
-    (s, dir) => {
-      val (edges, deg) = tokenGraph(s, dir)
+    (s, dir) => clusteringCoefficient(table(s, dir, "documents")),
+    Some(clusteringSql("documents")))
+
+  /** q209's engine pipeline over an arbitrary documents frame —
+    * shared with q230's stratum twin. */
+  private def clusteringCoefficient(docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+      val (edges, deg) = tokenGraph(docs)
       val withDeg = edges
         .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
         .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -641,9 +649,13 @@ object OpsQueries {
           expr("(2L * t * 1000000L) div (d * (d - 1))").as("coeff_ppm"))
         .orderBy(col("t").desc, col("node"))
         .limit(20)
-    },
-    Some(s"""
-      WITH $graphCtes,
+  }
+
+  /** DuckDB twin of [[clusteringCoefficient]], parameterized by the
+    * documents relation (full table for q209, the md5-decile stratum
+    * for q230). */
+  private def clusteringSql(docsRel: String): String = s"""
+      WITH ${graphCtesFrom(docsRel)},
       oriented AS MATERIALIZED (
         SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END
                  AS src,
@@ -668,7 +680,22 @@ object OpsQueries {
              CAST((2 * t * 1000000) // (d * (d - 1)) AS BIGINT) AS coeff_ppm
       FROM per_node JOIN deg USING (v) JOIN ids ON ids.nid = per_node.v
       WHERE d >= 2
-      ORDER BY t DESC, ids.node LIMIT 20"""))
+      ORDER BY t DESC, ids.node LIMIT 20"""
+
+  /** q230 — q209's triangle/coefficient pipeline on the md5-decile
+    * document stratum ([[QueryDef.md5Decile]], the q224 discipline):
+    * the graph-tier scale audit for wedge enumeration. q209's full
+    * oracle outgrew the box's temp disk at diverse-sf8 (adjudicated
+    * that round by row-level re-derivation, 20/20 exact); this twin
+    * keeps a same-tier, paid-in-full HASH oracle alive at any tier —
+    * the stratum's graph is ~1/10 the edge mass, so its wedge join is
+    * ~1/100 the pair mass, and the identical degree-ordered
+    * enumeration runs on both engines. */
+  private val q230 = QueryDef(
+    "q230_triangle_stratum",
+    (s, dir) => clusteringCoefficient(
+      QueryDef.md5Decile(table(s, dir, "documents"), "doc_id")),
+    Some(clusteringSql(AnalyticsQueries.docStratumSql)))
 
   /** q210 — small-file compaction planning report: the 100 TB
     * lakehouse's perpetual maintenance task, as closed-form planning
@@ -759,8 +786,14 @@ object OpsQueries {
     * drop via one left-anti join. Top 20 predicted links. */
   private val q211 = QueryDef(
     "q211_link_prediction",
-    (s, dir) => {
-      val li = table(s, dir, "lineitem")
+    (s, dir) => raLinkPrediction(table(s, dir, "lineitem")),
+    Some(raSql("lineitem")))
+
+  /** q211's engine pipeline over an arbitrary lineitem frame —
+    * shared with q231's basket-stratum twin. */
+  private def raLinkPrediction(lineitem: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+      val li = lineitem
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       // the edge table feeds three consumers (degrees, adjacency, the
       // final anti-join) — materialize the basket self-join once
@@ -789,10 +822,14 @@ object OpsQueries {
           count(lit(1)).as("common_neighbors"))
         .orderBy(col("ra_e9").desc, col("u"), col("w"))
         .limit(20)
-    },
-    Some("""
+  }
+
+  /** DuckDB twin of [[raLinkPrediction]], parameterized by the
+    * lineitem relation (full table for q211, the orderkey-decile
+    * stratum for q231). */
+  private def raSql(liRel: String): String = s"""
       WITH li AS MATERIALIZED (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        SELECT DISTINCT l_orderkey, l_partkey FROM $liRel),
       edges AS MATERIALIZED (
         SELECT a, b FROM (
           SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
@@ -817,7 +854,25 @@ object OpsQueries {
       FROM pairs
       WHERE NOT EXISTS (SELECT 1 FROM edges WHERE a = u AND b = w)
       GROUP BY u, w
-      ORDER BY ra_e9 DESC, u, w LIMIT 20"""))
+      ORDER BY ra_e9 DESC, u, w LIMIT 20"""
+
+  /** q231 — q211's resource-allocation link prediction on an
+    * md5-keyed ORDER-decile of lineitem: stratifying by l_orderkey
+    * keeps every sampled basket INTACT (the co-purchase edge
+    * generation is per-order, so the stratum graph is exactly the
+    * graph of the sampled baskets — no pair-split recall caveat
+    * within a basket). Same role as q229/q230: q211's full oracle
+    * outgrew temp disk at diverse-sf8 (adjudicated by exact pair
+    * re-derivation); this twin keeps a same-tier hash oracle payable
+    * at any tier, with the wedge mass down ~100× and the identical
+    * hub-capped enumeration on both engines. */
+  private val q231 = QueryDef(
+    "q231_ra_stratum",
+    (s, dir) => raLinkPrediction(
+      QueryDef.md5Decile(table(s, dir, "lineitem"), "l_orderkey")),
+    Some(raSql(
+      s"""(SELECT * FROM lineitem
+           WHERE ${QueryDef.md5DecileSql("l_orderkey")})""")))
 
   /** q212 — Merkle range diff (anti-entropy reconciliation): two
     * copies of the orders table — the replica deterministically
@@ -1718,5 +1773,5 @@ object OpsQueries {
 
   val all: Seq[QueryDef] = Seq(q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219,
-    q220, q221, q222, q223)
+    q220, q221, q222, q223, q230, q231)
 }

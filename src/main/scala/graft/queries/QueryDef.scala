@@ -24,6 +24,23 @@ object QueryDef {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Deterministic md5-keyed decile stratum (the q224/q52/q183
+    * sampling discipline): membership is a pure hash of the key
+    * column, so any engine draws the identical stratum. Used by the
+    * graph-tier scale-audit twins (q229/q230/q231) to keep a
+    * paid-in-full oracle alive at tiers where the full-input oracle
+    * outgrows the box. */
+  def md5Decile(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    import org.apache.spark.sql.types.LongType
+    df.filter(conv(substring(md5(col(key).cast("string")), 1, 15), 16, 10)
+      .cast(LongType) % 10 === 0)
+  }
+
+  /** DuckDB twin of [[md5Decile]], as a WHERE predicate. */
+  def md5DecileSql(key: String): String =
+    s"CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0"
+
   /** Fixed ANN/eval query workload: every 200th vector of the
     * ids < 2000 reference prefix — 10 queries regardless of corpus
     * size. An evaluation workload is a benchmark constant, not a

@@ -13,7 +13,7 @@ output dir is flag-only (never positional) so a query name or a flag can
 never be mistaken for it — that accident once littered the repo root with
 verification artifacts.
 """
-import json, math, os, subprocess, sys
+import atexit, json, math, os, shutil, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -58,9 +58,12 @@ def fresh_con():
     # per-PROCESS temp dir: DuckDB names spill files temp_storage-N in
     # its temp directory, so two concurrent check.py runs sharing a cwd
     # would race the SAME files (observed in the diverse-sf8 sweep when
-    # a sibling q33 run spilled 60+ GB into them)
-    os.makedirs(f".tmp/pid{os.getpid()}", exist_ok=True)
-    c.execute(f"SET temp_directory='.tmp/pid{os.getpid()}'")
+    # a sibling q33 run spilled 60+ GB into them). Removed at exit —
+    # an aborted/OOM-killed oracle can strand multi-GB spill files.
+    tmp = f".tmp/pid{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    c.execute(f"SET temp_directory='{tmp}'")
     # the compare below is row-order-insensitive (sorted tuples), so
     # insertion order is free to drop; at big tiers this materially
     # cuts DuckDB's materialization/spill for the giant graph oracles
