@@ -789,9 +789,11 @@ object OpsQueries {
     (s, dir) => raLinkPrediction(table(s, dir, "lineitem")),
     Some(raSql("lineitem")))
 
-  /** q211's engine pipeline over an arbitrary lineitem frame —
-    * shared with q231's basket-stratum twin. */
-  private def raLinkPrediction(lineitem: org.apache.spark.sql.DataFrame)
+  /** q211's engine pipeline; `centerDecile=true` (q231) restricts the
+    * WEDGE-AGGREGATION stage to md5-decile center nodes while edges,
+    * degrees and the anti-join run at full tier volume. */
+  private def raLinkPrediction(lineitem: org.apache.spark.sql.DataFrame,
+                               centerDecile: Boolean = false)
   : org.apache.spark.sql.DataFrame = {
       val li = lineitem
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -808,9 +810,10 @@ object OpsQueries {
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      val adj = edges.select(col("a").as("v"), col("b").as("nbr"))
+      val adjAll = edges.select(col("a").as("v"), col("b").as("nbr"))
         .unionAll(edges.select(col("b"), col("a")))
         .join(deg.filter(col("d") <= 256), "v")
+      val adj = if (centerDecile) QueryDef.md5Decile(adjAll, "v") else adjAll
       val pairs = adj.as("p").join(adj.as("q"),
           col("p.v") === col("q.v") && col("p.nbr") < col("q.nbr"))
         .select(col("p.nbr").as("u"), col("q.nbr").as("w"),
@@ -824,10 +827,9 @@ object OpsQueries {
         .limit(20)
   }
 
-  /** DuckDB twin of [[raLinkPrediction]], parameterized by the
-    * lineitem relation (full table for q211, the orderkey-decile
-    * stratum for q231). */
-  private def raSql(liRel: String): String = s"""
+  /** DuckDB twin of [[raLinkPrediction]]: `centerPred` restricts the
+    * adj CTE's center node (TRUE for q211, the md5 decile for q231). */
+  private def raSql(liRel: String, centerPred: String = "TRUE"): String = s"""
       WITH li AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM $liRel),
       edges AS MATERIALIZED (
@@ -845,7 +847,7 @@ object OpsQueries {
         SELECT v, nbr, d FROM (
           SELECT a AS v, b AS nbr FROM edges
           UNION ALL SELECT b, a FROM edges)
-        JOIN deg USING (v) WHERE d <= 256),
+        JOIN deg USING (v) WHERE d <= 256 AND $centerPred),
       pairs AS (
         SELECT p.nbr AS u, q.nbr AS w, 1000000000 // p.d AS contrib
         FROM adj p JOIN adj q ON p.v = q.v AND p.nbr < q.nbr)
@@ -856,23 +858,25 @@ object OpsQueries {
       GROUP BY u, w
       ORDER BY ra_e9 DESC, u, w LIMIT 20"""
 
-  /** q231 — q211's resource-allocation link prediction on an
-    * md5-keyed ORDER-decile of lineitem: stratifying by l_orderkey
-    * keeps every sampled basket INTACT (the co-purchase edge
-    * generation is per-order, so the stratum graph is exactly the
-    * graph of the sampled baskets — no pair-split recall caveat
-    * within a basket). Same role as q229/q230: q211's full oracle
-    * outgrew temp disk at diverse-sf8 (adjudicated by exact pair
-    * re-derivation); this twin keeps a same-tier hash oracle payable
-    * at any tier, with the wedge mass down ~100× and the identical
-    * hub-capped enumeration on both engines. */
+  /** q231 — q211's resource-allocation index with the WEDGE-CENTER
+    * stage restricted to an md5 decile of nodes: every surviving
+    * term Σ 1/d(v) over sampled common neighbors v uses FULL-graph
+    * edges, degrees and hub cap (the expensive linear stage runs at
+    * tier volume on both engines); only the superlinear wedge join
+    * drops to ~1/10 mass. Input strata (order- or part-decile) are
+    * degenerate here: ScaleGen's support≥2 co-purchase graph is
+    * scale-flat (~3.6k edges at every tier), so thinning baskets
+    * dilutes per-edge support ~10× and the stratum graph empties
+    * (measured: 31 edges, 0 predictions at diverse-sf8) — a hash
+    * match on an empty result audits nothing. Center sampling keeps
+    * real mass at every tier (1.8k/1.2k/149 pre-limit pairs at
+    * sf0.001/0.01/0.1) while exercising the identical join/agg/
+    * anti-join arithmetic. */
   private val q231 = QueryDef(
     "q231_ra_stratum",
-    (s, dir) => raLinkPrediction(
-      QueryDef.md5Decile(table(s, dir, "lineitem"), "l_orderkey")),
-    Some(raSql(
-      s"""(SELECT * FROM lineitem
-           WHERE ${QueryDef.md5DecileSql("l_orderkey")})""")))
+    (s, dir) => raLinkPrediction(table(s, dir, "lineitem"),
+      centerDecile = true),
+    Some(raSql("lineitem", QueryDef.md5DecileSql("v"))))
 
   /** q212 — Merkle range diff (anti-entropy reconciliation): two
     * copies of the orders table — the replica deterministically
