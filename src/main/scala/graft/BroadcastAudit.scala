@@ -27,7 +27,12 @@ import org.apache.spark.sql.graft.PlanBridge
   * `{"query":…,"dir":…,"bcasts":[{"rows":…,"est_bytes":…,"ckpt":…}]}`
   * (rows desc), on stdout and appended to
   * `target/broadcast_audit.jsonl`. Queries whose plans have no
-  * broadcast emit an empty list.
+  * broadcast emit an empty list. `est_bytes` is Catalyst's estimate
+  * EXCEPT when `ckpt` is true: checkpoint-rooted subtrees carry
+  * garbage default-stats products, so the field is the sentinel -1
+  * there (r12-and-earlier census lines emitted the raw overflowed
+  * estimate for those rows — cross-round est_bytes deltas are only
+  * meaningful where `ckpt` is false on both sides).
   */
 object BroadcastAudit {
 

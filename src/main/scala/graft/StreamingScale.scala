@@ -86,34 +86,38 @@ object StreamingScale {
   private def drive(mk: => StreamingQuery): RunStats = {
     val t0 = System.nanoTime()
     val q = mk
-    q.processAllAvailable()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val prog = q.recentProgress
-    // recentProgress is a ring buffer capped at
-    // spark.sql.streaming.numRecentProgressUpdates — a tier producing
-    // more progress events than the cap would silently undercount
-    // rows_in/batches. The session raises the cap in main(); fail loud
-    // if a tier ever fills it anyway.
-    val cap = q.sparkSession.conf
-      .get("spark.sql.streaming.numRecentProgressUpdates").toInt
-    require(prog.length < cap,
-      s"recentProgress hit the retention cap ($cap) — metrics would undercount")
-    val byBatch = prog.groupBy(_.batchId).map(_._2.head).toSeq.sortBy(_.batchId)
-    val rowsIn = byBatch.map(_.numInputRows).sum
-    val rowsOut = byBatch.map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
-      .filter(_ >= 0).sum
-    val lastState = byBatch.reverse.find(_.stateOperators.nonEmpty)
-    val stateRows = lastState.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-    val stateBytes = lastState.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
-    // per-data-batch trigger wall — lets a consumer decompose growth:
-    // a sink whose per-batch cost rises with HISTORY (scd2Sink's gold
-    // rewrite) shows an increasing tail here even when total wall
-    // looks flat across tiers
-    val batchMs = byBatch.filter(_.numInputRows > 0)
-      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L))
-    q.stop()
-    RunStats(wall, byBatch.count(_.numInputRows > 0), rowsIn, rowsOut,
-      stateRows, stateBytes, batchMs)
+    // try/finally: a tripped require below must not leave the query
+    // running with its checkpoint dir held (the next locally{} block
+    // would then race it for cores and temp space)
+    try {
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress
+      // recentProgress is a ring buffer capped at
+      // spark.sql.streaming.numRecentProgressUpdates — a tier producing
+      // more progress events than the cap would silently undercount
+      // rows_in/batches. The session raises the cap in main(); fail loud
+      // if a tier ever fills it anyway.
+      val cap = q.sparkSession.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates").toInt
+      require(prog.length < cap,
+        s"recentProgress hit the retention cap ($cap) — metrics would undercount")
+      val byBatch = prog.groupBy(_.batchId).map(_._2.head).toSeq.sortBy(_.batchId)
+      val rowsIn = byBatch.map(_.numInputRows).sum
+      val rowsOut = byBatch.map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
+        .filter(_ >= 0).sum
+      val lastState = byBatch.reverse.find(_.stateOperators.nonEmpty)
+      val stateRows = lastState.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      val stateBytes = lastState.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
+      // per-data-batch trigger wall — lets a consumer decompose growth:
+      // a sink whose per-batch cost rises with HISTORY (scd2Sink's gold
+      // rewrite) shows an increasing tail here even when total wall
+      // looks flat across tiers
+      val batchMs = byBatch.filter(_.numInputRows > 0)
+        .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L))
+      RunStats(wall, byBatch.count(_.numInputRows > 0), rowsIn, rowsOut,
+        stateRows, stateBytes, batchMs)
+    } finally q.stop()
   }
 
   /** Single-pass per-user fold with patternDetect's transition rule

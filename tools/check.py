@@ -50,20 +50,23 @@ if "--skip-verify" not in FLAGS:
 # one OOM "fail" with bogus read errors. GRAFT_DUCKDB_MEM (e.g. "48GB")
 # optionally caps each connection so a runaway oracle aborts cleanly
 # instead of taking the box (and any sibling sweep) down with it.
+# per-PROCESS temp dir: DuckDB names spill files temp_storage-N in
+# its temp directory, so two concurrent check.py runs sharing a cwd
+# would race the SAME files (observed in the diverse-sf8 sweep when
+# a sibling q33 run spilled 60+ GB into them). Removed at exit —
+# an aborted/OOM-killed oracle can strand multi-GB spill files. The
+# path is constant per process, so the cleanup registers ONCE here,
+# not per connection (fresh_con runs once per query).
+_DUCK_TMP = f".tmp/pid{os.getpid()}"
+atexit.register(shutil.rmtree, _DUCK_TMP, ignore_errors=True)
+
 def fresh_con():
     c = duckdb.connect()
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
     if mem:
         c.execute(f"SET memory_limit='{mem}'")
-    # per-PROCESS temp dir: DuckDB names spill files temp_storage-N in
-    # its temp directory, so two concurrent check.py runs sharing a cwd
-    # would race the SAME files (observed in the diverse-sf8 sweep when
-    # a sibling q33 run spilled 60+ GB into them). Removed at exit —
-    # an aborted/OOM-killed oracle can strand multi-GB spill files.
-    tmp = f".tmp/pid{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    c.execute(f"SET temp_directory='{tmp}'")
+    os.makedirs(_DUCK_TMP, exist_ok=True)
+    c.execute(f"SET temp_directory='{_DUCK_TMP}'")
     # the compare below is row-order-insensitive (sorted tuples), so
     # insertion order is free to drop; at big tiers this materially
     # cuts DuckDB's materialization/spill for the giant graph oracles
