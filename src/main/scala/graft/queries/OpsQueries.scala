@@ -869,9 +869,20 @@ object OpsQueries {
     * dilutes per-edge support ~10× and the stratum graph empties
     * (measured: 31 edges, 0 predictions at diverse-sf8) — a hash
     * match on an empty result audits nothing. Center sampling keeps
-    * real mass at every tier (1.8k/1.2k/149 pre-limit pairs at
+    * real mass at the FIXTURE tiers (1.8k/1.2k/149 pre-limit pairs at
     * sf0.001/0.01/0.1) while exercising the identical join/agg/
-    * anti-join arithmetic. */
+    * anti-join arithmetic.
+    *
+    * SCALE-EVIDENCE DESIGNATION (r14): at sf8+ this twin is NOT the
+    * pipeline's scale evidence — q211's FULL oracle is, paid and
+    * hash-exact at diverse-sf8 (80 GB cap) and diverse-sf16 (default
+    * cap, 13 rows; `docs/dsf16_q211_full_r14.log`), payable at every
+    * tier BECAUSE the graph is scale-flat. No decile mass floor can
+    * rescue the twin there: at 160× the full graph's total prediction
+    * mass is 13 pairs, so any sampled stratum of it is vacuous by
+    * arithmetic — escalating the union until mass appears just
+    * converges to q211 itself. q231's seat is the fixture-tier
+    * stratum audit (and the gate), where its mass is real. */
   private val q231 = QueryDef(
     "q231_ra_stratum",
     (s, dir) => raLinkPrediction(table(s, dir, "lineitem"),
