@@ -77,10 +77,11 @@ object Q228Diag {
       val base = queries.QueryDef.table(spark, dir, "documents")
       val prior = base.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), col("text"))
+      val off = queries.ExtensionQueries.mutantOffset(base, "doc_id")
       val incoming = base.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
         .unionByName(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + off).as("doc_id"),
             concat(col("text"), lit(" spark")).as("text")))
 
       val shP = Dedup.shingleSets(prior, "doc_id", "text", 3)

@@ -228,31 +228,53 @@ object ExtensionQueries {
 
   // -------------------------------------------------------------- dedup
 
+  /** Data-derived mutant-id offset for the augmented-corpus
+    * conventions: the smallest multiple of 1,000,000 STRICTLY greater
+    * than max(id). Equals exactly 1,000,000 on every corpus under 1M
+    * ids (all driver fixtures and every tier through diverse-sf16,
+    * 800k docs — so those hashes are unchanged by the re-key) and
+    * steps to 2,000,000 at diverse-sf32's 1.6M docs: mutant ids stay
+    * disjoint from base ids at ANY corpus size, and a base id is
+    * always recoverable as `id % offset`. This removes the fixture
+    * constant that used to partition the keyspace (the r12 q05/q48
+    * lesson, applied here before the sf32 rung instead of after a
+    * ladder defect). Cost: one 1-row max aggregate per query build —
+    * a single-column parquet scan, bounded collect, negligible beside
+    * the dedup joins the convention feeds. The SQL twins compute the
+    * SAME integer expression as a scalar subquery
+    * ([[mutantOffsetSql]]), so both engines derive one value from one
+    * definition. */
+  private[graft] def mutantOffset(df: org.apache.spark.sql.DataFrame,
+                                    idCol: String): Long = {
+    val maxId = df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+    (maxId / 1000000L + 1L) * 1000000L
+  }
+
+  /** DuckDB twin of [[mutantOffset]] — same integer arithmetic, as a
+    * scalar subquery over the same table. */
+  private[queries] def mutantOffsetSql(tableName: String, idCol: String): String =
+    s"(SELECT (COALESCE(MAX($idCol), 0) // 1000000 + 1) * 1000000 FROM $tableName)"
+
   /** documents ∪ near-dup mutants: every 7th doc re-appears with one
-    * appended token and id+1,000,000.
-    *
-    * The fixed 1e6 offset ASSUMES max(doc_id) < 1,000,000 — true for
-    * every driver fixture (sf0.1 has 5,000 docs) and every ScaleGen /
-    * DiverseGen tier this repo measures (gen-sf8 tops out at 400,000
-    * docs). A larger corpus would make mutant ids collide with real
-    * ids — duplicate keys in every downstream shingle/band set, and
-    * for q228 a silent breach of admitAgainst's disjoint-release-id
-    * contract — so raising the corpus past 1M docs requires raising
-    * the offset HERE and in [[augmentedDocsSql]] and q228's twins
-    * together. */
+    * appended token and its id shifted by [[mutantOffset]] (exactly
+    * 1,000,000 on every corpus under 1M docs; data-derived past
+    * that, so mutant ids never collide with real ids — see the
+    * offset contract on [[mutantOffset]]). */
   private[graft] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    val off = mutantOffset(d, "doc_id")
     d.unionByName(d.filter(col("doc_id") % 7 === 0).select(
-      (col("doc_id") + 1000000L).as("doc_id"),
+      (col("doc_id") + off).as("doc_id"),
       concat(col("text"), lit(" spark")).as("text"),
       col("source")))
   }
 
   private[queries] val augmentedDocsSql =
-    """aug AS (
+    s"""aug AS (
         SELECT doc_id, text, source FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text || ' spark', source
+        SELECT doc_id + ${mutantOffsetSql("documents", "doc_id")},
+               text || ' spark', source
         FROM documents WHERE doc_id % 7 = 0)"""
 
   private[queries] val toksSql = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -490,21 +512,23 @@ object ExtensionQueries {
 
   // -------------------------------------------- embeddings / similarity
 
-  /** embeddings ∪ scaled near-dup mutants (×1.01, cosine 1.0). */
+  /** embeddings ∪ scaled near-dup mutants (×1.01, cosine 1.0); ids
+    * shifted by [[mutantOffset]] (same contract as [[augmentedDocs]]). */
   private[queries] def augmentedEmbs(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
+    val off = mutantOffset(e, "vec_id")
     e.unionByName(e.filter(col("vec_id") % 5 === 0).select(
-      (col("vec_id") + 1000000L).as("vec_id"),
+      (col("vec_id") + off).as("vec_id"),
       transform(col("embedding"), x => x.cast("double") * 1.01).as("embedding"),
       col("label")))
   }
 
   private[queries] val augmentedEmbsSql =
-    """aug AS (
+    s"""aug AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         UNION ALL
-        SELECT vec_id + 1000000,
+        SELECT vec_id + ${mutantOffsetSql("embeddings", "vec_id")},
                list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
         FROM embeddings WHERE vec_id % 5 = 0)"""
 
@@ -1011,12 +1035,11 @@ object ExtensionQueries {
     * of incoming in ONE hash join — prior never self-joins — then the
     * within-release greedy kernel over survivors). A rejection is
     * classified dup-of-prior vs dup-within by whether its witness id
-    * belongs to the prior release (release id spaces are disjoint —
-    * which, with the [[augmentedDocs]] +1e6 mutant offset, holds iff
-    * max(doc_id) < 1,000,000: a mutant of a %7=0, %5≠0 base keeps its
-    * base's residue mod 5, so past 1M docs mutant ids would land
-    * inside the prior release's id space; see the offset contract on
-    * [[augmentedDocs]]).
+    * belongs to the prior release (release id spaces are disjoint BY
+    * CONSTRUCTION: the [[mutantOffset]] shift exceeds max(doc_id) at
+    * any corpus size, so mutant ids can never land inside the prior
+    * release's id space — the fixed-1e6 form of this convention held
+    * only below 1M docs).
     * Output: per-source incoming/novel/dup-prior/dup-within counts and
     * integer novelty ppm — 20 rows at any corpus size. Oracle unrolls
     * the kernel to the same [[KernelUnroll]] rounds as q225 (an
@@ -1026,12 +1049,13 @@ object ExtensionQueries {
     "q228_crawl_novelty",
     (s, dir) => {
       val base = table(s, dir, "documents")
+      val off = mutantOffset(base, "doc_id")
       val prior = base.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), col("text"))
       val incoming = base.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"), col("source"))
         .unionByName(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + off).as("doc_id"),
             concat(col("text"), lit(" spark")).as("text"), col("source")))
       val dec = Dedup.admitAgainst(prior,
         incoming.select(col("doc_id"), col("text")))
@@ -1058,7 +1082,8 @@ object ExtensionQueries {
       inc AS MATERIALIZED (
         SELECT doc_id, text, source FROM documents WHERE doc_id % 5 = 0
         UNION ALL
-        SELECT doc_id + 1000000, text || ' spark', source
+        SELECT doc_id + ${mutantOffsetSql("documents", "doc_id")},
+               text || ' spark', source
         FROM documents WHERE doc_id % 7 = 0),
       alld AS (SELECT doc_id, text FROM prior
                UNION ALL SELECT doc_id, text FROM inc),

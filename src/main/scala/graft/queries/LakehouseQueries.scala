@@ -689,19 +689,17 @@ object LakehouseQueries {
   private val q224 = QueryDef(
     "q224_ppjoin_stratum",
     (s, dir) => {
-      // the `% 1e6` base-key extraction and augmentedDocs' +1e6
-      // mutant-id convention alias if the base corpus ever exceeds 1M
-      // documents (ScaleGen tops out at 200k at sf4) — fail loudly
-      // instead of silently co-stratifying unrelated docs. One
-      // doc_id-column max via parquet stats: negligible beside the
+      // stratum key = the BASE doc id, recovered as `doc_id % offset`
+      // with the SAME data-derived mutantOffset augmentedDocs shifts
+      // by — structurally alias-free at any corpus size (the former
+      // fixed-1e6 form needed a require(maxId < 1e6) fence here; the
+      // r14 re-key removed it before the sf32 tier crossed it). One
+      // doc_id-column max per engine build: negligible beside the
       // O((N/10)^1.5) join this query exists to audit.
-      val maxId = table(s, dir, "documents")
-        .agg(max(col("doc_id"))).head().getLong(0)
-      require(maxId < 1000000L,
-        s"q224 stratum key aliases with the +1e6 mutant convention: " +
-          s"max base doc_id $maxId >= 1e6 — re-key the stratum first")
+      val off = ExtensionQueries.mutantOffset(
+        table(s, dir, "documents"), "doc_id")
       val stratum = ExtensionQueries.augmentedDocs(s, dir)
-        .filter(conv(substring(md5((col("doc_id") % 1000000L).cast("string")), 1, 15),
+        .filter(conv(substring(md5((col("doc_id") % off).cast("string")), 1, 15),
           16, 10).cast(LongType) % 10 === 0)
       graft.operators.Dedup.prefixFilterJoin(stratum, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
@@ -710,8 +708,9 @@ object LakehouseQueries {
       WITH ${ExtensionQueries.augmentedDocsSql},
       strat AS (
         SELECT * FROM aug
-        WHERE CAST('0x' || substr(md5(CAST(doc_id % 1000000 AS VARCHAR)), 1, 15)
-                   AS BIGINT) % 10 = 0),
+        WHERE CAST('0x' || substr(md5(CAST(
+                     doc_id % ${ExtensionQueries.mutantOffsetSql("documents", "doc_id")}
+                   AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0),
       toks AS (SELECT doc_id, $toksSql AS t FROM strat),
       sh AS (SELECT doc_id AS id,
                     list_distinct(${ExtensionQueries.shinglesSql}) AS shs
