@@ -22,7 +22,13 @@ import graft.streaming.StreamingOps.Event
   * comments.
   *
   * `runMain graft.StreamingScale [outJsonl] [tierDir...]`
-  * (defaults: docs/streaming_scale_r13.jsonl over target/scale/sf{0.5,1.0,2.0}).
+  * (defaults: docs/streaming_scale_r14.jsonl over target/scale/sf{0.5,1.0,2.0}).
+  * The SCD2 block runs BOTH sinks ([[StreamingOps.scd2Sink]] and
+  * [[StreamingOps.scd2SinkPartitioned]]) over the identical ordered
+  * CDC stream and asserts the partitioned read-back dimension equals
+  * the monolithic one row for row — so the partitioned sink's flat
+  * `batch_ms` tail is measured against the monolithic slope on the
+  * same data, not argued.
   *
   * Input discipline: the events stream is re-written once per tier
   * as 9 ts-RANGE files whose mtimes increase with the range, so the
@@ -144,7 +150,7 @@ object StreamingScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("docs/streaming_scale_r13.jsonl")
+    val out = args.headOption.getOrElse("docs/streaming_scale_r14.jsonl")
     val tiers =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("target/scale/sf0.5", "target/scale/sf1.0", "target/scale/sf2.0")
@@ -320,39 +326,69 @@ object StreamingScale {
         require(evicted, s"dedupStream state ${st.stateRows} not evicting (total $totalKeys)")
       }
 
-      // ---- scd2Sink ---------------------------------------------------
+      // ---- scd2Sink (monolithic) + scd2SinkPartitioned ----------------
+      // Both sinks consume the identical ordered CDC stream; the
+      // partitioned variant's read-back dimension must equal the
+      // monolithic one ROW FOR ROW (surrogate keys included) at tier
+      // volume, and its per-batch trigger wall must stay flat while the
+      // monolithic sink's grows with resident history (the measured
+      // ~1.5 µs/row slope that motivated the split).
       locally {
         import graft.operators.Scd2
         import graft.sources.{LakeIO, LakeZones}
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_s2_ck").toString
-        val lake = java.nio.file.Files.createTempDirectory("graft_s2_lake").toString
-        val zones = LakeZones(lake)
         val spec = Scd2.Spec("DimKey", "user_id", Seq("event_type", "value"))
         def cdcStream(): DataFrame =
           spark.readStream.schema(eventSchema)
             .option("maxFilesPerTrigger", 1).parquet(ordered)
             .select($"user_id", $"event_type", $"value", $"ts")
-        val st = drive(
-          StreamingOps.scd2Sink(cdcStream(), zones, "dim_user", spec, ckpt))
-        val dim = LakeIO.readGold(spark, zones, "dim_user")
-        val dimRows = dim.count()
-        val active = dim.filter(col("IsActive")).count()
-        val activeOk = active == users
-        // one active version per key, [ValidFrom, ValidTo) chains disjoint
-        val overlaps = dim.as("a").join(dim.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.DimKey") < col("b.DimKey") &&
-            col("a.ValidFrom") < col("b.ValidTo") &&
-            col("b.ValidFrom") < col("a.ValidTo")).count()
-        emit(s"""{"op":"scd2Sink","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
-          s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
-          s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
-          s""""dim_rows":$dimRows,"active_rows":$active,"distinct_users":$users,""" +
-          s""""batch_ms":[${st.batchMs.mkString(",")}],""" +
-          s""""interval_overlaps":$overlaps,""" +
-          s""""one_active_per_key_ok":$activeOk,"intervals_disjoint_ok":${overlaps == 0L}}""")
-        require(activeOk, s"scd2Sink active $active != users $users")
-        require(overlaps == 0L, s"scd2Sink version intervals overlap: $overlaps")
+
+        def audit(op: String, st: RunStats, dim: DataFrame,
+                  extra: String): (Long, Long) = {
+          val dimRows = dim.count()
+          val active = dim.filter(col("IsActive")).count()
+          val activeOk = active == users
+          // one active version per key, [ValidFrom, ValidTo) chains disjoint
+          val overlaps = dim.as("a").join(dim.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.DimKey") < col("b.DimKey") &&
+              col("a.ValidFrom") < col("b.ValidTo") &&
+              col("b.ValidFrom") < col("a.ValidTo")).count()
+          emit(s"""{"op":"$op","tier":"${Jsonl.esc(tier)}","rows_in":${st.rowsIn},""" +
+            s""""batches":${st.batches},"wall_s":${f2(st.wallSec)},""" +
+            s""""rows_per_s":${(st.rowsIn / st.wallSec).round},""" +
+            s""""dim_rows":$dimRows,"active_rows":$active,"distinct_users":$users,""" +
+            s""""batch_ms":[${st.batchMs.mkString(",")}],""" +
+            s""""interval_overlaps":$overlaps,""" +
+            s""""one_active_per_key_ok":$activeOk,"intervals_disjoint_ok":${overlaps == 0L}""" +
+            extra + "}")
+          require(activeOk, s"$op active $active != users $users")
+          require(overlaps == 0L, s"$op version intervals overlap: $overlaps")
+          (dimRows, active)
+        }
+
+        val lakeM = java.nio.file.Files.createTempDirectory("graft_s2_lake").toString
+        val ckptM = java.nio.file.Files.createTempDirectory("graft_s2_ck").toString
+        val stM = drive(
+          StreamingOps.scd2Sink(cdcStream(), LakeZones(lakeM), "dim_user", spec, ckptM))
+        val dimM = LakeIO.readGold(spark, LakeZones(lakeM), "dim_user")
+        audit("scd2Sink", stM, dimM, "")
+
+        val lakeP = java.nio.file.Files.createTempDirectory("graft_s2p_lake").toString
+        val ckptP = java.nio.file.Files.createTempDirectory("graft_s2p_ck").toString
+        val stP = drive(
+          StreamingOps.scd2SinkPartitioned(
+            cdcStream(), LakeZones(lakeP), "dim_user", spec, ckptP))
+        val dimP = StreamingOps.readScd2Dim(spark, LakeZones(lakeP), "dim_user")
+        // row-identical to the monolithic dimension, multiplicity-aware
+        // (exceptAll both ways), surrogate keys included
+        val cols = dimM.columns.sorted.map(col).toSeq
+        val missing = dimM.select(cols: _*).exceptAll(dimP.select(cols: _*)).count()
+        val extraR = dimP.select(cols: _*).exceptAll(dimM.select(cols: _*)).count()
+        audit("scd2SinkPartitioned", stP, dimP,
+          s""","dim_minus_mono":$extraR,"mono_minus_dim":$missing,""" +
+            s""""dim_eq_monolithic":${missing == 0L && extraR == 0L}""")
+        require(missing == 0L && extraR == 0L,
+          s"partitioned dim != monolithic dim (mono-dim $missing, dim-mono $extraR)")
       }
     }
     spark.stop()
