@@ -391,6 +391,103 @@ object StreamingScale {
           s"partitioned dim != monolithic dim (mono-dim $missing, dim-mono $extraR)")
       }
     }
+
+    // ---- scd2 history-depth sweep ------------------------------------
+    // The tier ladder scales keys AND events together, so history depth
+    // per key stays ~9 at every tier and the monolithic sink's
+    // linear-in-resident-history term hides inside per-batch ingest
+    // cost (the r14 tier rows above show both sinks within noise of
+    // each other). This sweep isolates the history axis: IDENTICAL
+    // ingest (the sf2 tier stream) into gold storage pre-seeded with D
+    // CLOSED rows. Seeds carry unique NEGATIVE user_ids (no invariant
+    // interaction) and surrogate keys <= 0 with max exactly 0 (the
+    // max-key probe reads 0, the same continuation point as an empty
+    // dimension, so both sinks assign byte-identical organic keys);
+    // they are IsActive=false, so the active census and the broadcast
+    // decision are untouched. The monolithic sink re-reads and
+    // rewrites every seed row every batch (per-batch cost grows with
+    // D); the partitioned sink's active table never contains them
+    // (per-batch cost flat in D). Both read-back dimensions must equal
+    // seed ∪ organic row for row.
+    locally {
+      import graft.operators.Scd2
+      import graft.sources.{LakeIO, LakeZones}
+      val tier = "target/scale/sf2.0"
+      if (new java.io.File(tier).isDirectory) {
+        val work = java.nio.file.Files.createTempDirectory("graft_s2sweep").toString
+        val ordered = prepOrderedEvents(spark, tier, work, files = 9)
+        val users = QueryDef.eventsTable(spark, tier)
+          .select($"user_id").distinct().count()
+        val spec = Scd2.Spec("DimKey", "user_id", Seq("event_type", "value"))
+        def cdcStream(): DataFrame =
+          spark.readStream.schema(eventSchema)
+            .option("maxFilesPerTrigger", 1).parquet(ordered)
+            .select($"user_id", $"event_type", $"value", $"ts")
+        def seedRows(n: Long): DataFrame =
+          spark.range(n).select(
+            (-col("id")).as("DimKey"),
+            (-col("id") - 1).as("user_id"),
+            lit("seed").as("event_type"),
+            lit(0.0).as("value"),
+            lit(false).as("IsActive"),
+            timestamp_seconds(lit(1000000000L) + col("id")).as("ValidFrom"),
+            timestamp_seconds(lit(1000000001L) + col("id")).as("ValidTo"),
+            md5(col("id").cast("string")).as("RowHash"),
+            timestamp_seconds(lit(1000000000L)).as("CreatedDate"),
+            timestamp_seconds(lit(1000000001L)).as("ModifiedDate"))
+        // median of the steady-state tail (skip the first two batches:
+        // cold caches + the seed-load first merge)
+        def tailMs(ms: Seq[Long]): Long = {
+          val t = ms.drop(2).sorted
+          if (t.isEmpty) -1L else t(t.length / 2)
+        }
+        val depths = Seq(0L, 1500000L, 3000000L, 6000000L)
+        val tails = depths.map { d =>
+          val lakeM = java.nio.file.Files.createTempDirectory("graft_hs_m").toString
+          val ckptM = java.nio.file.Files.createTempDirectory("graft_hs_mck").toString
+          if (d > 0) LakeIO.replaceGold(seedRows(d), LakeZones(lakeM), "dim_user")
+          val stM = drive(StreamingOps.scd2Sink(
+            cdcStream(), LakeZones(lakeM), "dim_user", spec, ckptM))
+          val dimM = LakeIO.readGold(spark, LakeZones(lakeM), "dim_user")
+
+          val lakeP = java.nio.file.Files.createTempDirectory("graft_hs_p").toString
+          val ckptP = java.nio.file.Files.createTempDirectory("graft_hs_pck").toString
+          if (d > 0) LakeIO.appendGoldRun(
+            seedRows(d), LakeZones(lakeP), "dim_user__closed", "seed")
+          val stP = drive(StreamingOps.scd2SinkPartitioned(
+            cdcStream(), LakeZones(lakeP), "dim_user", spec, ckptP))
+          val dimP = StreamingOps.readScd2Dim(spark, LakeZones(lakeP), "dim_user")
+
+          val cols = dimM.columns.sorted.map(col).toSeq
+          val missing = dimM.select(cols: _*).exceptAll(dimP.select(cols: _*)).count()
+          val extraR = dimP.select(cols: _*).exceptAll(dimM.select(cols: _*)).count()
+          val activeM = dimM.filter(col("IsActive")).count()
+          val eq = missing == 0L && extraR == 0L
+          val mt = tailMs(stM.batchMs); val pt = tailMs(stP.batchMs)
+          emit(s"""{"op":"scd2HistorySweep","tier":"${Jsonl.esc(tier)}","seed_rows":$d,""" +
+            s""""mono_wall_s":${f2(stM.wallSec)},"part_wall_s":${f2(stP.wallSec)},""" +
+            s""""mono_tail_ms":$mt,"part_tail_ms":$pt,""" +
+            s""""mono_batch_ms":[${stM.batchMs.mkString(",")}],""" +
+            s""""part_batch_ms":[${stP.batchMs.mkString(",")}],""" +
+            s""""dim_rows":${dimM.count()},"active_rows":$activeM,""" +
+            s""""distinct_users":$users,"dim_eq_monolithic":$eq}""")
+          require(activeM == users, s"sweep d=$d active $activeM != users $users")
+          require(eq, s"sweep d=$d partitioned dim != monolithic (mono-part " +
+            s"$missing, part-mono $extraR)")
+          (mt, pt)
+        }
+        val (m0, p0) = tails.head; val (mMax, pMax) = tails.last
+        // the designed separation, asserted with generous slack:
+        // monolithic per-batch cost must GROW with resident history,
+        // the partitioned sink's must NOT
+        require(mMax > 2 * m0,
+          s"monolithic tail did not grow with history: $m0 -> $mMax ms")
+        require(pMax < mMax / 2,
+          s"partitioned tail $pMax ms not flat vs monolithic $mMax ms at max depth")
+        require(pMax < 3 * math.max(p0, 1L),
+          s"partitioned tail grew with history: $p0 -> $pMax ms")
+      }
+    }
     spark.stop()
   }
 }
