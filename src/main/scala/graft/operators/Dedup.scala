@@ -109,7 +109,12 @@ object Dedup {
                  textCol: String = "text", numHashes: Int = 16,
                  numBands: Int = 4, shingleSize: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
-    val shingled = shingleSets(docs, idCol, textCol, shingleSize)
+    // the shingle-set frame feeds the signature pipeline AND both
+    // verification joins — truncate so tokenize+shingle runs once,
+    // not three times (round-14; admitBatch already checkpoints its
+    // own band frame the same way)
+    val shingled = Checkpoints.truncate(
+      shingleSets(docs, idCol, textCol, shingleSize))
     val candidates = lshCandidatePairs(
       minhashSignatures(shingled, numHashes), numHashes, numBands)
     verifyJaccard(candidates, shingled, threshold)
@@ -577,7 +582,13 @@ object Dedup {
       // (b) an edge from a newly admitted doc rejects its dst
       val newR = edges.join(newA.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
-      admitted = Checkpoints.truncate(admitted.unionByName(newA))
+      // newA's lineage is two anti-joins over the CHECKPOINTED frontier
+      // and edge frames, so the admitted union accumulates shallow
+      // terms — no per-round materialization job needed; truncate every
+      // 8th round only to bound the union width on adversarially deep
+      // kernels (round-14: one fewer job per round)
+      admitted = admitted.unionByName(newA)
+      if (i % 8 == 7) admitted = Checkpoints.truncate(admitted)
       frontier = Checkpoints.truncate(
         frontier.join(newA, Seq("id"), "left_anti")
           .join(newR, Seq("id"), "left_anti"))
@@ -655,8 +666,13 @@ object Dedup {
                    numHashes: Int = 16, numBands: Int = 4,
                    shingleSize: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val shP = shingleSets(prior, idCol, textCol, shingleSize)
-    val shI = shingleSets(incoming, idCol, textCol, shingleSize)
+    // prior shingles feed (bands, verify-union); incoming shingles
+    // feed (bands, verify-union, survivors, inner verify) — truncate
+    // both so each corpus tokenize+shingle pass runs once (round-14)
+    val shP = Checkpoints.truncate(
+      shingleSets(prior, idCol, textCol, shingleSize))
+    val shI = Checkpoints.truncate(
+      shingleSets(incoming, idCol, textCol, shingleSize))
     val sigsI = minhashSignatures(shI, numHashes)
     val crossCands = bandedIds(minhashSignatures(shP, numHashes),
         numHashes, numBands)

@@ -199,11 +199,15 @@ object TextAnalysis {
         else g.agg(count(lit(1)).as("c"))
       agg.filter(col("c") > 1).select(col(key))
     }
-    val winsH = toks.filter(size(col("t")) >= W)
+    // the hashed-window frame feeds BOTH the repeat aggregate and the
+    // candidate semi-join; truncate so the window transform + explode
+    // over the corpus runs once, not once per consumer (round-14 —
+    // the second full pass was ~40% of q130/q134's steady state)
+    val winsH = Checkpoints.truncate(toks.filter(size(col("t")) >= W)
       .select(col("_id"), posexplode(expr(
         s"transform(sequence(1, size(t) - $W + 1, $stride), i -> xxhash64(array_join(slice(t, i, $W), ' ')))"))
         .as(Seq("p0", "h")))
-      .select(col("_id"), (col("p0") * lit(stride) + 1).as("i"), col("h"))
+      .select(col("_id"), (col("p0") * lit(stride) + 1).as("i"), col("h")))
     val candByDoc = winsH.join(repeated(winsH, "h"), Seq("h"), "left_semi")
       .groupBy(col("_id")).agg(collect_list(col("i")).as("cis"))
     val candWins = toks.join(candByDoc, Seq("_id"))

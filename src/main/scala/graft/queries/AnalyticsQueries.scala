@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.TextFunctions
 import graft.queries.ExtensionQueries.toksSql
-import graft.queries.QueryDef.{eventsTable, table}
+import graft.queries.QueryDef.{eventsTable, spreadTable, table}
 
 /** Round-3 third widening: corpus-governance analytics — rule-based
   * quality gating (Gopher-style), calendar gap-fill, bigram
@@ -826,7 +826,7 @@ object AnalyticsQueries {
   private val q98 = QueryDef(
     "q98_keep_best_dedup",
     (s, dir) => {
-      val docs = ExtensionQueries.augmentedDocs(s, dir)
+      val docs = ExtensionQueries.augmentedDocs(s, dir, spread = true)
       val pairs = graft.operators.Dedup.ngramJaccard(docs, threshold = 0.3)
       val comps = graft.operators.Dedup.connectedComponents(pairs)
       val scored = docs.select(col("doc_id"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 import graft.operators.{Reconcile, Sampling, TextAnalysis}
-import graft.queries.QueryDef.table
+import graft.queries.QueryDef.{spreadTable, table}
 
 /** Round-3 widening: distribution-window family, PII scrubbing,
   * snapshot reconciliation, boilerplate-line removal, TF-IDF,

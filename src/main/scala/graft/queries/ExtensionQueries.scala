@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{RollingHashExpr, TextFunctions, VectorFunctions}
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, EventWindows, Similarity, TextAnalysis}
-import QueryDef.{eventsTable, table}
+import QueryDef.{eventsTable, spreadTable, table}
 
 /** Extension query set — the LLM-training-data-pipeline operators
   * (SURVEY.md §7.5): event windowing, dedup family, similarity
@@ -260,8 +260,15 @@ object ExtensionQueries {
     * 1,000,000 on every corpus under 1M docs; data-derived past
     * that, so mutant ids never collide with real ids — see the
     * offset contract on [[mutantOffset]]). */
-  private[graft] def augmentedDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = table(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+  private[graft] def augmentedDocs(s: SparkSession, dir: String,
+                                   spread: Boolean = false): DataFrame = {
+    // `spread = true` → scale-adaptive scan spread (QueryDef.spreadTable
+    // rationale) for consumers whose per-row pipeline over the corpus
+    // dominates one re-shuffle of the text; the default stays narrow for
+    // the iterative-kernel consumers where extra stage width taxes every
+    // tiny round (measured both ways in OPTIMIZATION_r14.md)
+    val d0 = if (spread) spreadTable(s, dir, "documents") else table(s, dir, "documents")
+    val d = d0.select(col("doc_id"), col("text"), col("source"))
     val off = mutantOffset(d, "doc_id")
     d.unionByName(d.filter(col("doc_id") % 7 === 0).select(
       (col("doc_id") + off).as("doc_id"),
@@ -639,7 +646,7 @@ object ExtensionQueries {
   private val q37 = QueryDef(
     "q37_knn_ivf",
     (s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = spreadTable(s, dir, "embeddings")
       Similarity.ivfTopK(e, QueryDef.annWorkload(e), k = 5,
           centroidEvery = 50, nProbe = 2)
         .orderBy(col("q_id"), col("rank"))
@@ -745,7 +752,7 @@ object ExtensionQueries {
 
   private val q40 = QueryDef(
     "q40_text_profile",
-    (s, dir) => TextAnalysis.profile(table(s, dir, "documents"))
+    (s, dir) => TextAnalysis.profile(spreadTable(s, dir, "documents"))
       .select(col("doc_id"),
         col("n_chars_measured"),
         col("n_tokens"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
-import graft.queries.QueryDef.table
+import graft.queries.QueryDef.{spreadTable, table}
 
 /** Round-4 continuation: corpus-infrastructure hygiene — embedding
   * whitening with an isotropy audit (the vector-space normalization
@@ -30,7 +30,7 @@ object HygieneQueries {
   private val q170 = QueryDef(
     "q170_whitening_audit",
     (s, dir) => {
-      val ex = table(s, dir, "embeddings")
+      val ex = spreadTable(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
           col("x").cast(DoubleType).as("x"))
@@ -121,33 +121,39 @@ object HygieneQueries {
   private val q171 = QueryDef(
     "q171_ipf_reweight",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val dec = DecimalType(28, 6)
+      // round-14 optimization: each marginal is a window sum over the
+      // (|sources|×|langs|)-row cell frame — the formulation the
+      // DuckDB twin always used — instead of a groupBy + broadcast
+      // join per step. The join form referenced its input twice per
+      // step (marginal + main), re-expanding the upstream chain 2^steps
+      // ways (204-exchange plan, ~16 logical references to the corpus
+      // aggregate); the window form is one linear chain with four tiny
+      // post-aggregate exchanges. Window sums of DECIMALs are the same
+      // exact order-free additions the groupBy computed, so the fitted
+      // weights are bit-identical (oracle hash unchanged).
       val cells = table(s, dir, "documents")
         .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
       val tot = cells.agg(sum(col("n")).as("t"),
         countDistinct(col("lang")).as("nl"))
-      val srcTot = cells.groupBy(col("source")).agg(sum(col("n")).as("st"))
+      val byLang = Window.partitionBy(col("lang"))
+      val bySrc = Window.partitionBy(col("source"))
       def langStep(in: org.apache.spark.sql.DataFrame, wCol: String,
-                   outCol: String) = {
-        val lt = in.groupBy(col("lang")).agg(sum(col(wCol)).as("lt"))
-        in.join(broadcast(lt), Seq("lang")).crossJoin(broadcast(tot))
-          .withColumn(outCol,
-            round(col(wCol).cast(DoubleType) *
-              (col("t").cast(DoubleType) / col("nl")) /
-              col("lt").cast(DoubleType), 6).cast(dec))
-          .drop("lt", "t", "nl")
-      }
+                   outCol: String) =
+        in.withColumn(outCol,
+          round(col(wCol).cast(DoubleType) *
+            (col("t").cast(DoubleType) / col("nl")) /
+            sum(col(wCol)).over(byLang).cast(DoubleType), 6).cast(dec))
       def srcStep(in: org.apache.spark.sql.DataFrame, wCol: String,
-                  outCol: String) = {
-        val rt = in.groupBy(col("source")).agg(sum(col(wCol)).as("rt"))
-        in.join(broadcast(rt), Seq("source")).join(broadcast(srcTot), Seq("source"))
-          .withColumn(outCol,
-            round(col(wCol).cast(DoubleType) *
-              col("st").cast(DoubleType) / col("rt").cast(DoubleType), 6)
-              .cast(dec))
-          .drop("rt", "st")
-      }
-      val w0 = cells.withColumn("w0", col("n").cast(dec))
+                  outCol: String) =
+        in.withColumn(outCol,
+          round(col(wCol).cast(DoubleType) *
+            col("st").cast(DoubleType) /
+            sum(col(wCol)).over(bySrc).cast(DoubleType), 6).cast(dec))
+      val w0 = cells.crossJoin(broadcast(tot))
+        .withColumn("st", sum(col("n")).over(bySrc))
+        .withColumn("w0", col("n").cast(dec))
       val r1 = srcStep(langStep(w0, "w0", "w1"), "w1", "w2")
       val r2 = srcStep(langStep(r1, "w2", "w3"), "w3", "w4")
       r2.select(col("source"), col("lang"), col("n"),
@@ -315,7 +321,7 @@ object HygieneQueries {
     (s, dir) => {
       import org.apache.spark.sql.types.StringType
       val dec9 = DecimalType(28, 9)
-      val ex = table(s, dir, "embeddings")
+      val ex = spreadTable(s, dir, "embeddings")
         .filter(conv(substring(md5(col("vec_id").cast(StringType)), 1, 15),
           16, 10).cast(LongType) % 100 < 20)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))

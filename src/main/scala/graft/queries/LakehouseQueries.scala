@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-import graft.queries.QueryDef.{eventsTable, table}
+import graft.queries.QueryDef.{eventsTable, spreadTable, table}
 import graft.queries.ExtensionQueries.toksSql
 
 /** Round-3 fifth widening: classic warehouse consumption shapes the
@@ -523,7 +523,7 @@ object LakehouseQueries {
     "q126_minhash_accuracy",
     (s, dir) => {
       import graft.functions.{MinhashExprs, TextFunctions, TextExprs}
-      val sh = table(s, dir, "documents")
+      val sh = spreadTable(s, dir, "documents")
         .select(col("doc_id"),
           array_distinct(TextExprs.word_shingles(
             TextFunctions.tokens(col("text")), 3)).as("sh"))
@@ -1152,7 +1152,7 @@ object LakehouseQueries {
     "q141_davies_bouldin",
     (s, dir) => {
       import graft.operators.Clustering
-      val e = table(s, dir, "embeddings")
+      val e = spreadTable(s, dir, "embeddings")
       val assigned = Clustering.assignCells(e, Clustering.seedCentroids(e, 50))
       Clustering.daviesBouldin(assigned).orderBy(col("cell"))
     },

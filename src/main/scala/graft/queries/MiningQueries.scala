@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.TextFunctions
 import graft.operators.{Clustering, Pruning, Sketches}
 import graft.queries.ExtensionQueries.{augmentedEmbs, augmentedEmbsSql, cosSql, shinglesSql, toksSql}
-import graft.queries.QueryDef.table
+import graft.queries.QueryDef.{spreadTable, table}
 
 /** Round-3 second widening: distributed clustering (k-means Lloyd
   * step), SemDeDup semantic dedup, sequence packing for pretraining
@@ -25,7 +25,7 @@ object MiningQueries {
   private val q73 = QueryDef(
     "q73_kmeans_iter",
     (s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = spreadTable(s, dir, "embeddings")
       val assigned = Clustering.assignCells(e, Clustering.seedCentroids(e, 50))
       Clustering.centroidUpdate(assigned).orderBy(col("cell"), col("pos"))
     },
@@ -343,7 +343,7 @@ object MiningQueries {
     (s, dir) => {
       import graft.functions.JaroWinklerExpr.jaro_winkler
       import graft.operators.Dedup
-      val docs = ExtensionQueries.augmentedDocs(s, dir)
+      val docs = ExtensionQueries.augmentedDocs(s, dir, spread = true)
       val pairs = Dedup.sortedNeighborhoodPairs(
         docs, substring(lower(col("text")), 1, 40), window = 5)
       val feat = docs.select(col("doc_id"),

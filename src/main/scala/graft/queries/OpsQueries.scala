@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 import graft.functions.TextFunctions
 import graft.queries.ExtensionQueries.toksSql
-import graft.queries.QueryDef.{eventsTable, table}
+import graft.queries.QueryDef.{eventsTable, spreadTable, table}
 
 /** Round-4 ops/decorrelation tier (q201–q205): the three classic
   * TPC-H correlated-subquery shapes the engine had not yet exercised
@@ -190,7 +190,7 @@ object OpsQueries {
     "q204_winnow_fingerprints",
     (s, dir) => {
       val P = lit(1048576L) // 2^20 position packing
-      val toks = table(s, dir, "documents")
+      val toks = spreadTable(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
       val pos = toks.select(col("doc_id"),
@@ -786,7 +786,7 @@ object OpsQueries {
     * drop via one left-anti join. Top 20 predicted links. */
   private val q211 = QueryDef(
     "q211_link_prediction",
-    (s, dir) => raLinkPrediction(table(s, dir, "lineitem")),
+    (s, dir) => raLinkPrediction(spreadTable(s, dir, "lineitem")),
     Some(raSql("lineitem")))
 
   /** q211's engine pipeline; `centerDecile=true` (q231) restricts the
@@ -1656,16 +1656,22 @@ object OpsQueries {
     (s, dir) => {
       def audit(name: String, a: org.apache.spark.sql.DataFrame,
                 ka: String, b: org.apache.spark.sql.DataFrame, kb: String) = {
+        // round-14 optimization: the per-side stats (sa/sb) and the
+        // exact histogram product used to be three separate aggregate
+        // branches over ca/cb, re-expanding each side's corpus
+        // aggregate; a FULL OUTER join on k carries every ca and cb
+        // row into ONE global aggregate (non-null-side sums/counts =
+        // the old per-side stats; na·nb ignores non-matches exactly
+        // like the old inner join). The join also reuses the
+        // groupBy's hash partitioning on k — no extra exchange.
         val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("na"))
         val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("nb"))
-        val sa = ca.agg(sum(col("na")).as("ra"), count(lit(1)).as("da"),
-          max(col("na")).as("ma"))
-        val sb = cb.agg(sum(col("nb")).as("rb"), count(lit(1)).as("db"),
-          max(col("nb")).as("mb"))
-        val hist = ca.join(cb, Seq("k"))
-          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact"))
-        broadcast(sa).crossJoin(broadcast(sb))
-          .crossJoin(broadcast(hist))
+        ca.join(cb, Seq("k"), "full_outer")
+          .agg(sum(col("na")).as("ra"), count(col("na")).as("da"),
+            max(col("na")).as("ma"),
+            sum(col("nb")).as("rb"), count(col("nb")).as("db"),
+            max(col("nb")).as("mb"),
+            coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact"))
           .select(lit(name).as("join"),
             col("ra"), col("rb"),
             greatest(col("da"), col("db")).as("ndv_max"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.operators.{Quantization, Similarity}
 import graft.queries.ExtensionQueries.cosSql
-import graft.queries.QueryDef.table
+import graft.queries.QueryDef.{spreadTable, table}
 
 /** Round-4 widening: compressed-index similarity search — int8
   * scalar quantization and product quantization (ADC) over the
@@ -103,7 +103,7 @@ object QuantQueries {
   private val q136 = QueryDef(
     "q136_pq_adc_ann",
     (s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = spreadTable(s, dir, "embeddings")
       val cb = Quantization.pqTrain(e, nSub = 4, subDim = 16,
         every = 50, rounds = 1)
       val codes = Quantization.pqEncode(e, cb, nSub = 4, subDim = 16)

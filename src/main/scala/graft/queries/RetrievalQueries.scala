@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.TextFunctions
 import graft.queries.ExtensionQueries.{cosSql, toksSql}
-import graft.queries.QueryDef.{eventsTable, table}
+import graft.queries.QueryDef.{eventsTable, spreadTable, table}
 
 /** Round-4 continuation: the retrieval-fusion / model-scoring tier —
   * reciprocal-rank fusion of lexical (BM25) and semantic (embedding
@@ -156,11 +156,16 @@ object RetrievalQueries {
         explode(TextFunctions.tokens(col("text"))).as("w"))
       val train = toks.filter(col("doc_id") % 2 === 0)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      val cwc = train.groupBy(col("lang").as("lang_c"), col("w"))
-        .agg(count(lit(1)).as("c"))
-      val ctot = train.groupBy(col("lang").as("lang_c"))
-        .agg(count(lit(1)).as("tot"))
-      val vocab = train.agg(countDistinct(col("w")).as("v"))
+      // round-14 optimization: ctot and vocab are derivable from the
+      // (class, word) count table — tot = Σ_w c per class, V = distinct
+      // w — so materialize cwc once and aggregate the tiny cached frame
+      // instead of re-running the corpus explode+join for each of the
+      // three broadcast model tables (three full token passes → one)
+      val cwc = graft.operators.Checkpoints.truncate(
+        train.groupBy(col("lang").as("lang_c"), col("w"))
+          .agg(count(lit(1)).as("c")))
+      val ctot = cwc.groupBy(col("lang_c")).agg(sum(col("c")).as("tot"))
+      val vocab = cwc.agg(countDistinct(col("w")).as("v"))
       val trainDocs = docs.filter(col("doc_id") % 2 === 0)
       val priors = trainDocs.groupBy(col("lang").as("lang_c"))
         .agg(count(lit(1)).as("dc"))

@@ -46,9 +46,14 @@ class PlanAuditSpec extends SparkSpec {
       }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
+        // Ids.addContiguousIds' offsets frame is structurally bounded
+        // at <= shuffle partitions rows (see Ids.isOffsetsInternal) —
+        // its global prefix-sum window is O(cores), not O(corpus)
         val hasGlobal = physical(fn(spark, sf)).collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+            !w.child.output.exists(a => graft.operators.Ids.isOffsetsInternal(a.name)) => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty &&
+            !w.child.output.exists(a => graft.operators.Ids.isOffsetsInternal(a.name)) => w
         }.nonEmpty
         spark.catalog.clearCache()
         if (hasGlobal && !boundedGlobalWindowFrames.contains(name)) Some(name)
@@ -74,7 +79,9 @@ class PlanAuditSpec extends SparkSpec {
     def maxGlobalFrameRows(name: String, dir: String): Long = {
       val df = SparkEntry.queries(name)(spark, dir)
       val frames = df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w.child
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.output.exists(a =>
+            graft.operators.Ids.isOffsetsInternal(a.name)) => w.child
       }
       assert(frames.nonEmpty,
         s"$name is allowlisted but plans no global window — drop it " +
@@ -180,8 +187,13 @@ class PlanAuditSpec extends SparkSpec {
           case p => p
         }
         val forced = initial.collect {
+          // the Ids offsets broadcast is structurally <= shuffle
+          // partitions rows (Ids.isOffsetsInternal) — its checkpointed
+          // source reports no stats, so the size ESTIMATE is garbage,
+          // but the bound is by construction, not by estimate
           case b: BroadcastExchangeExec
-            if b.child.logicalLink.exists(_.stats.sizeInBytes > threshold) => b
+            if b.child.logicalLink.exists(_.stats.sizeInBytes > threshold) &&
+              !b.output.exists(a => graft.operators.Ids.isOffsetsInternal(a.name)) => b
         }
         spark.catalog.clearCache()
         if (forced.nonEmpty && !forcedBroadcastAllowlist.contains(name))

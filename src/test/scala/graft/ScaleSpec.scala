@@ -343,8 +343,14 @@ class ScaleSpec extends SparkSpec {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
-      assert(!plan.contains("Window"),
-        s"$q must not plan a window:\n${plan.take(900)}")
+      // the only window allowed is Ids.addContiguousIds' offsets
+      // prefix sum, recognizable by its __<id>_pid/_off columns —
+      // a <= shuffle-partitions-row frame (structural bound)
+      val idsMarker = "__[A-Za-z0-9_]*_(pid|off|mid)".r
+      plan.linesIterator.filter(_.contains("Window")).foreach { l =>
+        assert(idsMarker.findFirstIn(l).nonEmpty,
+          s"$q must not plan a corpus window:\n$l")
+      }
       // a SinglePartition exchange is only legitimate under a scalar
       // aggregate, where the partial aggregate collapses each input
       // partition to ONE row before the exchange — never for data
@@ -352,7 +358,8 @@ class ScaleSpec extends SparkSpec {
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
         .foreach { case (_, i) =>
           val child = lines.lift(i + 1).getOrElse("")
-          assert(child.contains("HashAggregate") && child.contains("partial_"),
+          assert((child.contains("HashAggregate") && child.contains("partial_"))
+              || idsMarker.findFirstIn(child).nonEmpty,
             s"$q: SinglePartition exchange over non-aggregated data:\n" +
               lines.slice(i - 2, i + 3).mkString("\n"))
         }

@@ -135,7 +135,14 @@ class Scd2Spec extends SparkSpec {
         case a: AdaptiveSparkPlanExec => a.initialPlan
         case p => p
       }
-      plan.collect { case b: BroadcastHashJoinExec => b }.size
+      // ignore Ids.addContiguousIds' structural offsets join
+      // (<= shuffle partitions rows by construction) — this test
+      // gates DIMENSION broadcasts only
+      plan.collect {
+        case b: BroadcastHashJoinExec
+          if !b.rightKeys.exists(_.references.exists(a =>
+            graft.operators.Ids.isOffsetsInternal(a.name))) => b
+      }.size
     }
     // Kill Catalyst's own size-based broadcasts so any BHJ left in the
     // plan can only come from Scd2.merge's explicit broadcast() hints
@@ -174,7 +181,11 @@ class Scd2Spec extends SparkSpec {
         case a: AdaptiveSparkPlanExec => a.initialPlan
         case p => p
       }
-      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }.size
+      val bhj = plan.collect {
+        case b: BroadcastHashJoinExec
+          if !b.rightKeys.exists(_.references.exists(a =>
+            graft.operators.Ids.isOffsetsInternal(a.name))) => b
+      }.size
       // The documented contract: broadcastDim=false forces shuffle
       // joins outright — the expire set must honor it even though the
       // tiny dimension is well inside the measured bound.
