@@ -203,11 +203,7 @@ object TextAnalysis {
     // candidate semi-join; truncate so the window transform + explode
     // over the corpus runs once, not once per consumer (round-14 —
     // the second full pass was ~40% of q130/q134's steady state)
-    val winsH = Checkpoints.truncate(toks.filter(size(col("t")) >= W)
-      .select(col("_id"), posexplode(expr(
-        s"transform(sequence(1, size(t) - $W + 1, $stride), i -> xxhash64(array_join(slice(t, i, $W), ' ')))"))
-        .as(Seq("p0", "h")))
-      .select(col("_id"), (col("p0") * lit(stride) + 1).as("i"), col("h")))
+    val winsH = Checkpoints.truncate(windowHashes(toks, W, stride))
     val candByDoc = winsH.join(repeated(winsH, "h"), Seq("h"), "left_semi")
       .groupBy(col("_id")).agg(collect_list(col("i")).as("cis"))
     val candWins = toks.join(candByDoc, Seq("_id"))
@@ -217,6 +213,22 @@ object TextAnalysis {
       .select(col("_id"), col("w.i").as("i"), col("w.k").as("k"))
     candWins.join(repeated(candWins, "k"), Seq("k"), "left_semi")
       .select(col("_id"), col("i"))
+  }
+
+  /** The hashed-window frame of [[repeatedWindowStarts]], BEFORE its
+    * lineage truncation: one (doc, start, xxhash64-of-window) row per
+    * window — hashes shuffle, never the window strings. Exposed so
+    * the plan-shape spec (ScaleSpec) can pin the prefilter design on
+    * the exact subtree the operator checkpoints, which the final
+    * query plan no longer shows (a checkpoint is an opaque scan). */
+  private[graft] def windowHashes(toks: DataFrame, window: Int,
+                                  stride: Int): DataFrame = {
+    val W = window
+    toks.filter(size(col("t")) >= W)
+      .select(col("_id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - $W + 1, $stride), i -> xxhash64(array_join(slice(t, i, $W), ' ')))"))
+        .as(Seq("p0", "h")))
+      .select(col("_id"), (col("p0") * lit(stride) + 1).as("i"), col("h"))
   }
 
   /** Remove duplicated token spans from every document — the REMOVAL

@@ -80,12 +80,19 @@ object LayoutQueries {
         .withColumn("z", expr(zSql))
         .withColumn("matched",
           (col("x").between(8, 15) && col("y").between(8, 15)).cast(LongType))
-      layoutSummary(base, "a_insertion", Seq(col("o_orderkey")))
-        .unionAll(layoutSummary(base, "b_linear_x",
-          Seq(col("x"), col("o_orderkey"))))
-        .unionAll(layoutSummary(base, "c_zorder",
-          Seq(col("z"), col("o_orderkey"))))
-        .orderBy(col("layout"))
+      // the three layout audits are independent single-branch jobs —
+      // materialize their range-sort checkpoints CONCURRENTLY (guide
+      // §2.6) so the second and third overlap the first's tail
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val branches = Await.result(Future.sequence(Seq(
+        Future(layoutSummary(base, "a_insertion", Seq(col("o_orderkey")))),
+        Future(layoutSummary(base, "b_linear_x",
+          Seq(col("x"), col("o_orderkey")))),
+        Future(layoutSummary(base, "c_zorder",
+          Seq(col("z"), col("o_orderkey")))))), Duration.Inf)
+      branches.reduce(_.unionAll(_)).orderBy(col("layout"))
     },
     Some(s"""
       WITH base AS (

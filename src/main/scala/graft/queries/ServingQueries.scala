@@ -249,21 +249,35 @@ object ServingQueries {
   private val q106 = QueryDef(
     "q106_rfm_segments",
     (s, dir) => {
-      val m = table(s, dir, "orders")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // one RFM aggregate, checkpointed: the three rank branches and
+      // the count read cached blocks instead of re-aggregating orders
+      val m = graft.operators.Checkpoints.truncate(table(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
           count(lit(1)).as("frequency"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m_dec"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m_dec")))
       val Ids = graft.operators.Ids
-      val ranked = Ids.addContiguousIds(
-        Ids.addContiguousIds(
-          Ids.addContiguousIds(m,
-            Seq(col("last_ms").desc, col("o_custkey")), "r_rk"),
-          Seq(col("frequency").desc, col("o_custkey")), "f_rk"),
-        Seq(col("m_dec").desc, col("o_custkey")), "m_rk")
-      // the count branch re-reads the final zipWithIndex RDD (persisted
-      // parent) — one cheap pass, not a recomputation of the aggregate
-      val n = broadcast(ranked.groupBy().agg(count(lit(1)).as("n_rows")))
+      // the three quintile ranks are data-independent (each a total
+      // order over the same cached frame) — materialize them
+      // CONCURRENTLY (guide §2.6, overlap independent jobs) instead of
+      // chaining three sequential range-sort materializations; each
+      // branch keeps (custkey, rank) so the join-back moves two longs
+      // per row. Ranks are identical to the chained form: the sort
+      // keys never included the previously-attached rank columns.
+      def rankOf(ord: Seq[org.apache.spark.sql.Column], name: String) =
+        Future(Ids.addContiguousIds(m, ord, name)
+          .select(col("o_custkey"), col(name)))
+      val Seq(rr, ff, mmr) = Await.result(Future.sequence(Seq(
+        rankOf(Seq(col("last_ms").desc, col("o_custkey")), "r_rk"),
+        rankOf(Seq(col("frequency").desc, col("o_custkey")), "f_rk"),
+        rankOf(Seq(col("m_dec").desc, col("o_custkey")), "m_rk"))),
+        Duration.Inf)
+      val ranked = m.join(rr, "o_custkey").join(ff, "o_custkey")
+        .join(mmr, "o_custkey")
+      val n = broadcast(m.groupBy().agg(count(lit(1)).as("n_rows")))
       ranked.crossJoin(n)
         .withColumn("r_q", Ids.ntileFromRank(col("r_rk"), col("n_rows"), 5))
         .withColumn("f_q", Ids.ntileFromRank(col("f_rk"), col("n_rows"), 5))

@@ -578,6 +578,20 @@ class ScaleSpec extends SparkSpec {
     // one-row-per-corpus-token frame (posexplode of the raw token
     // array, shuffled through semi/anti joins and a collect_list
     // rebuild) never reappears in any of them.
+    // the hash prefilter now lives behind repeatedWindowStarts'
+    // round-14 lineage truncation (the winsH frame feeds two
+    // consumers and materializes once), so the final query plans show
+    // an opaque checkpoint scan — pin the prefilter design on the
+    // exact subtree the operator checkpoints instead
+    val toksProbe = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("_id"),
+        graft.functions.TextFunctions.tokens($"text").as("t"))
+    val winsPlan = graft.operators.TextAnalysis
+      .windowHashes(toksProbe, 16, 4)
+      .queryExecution.executedPlan.toString
+    assert(winsPlan.contains("xxhash64"),
+      s"repeatedWindowStarts' window frame must shuffle xxhash64 keys:\n" +
+        winsPlan.take(900))
     for (q <- Seq("q130_duplicate_spans", "q134_drop_duplicate_spans",
         "q227_exact_substring_spans")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
@@ -587,21 +601,19 @@ class ScaleSpec extends SparkSpec {
       // can't see inside them — the printed tree can.
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
-      assert(plan.contains("xxhash64"),
-        s"$q: hash-prefiltered repeat detection must be in the plan:\n${plan.take(900)}")
-      // repeatedWindowStarts legitimately owns exactly TWO generators
-      // (the posexplode of the per-window hash array and the explode
-      // of the packed candidate-window structs), each printed twice in
-      // the executed-plan string because winsH/candWins feed both the
-      // repeat-count aggregate and the semi join — 4 Generate lines
-      // today (measured for all three queries). Any growth — under
-      // whatever alias, via explode or posexplode — is a per-token
-      // frame creeping back in (q134's pre-round-7 plan: one row per
-      // corpus token through semi/anti joins), so count Generate
-      // lines instead of pattern-matching one attribute name.
+      // repeatedWindowStarts owns two generators: the posexplode of
+      // the per-window hash array (checkpointed — no longer printed in
+      // the final plan) and the explode of the packed candidate-window
+      // structs, printed twice because candWins feeds both the
+      // repeat-count aggregate and the semi join — ≤ 2 visible
+      // Generate lines today. Any growth — under whatever alias, via
+      // explode or posexplode — is a per-token frame creeping back in
+      // (q134's pre-round-7 plan: one row per corpus token through
+      // semi/anti joins), so count Generate lines instead of
+      // pattern-matching one attribute name.
       val nGenerate = plan.split("\n").count(_.contains("Generate "))
-      assert(nGenerate > 0 && nGenerate <= 4,
-        s"$q plans $nGenerate Generate lines (today's plan prints 4); " +
+      assert(nGenerate > 0 && nGenerate <= 2,
+        s"$q plans $nGenerate Generate lines (today's plan prints ≤ 2); " +
           s"a per-token explode has crept back in:\n${plan.take(1500)}")
       assert("(pos)?explode\\(t#\\d".r.findFirstIn(plan).isEmpty,
         s"$q must not explode one row per corpus token:\n${plan.take(900)}")
