@@ -749,26 +749,40 @@ object Dedup {
     * within `window` ranks meets in exactly one bucket. Shuffles are
     * all on uniformly distributed block ids.
     *
-    * Output: (a_id, b_id, rank_gap) with a_id ranked before b_id.
+    * Output: (a_id, b_id, rank_gap) with a_id ranked before b_id,
+    * plus `a_<name>`/`b_<name>` for every `carry` column.
     * Verification (edit distance, Jaccard, …) is the caller's second
-    * stage, run only on these n·window candidates. */
+    * stage, run only on these n·window candidates.
+    *
+    * `carry` (round-14 optimization): the comparator features each
+    * caller needs per pair (capped substrings, token sets) ride
+    * THROUGH the rank/block machinery instead of being joined back
+    * onto the skinny pair list afterwards. The old shape evaluated
+    * the corpus three times (rank side + both feature-join sides)
+    * and paid two extra joins per consumer; carrying the features
+    * evaluates the corpus once (the rank checkpoint materializes
+    * them) and the block join moves the same bytes those joins would
+    * have shuffled anyway. */
   def sortedNeighborhoodPairs(docs: DataFrame, sortKey: Column, window: Int,
-                              idCol: String = "doc_id"): DataFrame = {
+                              idCol: String = "doc_id",
+                              carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val keyed = docs.select(col(idCol).cast(LongType).as("id"),
-      sortKey.as("snm_key"))
+    val keyed = docs.select(Seq(col(idCol).cast(LongType).as("id"),
+      sortKey.as("snm_key")) ++ carry.map { case (n, c) => c.as(n) }: _*)
     val ranked = Ids
       .addContiguousIds(keyed, Seq(col("snm_key"), col("id")), "rank")
-      .select(col("id"), col("rank"))
+      .select(col("id") +: col("rank") +: carry.map(c => col(c._1)): _*)
     val blk = floor(col("rank") / window).cast(LongType)
-    val left = ranked.select(col("id").as("a_id"), col("rank").as("a_rank"),
-      explode(array(blk, blk + 1L)).as("probe"))
-    val right = ranked.select(col("id").as("b_id"), col("rank").as("b_rank"),
-      blk.as("probe"))
+    val left = ranked.select(col("id").as("a_id") +: col("rank").as("a_rank") +:
+      explode(array(blk, blk + 1L)).as("probe") +:
+      carry.map(c => col(c._1).as(s"a_${c._1}")): _*)
+    val right = ranked.select(col("id").as("b_id") +: col("rank").as("b_rank") +:
+      blk.as("probe") +: carry.map(c => col(c._1).as(s"b_${c._1}")): _*)
     left.join(right, Seq("probe"))
       .filter((col("b_rank") - col("a_rank")).between(lit(1), lit(window)))
-      .select(col("a_id"), col("b_id"),
-        (col("b_rank") - col("a_rank")).as("rank_gap"))
+      .select(col("a_id") +: col("b_id") +:
+        (col("b_rank") - col("a_rank")).as("rank_gap") +:
+        carry.flatMap(c => Seq(col(s"a_${c._1}"), col(s"b_${c._1}"))): _*)
       // The pair list is skinny (3 longs/row) but every consumer runs
       // a CPU-dense comparator over it (edit distance, Jaro–Winkler,
       // token Jaccard). AQE coalesces shuffle output by BYTES, so the

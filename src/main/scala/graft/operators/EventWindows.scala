@@ -23,7 +23,7 @@ object EventWindows {
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"),
+        sum(graft.functions.DecimalExprs.dec2(col("value"))).cast(DoubleType).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
@@ -34,7 +34,7 @@ object EventWindows {
     events
       .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+        sum(graft.functions.DecimalExprs.dec2(col("value"))).cast(DoubleType).as("sum_value"))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -106,6 +106,6 @@ object EventWindows {
       .agg(count(lit(1)).as("n_events"),
         unix_millis(min(col("ts"))).as("session_start_ms"),
         unix_millis(max(col("ts"))).as("session_end_ms"),
-        sum(col("value").cast(Dec)).cast(DoubleType).as("sum_value"))
+        sum(graft.functions.DecimalExprs.dec2(col("value"))).cast(DoubleType).as("sum_value"))
   }
 }

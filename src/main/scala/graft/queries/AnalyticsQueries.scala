@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.TextFunctions
 import graft.queries.ExtensionQueries.toksSql
 import graft.queries.QueryDef.{eventsTable, spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-3 third widening: corpus-governance analytics — rule-based
   * quality gating (Gopher-style), calendar gap-fill, bigram
@@ -389,14 +390,14 @@ object AnalyticsQueries {
         lit("orders").as("table_name"),
         rowHash(concat_ws("|",
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice").cast(DecimalType(18, 2)),
+          dec2(col("o_totalprice")),
           unix_millis(col("o_orderdate").cast("timestamp")),
           col("o_orderpriority"))).as("h"))
       val c = table(s, dir, "customer").select(
         lit("customer").as("table_name"),
         rowHash(concat_ws("|",
           col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_acctbal").cast(DecimalType(18, 2)),
+          dec2(col("c_acctbal")),
           col("c_mktsegment"))).as("h"))
       o.unionByName(c)
         .groupBy(col("table_name"))

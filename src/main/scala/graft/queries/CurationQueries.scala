@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 import graft.operators.{Reconcile, Sampling, TextAnalysis}
 import graft.queries.QueryDef.{spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-3 widening: distribution-window family, PII scrubbing,
   * snapshot reconciliation, boilerplate-line removal, TF-IDF,
@@ -316,7 +317,7 @@ object CurationQueries {
         "metric", "value")
       .groupBy(col("l_returnflag"), col("metric"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+        sum(dec2(col("value"))).cast(DoubleType).as("total"))
       .orderBy(col("l_returnflag"), col("metric")),
     Some("""
       WITH long AS (
@@ -343,7 +344,7 @@ object CurationQueries {
       def partial(part: DataFrame): DataFrame = part
         .groupBy(col("month"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+          sum(dec2(col("o_totalprice"))).as("total"))
       val load1 = partial(o.filter(col("o_orderkey") % 2 === 0))
       val load2 = partial(o.filter(col("o_orderkey") % 2 =!= 0))
       load1.unionByName(load2)
@@ -412,7 +413,7 @@ object CurationQueries {
       QueryDef.eventsTable(s, dir)
         .select(col("event_id"), col("user_id"),
           unix_millis(col("ts")).as("ms"),
-          col("value").cast(DecimalType(18, 2)).as("v"))
+          dec2(col("value")).as("v"))
         .select(col("event_id"), col("user_id"), col("ms"),
           count(lit(1)).over(w).as("n_trailing_1h"),
           sum(col("v")).over(w).cast(DoubleType).as("sum_trailing_1h"))
@@ -677,7 +678,7 @@ object CurationQueries {
         table(s, dir, "lineitem"), "l_returnflag", saltBuckets = 8,
         partials = Seq(
           count(lit(1)).as("pn"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"),
+          sum(dec2(col("l_quantity"))).as("pq"),
           min(col("l_shipdate")).as("pmin"),
           max(col("l_shipdate")).as("pmax")),
         combine = Seq(

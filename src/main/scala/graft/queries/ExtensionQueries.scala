@@ -7,6 +7,7 @@ import graft.functions.{RollingHashExpr, TextFunctions, VectorFunctions}
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, EventWindows, Similarity, TextAnalysis}
 import QueryDef.{eventsTable, spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Extension query set — the LLM-training-data-pipeline operators
   * (SURVEY.md §7.5): event windowing, dedup family, similarity
@@ -156,7 +157,7 @@ object ExtensionQueries {
     (s, dir) => eventsTable(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2)))
+        sum(dec2(col("value")))
           .cast(DoubleType).as("sum_value"))
       .select(col("user_id"),
         unix_millis(col("w.start")).as("session_start_ms"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.queries.QueryDef.{eventsTable, spreadTable, table}
 import graft.queries.ExtensionQueries.toksSql
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-3 fifth widening: classic warehouse consumption shapes the
   * serving tier hadn't exercised yet — a TPC-H-Q9-style multi-way
@@ -45,8 +46,8 @@ object LakehouseQueries {
         .join(o, li("l_orderkey") === o("o_orderkey"))
         .select(n("n_name").as("nation"),
           year(o("o_orderdate")).cast(LongType).as("o_year"),
-          (li("l_extendedprice").cast(Dec) *
-            (lit(1).cast(Dec) - li("l_discount").cast(Dec))).as("amount"))
+          (dec2(li("l_extendedprice")) *
+            (lit(1).cast(Dec) - dec2(li("l_discount")))).as("amount"))
         .groupBy(col("nation"), col("o_year"))
         .agg(sum(col("amount")).cast(DoubleType).as("profit"),
           count(lit(1)).as("n_lines"))
@@ -148,7 +149,7 @@ object LakehouseQueries {
         .select(
           expr("(k div 10) - (CASE WHEN k < 0 AND k % 10 != 0 THEN 1 ELSE 0 END)")
             .as("k_decile"),
-          col("value").cast(Dec).as("v"))
+          dec2(col("value")).as("v"))
         .groupBy(col("k_decile"))
         .agg(count(lit(1)).as("n"),
           sum(col("v")).cast(DoubleType).as("sum_value"))
@@ -311,7 +312,10 @@ object LakehouseQueries {
   private val q122 = QueryDef(
     "q122_try_safety",
     (s, dir) => {
-      table(s, dir, "orders")
+      // try_divide/try_cast per row dominate and fuse into the scan —
+      // spread the single-split fixture scan (1.24 s single-task
+      // runtime in the job log; QueryDef.spreadTable rationale)
+      spreadTable(s, dir, "orders")
         .select(
           expr("try_divide(o_totalprice, o_orderkey % 3)").as("d"),
           expr("try_cast(o_orderpriority AS INT)").as("p"),
@@ -1102,15 +1106,13 @@ object LakehouseQueries {
     (s, dir) => {
       import graft.operators.Dedup
       val docs = ExtensionQueries.augmentedDocs(s, dir)
+      // the 250-char verification substring rides through the block
+      // join (carry) — the corpus is evaluated once and the two
+      // feature join-backs the old shape paid are gone
       val pairs = Dedup.sortedNeighborhoodPairs(
-        docs, substring(lower(col("text")), 1, 40), window = 5)
-      val sub = docs.select(col("doc_id"),
-        substring(col("text"), 1, 250).as("sub"))
+        docs, substring(lower(col("text")), 1, 40), window = 5,
+        carry = Seq("sub" -> substring(col("text"), 1, 250)))
       pairs
-        .join(sub.select(col("doc_id").as("a_id"), col("sub").as("a_sub")),
-          Seq("a_id"))
-        .join(sub.select(col("doc_id").as("b_id"), col("sub").as("b_sub")),
-          Seq("b_id"))
         // banded levenshtein: the accept test only admits distances
         // ≤ mx/5 ≤ 50, so cap the DP there (O(n·k) not O(n²), -1 when
         // exceeded — accepted pairs keep their exact distance)

@@ -7,6 +7,7 @@ import graft.functions.TextFunctions
 import graft.operators.{Clustering, Pruning, Sketches}
 import graft.queries.ExtensionQueries.{augmentedEmbs, augmentedEmbsSql, cosSql, shinglesSql, toksSql}
 import graft.queries.QueryDef.{spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-3 second widening: distributed clustering (k-means Lloyd
   * step), SemDeDup semantic dedup, sequence packing for pretraining
@@ -166,7 +167,7 @@ object MiningQueries {
           "o_custkey", "c_custkey", expectedKeys = Some(10000L))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          sum(dec2(col("o_totalprice")))
             .cast(DoubleType).as("revenue"))
         .orderBy(col("c_custkey"))
     },
@@ -344,18 +345,17 @@ object MiningQueries {
       import graft.functions.JaroWinklerExpr.jaro_winkler
       import graft.operators.Dedup
       val docs = ExtensionQueries.augmentedDocs(s, dir, spread = true)
+      // all three comparator features ride through the block join
+      // (carry): the corpus pipeline is evaluated once and the two
+      // feature join-backs (plus their corpus re-evaluations) are gone
       val pairs = Dedup.sortedNeighborhoodPairs(
-        docs, substring(lower(col("text")), 1, 40), window = 5)
-      val feat = docs.select(col("doc_id"),
-        substring(lower(col("text")), 1, 60).as("jw_key"),
-        substring(col("text"), 1, 100).as("lev_key"),
-        array_distinct(TextFunctions.tokens(
-          substring(col("text"), 1, 200))).as("tok"))
-      val fa = feat.select(col("doc_id").as("a_id"), col("jw_key").as("a_jw"),
-        col("lev_key").as("a_lev"), col("tok").as("a_tok"))
-      val fb = feat.select(col("doc_id").as("b_id"), col("jw_key").as("b_jw"),
-        col("lev_key").as("b_lev"), col("tok").as("b_tok"))
-      pairs.join(fa, Seq("a_id")).join(fb, Seq("b_id"))
+        docs, substring(lower(col("text")), 1, 40), window = 5,
+        carry = Seq(
+          "jw" -> substring(lower(col("text")), 1, 60),
+          "lev" -> substring(col("text"), 1, 100),
+          "tok" -> array_distinct(TextFunctions.tokens(
+            substring(col("text"), 1, 200)))))
+      pairs
         .withColumn("jw", round(jaro_winkler(col("a_jw"), col("b_jw")), 6))
         .withColumn("lev_sim", round(lit(1.0) -
           levenshtein(col("a_lev"), col("b_lev")).cast(DoubleType) /

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
 import graft.functions.TextFunctions
 import graft.queries.ExtensionQueries.toksSql
 import graft.queries.QueryDef.{eventsTable, spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-4 ops/decorrelation tier (q201–q205): the three classic
   * TPC-H correlated-subquery shapes the engine had not yet exercised
@@ -48,7 +49,7 @@ object OpsQueries {
       li.join(stats, col("l_partkey") === col("sk"))
         .filter(col("qty") * col("n") * 10 < col("sum_qty") * 2)
         .agg(count(lit(1)).as("n_small_lots"),
-          sum(col("l_extendedprice").cast(Dec)).cast(DoubleType)
+          sum(dec2(col("l_extendedprice"))).cast(DoubleType)
             .as("revenue"))
     },
     Some("""
@@ -133,7 +134,7 @@ object OpsQueries {
     (s, dir) => {
       val cust = table(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
-          col("c_acctbal").cast(Dec).as("bal"))
+          dec2(col("c_acctbal")).as("bal"))
       val thr = broadcast(cust.filter(col("bal") > 0)
         .agg(sum(col("bal")).as("sum_bal"), count(lit(1)).as("cnt")))
       val urgent = table(s, dir, "orders")
@@ -902,7 +903,7 @@ object OpsQueries {
     "q212_merkle_diff",
     (s, dir) => {
       def hashed(priceBump: org.apache.spark.sql.Column) = {
-        val price = (col("o_totalprice").cast(Dec) + priceBump).cast(Dec)
+        val price = (dec2(col("o_totalprice")) + priceBump).cast(Dec)
         table(s, dir, "orders")
           .select(expr("o_orderkey div 1024").as("leaf"),
             conv(substring(md5(concat_ws("|",
@@ -971,7 +972,7 @@ object OpsQueries {
         .agg(sum(col("l_quantity").cast(LongType)).as("volume"))
       val sup = table(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"),
-          (col("s_acctbal").cast(Dec) * 100).cast(LongType).as("bal_cents"))
+          cents2(col("s_acctbal")).as("bal_cents"))
         .join(vol, col("s_suppkey") === col("l_suppkey"))
       val byVol = sup.groupBy(col("volume"))
         .agg(max(col("bal_cents")).as("ymax"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.functions.JdeFunctions._
 import graft.operators.{CalendarDim, FactLoad, Scd2}
 import QueryDef.table
+import graft.functions.DecimalExprs.dec2
 
 /** Parity query set — the reference's workload shape (JDE decode,
   * calendar dim, SCD2 merge, point-in-time fact load, star top-k,
@@ -22,12 +23,15 @@ object ParityQueries {
     "q01_pricing_summary",
     (s, dir) => {
       val li = table(s, dir, "lineitem")
+      // dec2: exact DECIMAL(18,2) via compact unscaled-long
+      // construction — the double→decimal CAST's per-row BigDecimal
+      // round trip was ~80% of this scan stage (DecimalExprs rationale)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(Dec)).cast(DoubleType).as("sum_qty"),
-          sum(col("l_extendedprice").cast(Dec)).cast(DoubleType).as("sum_base_price"),
-          sum(col("l_extendedprice").cast(Dec) *
-            (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(Dec) - dec2(col("l_discount"))))
             .cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -327,7 +331,7 @@ object ParityQueries {
       table(s, dir, "orders")
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(Dec)).cast(DoubleType).as("total"))
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total"))
         .select(
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -539,7 +543,7 @@ object ParityQueries {
           o("o_orderdate") < ranges("q_end"))
         .groupBy(col("q_start").as("quarter_start"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(Dec)).cast(DoubleType).as("revenue"))
+          sum(dec2(col("o_totalprice"))).cast(DoubleType).as("revenue"))
         .orderBy(col("quarter_start"))
     },
     Some("""
@@ -603,7 +607,7 @@ object ParityQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       table(s, dir, "orders")
         .withColumn("running_revenue",
-          sum(col("o_totalprice").cast(Dec))
+          sum(dec2(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, 0))
             .cast(DoubleType))
         .withColumn("days_since_prev",

@@ -8,6 +8,7 @@ import graft.functions.TextFunctions
 import graft.operators.Checkpoints
 import graft.queries.ExtensionQueries.{shinglesSql, toksSql}
 import graft.queries.QueryDef.{spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-4 continuation: data-profiling / explainability tier —
   * functional-dependency discovery (the schema-inference primitive
@@ -335,7 +336,7 @@ object ProfilingQueries {
       val e = graft.queries.QueryDef.eventsTable(s, dir)
         .select(col("event_type"),
           dayofweek(col("ts")).as("dow0"),
-          col("value").cast(DecimalType(18, 2)).as("v"))
+          dec2(col("value")).as("v"))
         // Spark dayofweek: Sunday=1 … map to ISO Monday=1..Sunday=7
         .withColumn("dow", expr("((dow0 + 5) % 7) + 1").cast(LongType))
       val cell = e.groupBy(col("event_type"), col("dow"))

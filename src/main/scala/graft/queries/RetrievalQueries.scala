@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.functions.TextFunctions
 import graft.queries.ExtensionQueries.{cosSql, toksSql}
 import graft.queries.QueryDef.{eventsTable, spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-4 continuation: the retrieval-fusion / model-scoring tier —
   * reciprocal-rank fusion of lexical (BM25) and semantic (embedding
@@ -277,7 +278,7 @@ object RetrievalQueries {
     (s, dir) => {
       eventsTable(s, dir)
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
-          col("value").cast(DecimalType(18, 2)).as("v"))
+          dec2(col("value")).as("v"))
         .withColumn("cents", (col("v") * 100).cast(LongType))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),

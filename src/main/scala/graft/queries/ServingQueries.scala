@@ -7,6 +7,7 @@ import graft.functions.TextFunctions
 import graft.operators.Clustering
 import graft.queries.ExtensionQueries.{cosSql, toksSql}
 import graft.queries.QueryDef.{eventsTable, spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-3 fourth widening: the retrieval / serving tier — keyword
   * relevance search (integer-exact BM25), cumulative-distinct growth
@@ -121,7 +122,7 @@ object ServingQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
       eventsTable(s, dir)
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
-          col("value").cast(DecimalType(18, 2)).as("v"))
+          dec2(col("value")).as("v"))
         .withColumn("next_ms", lead(col("ts_ms"), 1).over(w))
         .where(col("next_ms").isNotNull)
         .withColumn("dur", (col("next_ms") - col("ts_ms")).cast(DecimalType(18, 0)))
@@ -258,7 +259,7 @@ object ServingQueries {
         .groupBy(col("o_custkey"))
         .agg(max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
           count(lit(1)).as("frequency"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m_dec")))
+          sum(dec2(col("o_totalprice"))).as("m_dec")))
       val Ids = graft.operators.Ids
       // the three quintile ranks are data-independent (each a total
       // order over the same cached frame) — materialize them
@@ -316,12 +317,19 @@ object ServingQueries {
       val h = conv(substring(md5(concat_ws("|",
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber"),
-        col("l_quantity").cast(DecimalType(18, 2)),
-        col("l_extendedprice").cast(DecimalType(18, 2)),
-        col("l_discount").cast(DecimalType(18, 2)),
+        dec2(col("l_quantity")),
+        dec2(col("l_extendedprice")),
+        dec2(col("l_discount")),
         col("l_returnflag"), col("l_linestatus"),
         unix_millis(col("l_shipdate").cast("timestamp")))), 1, 15), 16, 10)
         .cast(LongType)
+      // NOT spread (round-14 A/B): the wall floor here is the parquet
+      // decode of 10 columns, which stays serial on the single-split
+      // fixture either way — the spread moved the md5 off the scan
+      // stage for ZERO wall change (1.89 s → 1.90 s) while inflating
+      // executor CPU ~8× (shuffle-row concat_ws+md5 is far slower than
+      // the scan-fused vectorized path). At real tiers the scan has
+      // ≥ cores splits and the question disappears.
       table(s, dir, "lineitem")
         .select(to_date(col("l_shipdate")).as("ship_day"), h.as("h"))
         .groupBy(col("ship_day"))
@@ -484,7 +492,7 @@ object ServingQueries {
     "q111_benford_digits",
     (s, dir) => {
       val d = table(s, dir, "orders")
-        .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+        .select(substring(dec2(col("o_totalprice"))
           .cast("string"), 1, 1).as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
       d.crossJoin(broadcast(d.agg(sum(col("n")).as("total"))))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.operators.Upsert
 import graft.queries.QueryDef.{spreadTable, table}
+import graft.functions.DecimalExprs.{dec2, cents2}
 
 /** Round-4 continuation: classic-warehouse serving tier — CDC apply
   * with delete tombstones (the Debezium-feed materialization the
@@ -36,7 +37,7 @@ object WarehouseQueries {
           col("o_orderkey").as("seq"),
           when(col("o_orderkey") % 11 === 0, lit("D")).otherwise(lit("U"))
             .as("op"),
-          (col("o_totalprice").cast(Dec) * 100).cast(LongType).as("cents"))
+          cents2(col("o_totalprice")).as("cents"))
       Upsert.applyCdc(feed, Seq("key"), Seq(col("seq")))
         .select(col("key"), col("seq").as("last_seq"),
           col("_n_ops").as("n_ops"), col("cents").as("final_cents"))
@@ -250,7 +251,7 @@ object WarehouseQueries {
           (col("o_orderkey") % 3).as("batch"),
           to_date(col("o_orderdate")).as("valid_from"),
           date_add(to_date(col("o_orderdate")), 30).as("valid_to"),
-          (col("o_totalprice").cast(Dec) * 100).cast(LongType).as("cents"))
+          cents2(col("o_totalprice")).as("cents"))
       val asKnown = v.filter(col("batch") <= 1)
       val latest = Upsert.latestByKey(asKnown, Seq("key"), Seq(col("version")))
       latest
