@@ -60,6 +60,20 @@ object Bench {
       // low-core runs and future registry growth.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+      // Never use the bypass-merge shuffle writer (round-14, guide
+      // §1.1 empirical loop): stack-sampling the whole bench showed
+      // java.io.FileOutputStream.open0 as the TOP executor CPU frame
+      // — BypassMergeSortShuffleWriter opens numPartitions files per
+      // map task, which at this scale factor is pure filesystem
+      // churn (32 creates+deletes per task for a few KB of shuffle
+      // data). The sort writer opens ~1 file per task. Measured
+      // 138.1 s → 115.5 s (with the same round's expression fixes)
+      // on the 3-pass protocol, 1 query regressed > 0.1 s. At real
+      // tiers shuffle partition counts exceed the default threshold
+      // (200), so bypass never fires and this setting is a NO-OP at
+      // scale — it only removes a small-scale measurement artifact.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

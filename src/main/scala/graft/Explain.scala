@@ -20,6 +20,10 @@ object Explain {
       // registry-sized codegen cache — measurement parity with Bench
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+      // sort writer, never bypass-merge — measurement parity with
+      // Bench (see the rationale there); no-op at real tiers
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v,k=v" → extra session confs (e.g.

@@ -27,6 +27,10 @@ object PlanDump {
       // registry-sized codegen cache — measurement parity with Bench
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+      // sort writer, never bypass-merge — measurement parity with
+      // Bench (see the rationale there); no-op at real tiers
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = java.nio.file.Paths.get(outDir)

@@ -21,6 +21,10 @@ object Verify {
       // registry-sized codegen cache (see Bench.scala rationale)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+      // sort writer, never bypass-merge — measurement parity with
+      // Bench (see the rationale there); no-op at real tiers
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
