@@ -54,8 +54,36 @@ object BenchDebug {
         val t0 = System.nanoTime()
         // Bench.consume (noop sink), matching Bench's instrument —
         // count() would let Catalyst prune the plan being diagnosed
-        val n = try { Bench.consume(fn(spark, sfDir)); 0L }
-          catch { case e: Throwable => println(s"ERR $name: $e"); -1L }
+        val n = try {
+          val df = fn(spark, sfDir)
+          Bench.consume(df)
+          // SPARK_GRAFT_PLANMETRICS: after the run, print the FINAL
+          // AQE plan with each operator's accumulated SQL metrics —
+          // the UI's SQL tab in text form, for attributing stage cost
+          // to operators when every stage is an anonymous AQE future
+          if (i == 2 && sys.env.contains("SPARK_GRAFT_PLANMETRICS")) {
+            def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+              val ms = p.metrics.collect {
+                case (k, m) if m.value > 0 &&
+                    (k.contains("time") || k.contains("Time") ||
+                     k == "numOutputRows") => s"$k=${m.value}"
+              }.mkString(" ")
+              println(f"[bd]   plan ${"  " * d}${p.nodeName} $ms")
+              p.children.foreach(walk(_, d + 1))
+              p match {
+                case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                  walk(a.executedPlan, d + 1)
+                case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                  walk(q.plan, d + 1)
+                case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+                  walk(r.child, d + 1)
+                case _ => ()
+              }
+            }
+            walk(df.queryExecution.executedPlan, 0)
+          }
+          0L
+        } catch { case e: Throwable => println(s"ERR $name: $e"); -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         val heap1 = (rt.totalMemory - rt.freeMemory) / 1e6
         println(f"[bd] $name%-28s run$i $dt%7.2fs rows=$n%-8d heap ${heap0}%.0f->${heap1}%.0fMB")

@@ -196,9 +196,24 @@ object WarehouseQueries {
           .filter(conv(substring(md5(col("c").cast(StringType)), 1, 15), 16, 10)
             .cast(org.apache.spark.sql.types.LongType) % 100 < 20))
       val sizes = edges.groupBy(col("sp")).agg(count(lit(1)).as("n"))
-      val a = edges.select(col("c"), col("sp").as("sa"))
-      val b = edges.select(col("c"), col("sp").as("sb"))
-      val co = a.join(b, Seq("c")).filter(col("sa") < col("sb"))
+      // inverted-index pairing MATERIALIZED as such (round-14): one
+      // hash exchange on c + per-customer supplier lists + in-stage
+      // pair explode, instead of the old a⋈b self-join (two sort
+      // exchanges + SortMergeJoin over the same checkpoint). The
+      // explicit keyed repartition both feeds the groupBy (exchange
+      // reuse — no extra shuffle) and pins the pair-generation stage
+      // wide: AQE coalesced the byte-light (3 longs/row) pair
+      // aggregate to ONE task, which ran its 1.2 s of counting alone
+      // (the q140 hazard, job-log evidence in OPTIMIZATION_r14.md).
+      val par = s.sessionState.conf.numShufflePartitions
+      val byC = edges.repartition(par, col("c"))
+        .groupBy(col("c"))
+        .agg(sort_array(collect_list(col("sp"))).as("sps"))
+        .filter(size(col("sps")) > 1)
+      val co = byC
+        .select(explode(col("sps")).as("sa"), col("sps"))
+        .select(col("sa"), explode(col("sps")).as("sb"))
+        .filter(col("sa") < col("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("co"))
         .filter(col("co") >= 5)
       co.join(broadcast(sizes.select(col("sp").as("sa"), col("n").as("na"))),
